@@ -1,0 +1,66 @@
+"""Text column expressions — all JVM-side (whole-stage codegen), no UDFs.
+
+These are the building blocks of the text-analysis / dedup surface the
+north star adds on top of the reference (BASELINE.json): tokenization,
+shingling, normalization, language-evidence scoring, fingerprinting.
+Every helper returns a Column so Catalyst can fold it into one
+projection; nothing here forces a Python round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword evidence lists for the heuristic language
+# scorer (n-gram/stopword language-ID is a standard public technique)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "con", "una", "por"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "ein", "nicht"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men"],
+}
+
+
+def normalize_ws(col: Column | str) -> Column:
+    """Collapse runs of whitespace to single spaces and trim —
+    canonical form for fingerprinting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array (the
+    reference's null-tolerance discipline, SURVEY §2 #19)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.coalesce(t, F.lit("")) == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+
+
+def word_shingles(tok_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (1-indexed element_at so
+    the expression reads identically to the DuckDB oracle)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(tok_col, i + k) for k in range(n)]),
+    )
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"\p{Punct}", ""))
+
+
+def stopword_hits(tok_col: Column, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang`` (language evidence)."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok_col, lambda x: F.array_contains(words, F.lower(x))))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 over the lowercased,
+    whitespace-normalized text (content-defined identity for exact and
+    normalized dedup)."""
+    return F.md5(F.lower(normalize_ws(col)))

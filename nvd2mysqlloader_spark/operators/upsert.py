@@ -1,0 +1,72 @@
+"""Keyed upsert — the reference's REPLACE-by-key loop, batched.
+
+The reference probes + INSERTs/REPLACEs one row at a time with a commit
+per row (~6 MySQL round-trips per CVE, nvd2mysqlloader.py:448-486).
+Spark-first equivalent: dedup the incoming batch last-writer-wins, then
+MERGE. Without Delta on the classpath, MERGE over parquet is emulated as
+``target ANTI-JOIN updates  UNION  updates`` — one shuffle on the key,
+one atomic directory overwrite, idempotent under task retries (key-based,
+so re-execution cannot duplicate — SURVEY.md §7.4.5).
+
+Scale notes (100 TB): both the anti-join and the window dedup hash-
+partition by the key — co-partitioned, no extra shuffle between them.
+With a huge target and a small update batch, AQE turns the anti-join
+build side into a broadcast; with a partitioned target (year(published)),
+dynamic partition pruning limits the rewrite to touched partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def last_writer_wins(df: DataFrame, keys: Sequence[str],
+                     order_by: Sequence[Column | str]) -> DataFrame:
+    """Keep exactly one row per key: the greatest under ``order_by``.
+
+    This is the reference's REPLACE semantics (last writer wins,
+    nvd2mysqlloader.py:449-464) expressed as a ranking window. Callers
+    must make ``order_by`` a total order (include a unique tie-break)
+    for deterministic output.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[
+        F.desc(c) if isinstance(c, str) else c for c in order_by])
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .drop("__rn"))
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame,
+                 keys: Sequence[str]) -> DataFrame:
+    """MERGE emulation: matched → take update row, not-matched → keep
+    target row; updates themselves deduped upstream.
+
+    Equivalent to ``MERGE INTO target USING updates ON keys WHEN MATCHED
+    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` (SURVEY.md §2 #10).
+    """
+    keep = target.join(updates.select(*keys), on=list(keys), how="left_anti")
+    return keep.unionByName(updates)
+
+
+def write_upsert_parquet(target_path: str, updates: DataFrame,
+                         keys: Sequence[str]) -> None:
+    """Apply ``merge_upsert`` against a parquet table on disk.
+
+    One atomic overwrite per batch replaces the reference's per-row
+    commits (nvd2mysqlloader.py:460-482). On a real deployment this is a
+    Delta/Iceberg MERGE; the emulation keeps identical semantics.
+    """
+    spark = updates.sparkSession
+    try:
+        target = spark.read.parquet(target_path)
+        merged = merge_upsert(target, updates, keys)
+    except Exception:  # first load: target does not exist yet
+        merged = updates
+    # materialize before overwrite (read and write same path)
+    merged.cache()
+    merged.count()
+    merged.write.mode("overwrite").parquet(target_path)
+    merged.unpersist()

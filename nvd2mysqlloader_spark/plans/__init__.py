@@ -1,0 +1,7 @@
+from .registry import QUERIES, Query, query, spark_queries, oracle_map  # noqa: F401
+
+# importing the modules populates the registry
+from . import reference_queries  # noqa: F401,E402
+from . import text_queries       # noqa: F401,E402
+from . import vector_queries     # noqa: F401,E402
+from . import event_queries      # noqa: F401,E402

@@ -1,0 +1,80 @@
+"""Event-time analytics over ``events`` — the batch twins of the
+streaming surface (tumbling windows, sessionization).
+
+The reference has no event-time windows (SURVEY §2 #49); these are the
+north-star extensions. The streaming variants (readStream + watermark)
+live in ``streaming/``; batch and streaming share the same aggregation
+semantics, so the DuckDB oracle checks the batch plan and the streaming
+tests assert batch↔stream agreement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from ._helpers import dsum
+from .registry import query
+
+
+@query(
+    "tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tumbling event-time window aggregate (1h) — F.window in Spark; epoch-aligned 1h buckets == date_trunc('hour') (§2 #49)",
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", 4).alias("sum_value"),
+                 F.count_distinct("user_id").alias("n_users"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value", "n_users"))
+
+
+@query(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= 30 * 60 * 1000000
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="sessionization (30-min gap) via lag + cumulative-sum gaps-and-islands — batch twin of session_window (§2 #49); one shuffle on user_id reused by both windows and the final agg",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision on both engines (timestamps carry micros)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = events.withColumn(
+        "new_sess", F.when(gap <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1)))
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)))
+    return (numbered.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 dsum("value", 4).alias("sum_value")))

@@ -1,0 +1,220 @@
+"""Text-analysis + deduplication query surface over ``documents``.
+
+North-star extensions (BASELINE.json): exact/normalized/fuzzy dedup,
+token statistics, quality scoring, heuristic language-ID, document
+fingerprinting. All pure column expressions / relational plans — no
+Python UDFs — so they scale to 100 TB as ordinary shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (STOPWORDS, fingerprint, normalize_ws,
+                              punct_count, stopword_hits, tokens,
+                              word_shingles)
+from ..sources.tpch import load_table
+from .registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="exact dedup: hash-groupBy on content, keep lowest id (north-star dedup family); one shuffle on the 128-bit hash, never on the text",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="normalized-content fingerprint dedup (case/whitespace-insensitive identity) — document fingerprinting north-star op",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy(fingerprint("text").alias("fp"))
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+@query(
+    "token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
+           sum(length(text)) AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    doc="token counting (whitespace tokenizer) aggregated per language — text-analysis north-star op; exact long sums",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .select("lang", "source",
+                    F.size(tokens("text")).cast("long").alias("n_tok"),
+                    F.length("text").cast("long").alias("n_ch"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.sum("n_ch").alias("total_chars"),
+                 F.count_distinct("source").alias("n_sources")))
+
+
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+           len(list_filter(toks, x -> lower(x) IN ({_EN}))) AS stop_hits,
+           (len(toks) BETWEEN 10 AND 1000)
+             AND len(list_filter(toks, x -> lower(x) IN ({_EN}))) > 0 AS passes
+    FROM t
+    """,
+    doc="quality scoring: length / punctuation / stopword evidence per doc with a pass/fail gate — text-analysis north-star op",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", "text", tokens("text").alias("toks"))
+    n_tokens = F.size("toks")
+    stop_hits = stopword_hits(F.col("toks"), "en")
+    return t.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        stop_hits.alias("stop_hits"),
+        (n_tokens.between(10, 1000) & (stop_hits > 0)).alias("passes"),
+    )
+
+
+def _case_chain_sql() -> str:
+    langs = list(STOPWORDS)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lang} >= h_{other}" for other in langs[i + 1:])
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> lower(x) IN ({words}))) AS h_{lang}"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang, {", ".join(_hits_sql(lg) for lg in STOPWORDS)}
+      FROM t
+    )
+    SELECT lang, {_case_chain_sql()} AS pred_lang, count(*) AS n_docs
+    FROM h GROUP BY 1, 2
+    """,
+    doc="heuristic language-ID: per-language stopword evidence, fixed-precedence argmax; confusion matrix vs labeled lang — north-star op",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    langs = list(STOPWORDS)
+    h = t.select("doc_id", "lang",
+                 *[stopword_hits(F.col("toks"), lg).alias(f"h_{lg}") for lg in langs])
+    pred = None
+    # fixed precedence: earlier language wins ties (same CASE chain as oracle)
+    expr = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1:]:
+            c = F.col(f"h_{lang}") >= F.col(f"h_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit(langs[-1]))
+    return (h.select("lang", pred.alias("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok
+    ), sizes AS (
+      SELECT doc_id, len(s) AS nsh FROM sh
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) >= 0.5
+    """,
+    doc="exact n-gram-Jaccard near-dup pairs via shingle inverted index (explode→self-equi-join→count), the verification path for MinHash-LSH; at 100 TB run the LSH variant first and this only on candidate pairs",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), 3)).alias("s"))
+    sizes = sh.select("doc_id", F.size("s").alias("nsh"))
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (F.col("sa.nsh") + F.col("sb.nsh") - F.col("n_inter"))
+    return (inter
+            .join(F.broadcast(sa), F.col("id_a") == F.col("sa.doc_id"))
+            .join(F.broadcast(sb), F.col("id_b") == F.col("sb.doc_id"))
+            .select("id_a", "id_b", "n_inter", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.5))

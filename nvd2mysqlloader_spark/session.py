@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+Tuned for the test harness (local[N], single JVM) while keeping every
+setting cluster-valid: AQE on (runtime re-planning, skew-join splitting,
+partition coalescing), shuffle partitions sized to cores locally (on a
+real cluster AQE coalesces from a higher initial number), UTC session
+timezone so timestamp semantics match the DuckDB oracle, and Arrow
+enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "nvd2mysqlloader_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``shuffle_partitions`` defaults to the local parallelism
+    (SPARK_GRAFT_CPUS or 32).  At 100 TB on a real cluster this knob is
+    instead set to ~2-3x total executor cores and AQE coalesces down;
+    the configs below are identical either way.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: all memory lives in the driver JVM
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,32 @@
+"""Every SQL-expressible query must hash-match its DuckDB oracle —
+the local twin of the driver's CORRECTNESS gate (run at sf0.001 for
+speed; the driver re-runs at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nvd2mysqlloader_spark.plans import QUERIES
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, name):
+    q = QUERIES[name]
+    ok, msg = compare(spark, SF_ORACLE, q.fn, q.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+def test_registry_nonempty():
+    assert len(QUERIES) >= 10
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
