@@ -1,0 +1,124 @@
+"""Ingest pipeline — the reference's ``main()`` path (EP1, SURVEY §3)
+re-expressed as one batched Spark job per run.
+
+Reference flow (nvd2mysqlloader.py:508-531): per feed, sequentially —
+HTTP .meta → freshness gate → download zip → unzip → json.loads →
+row-at-a-time INSERT/REPLACE with per-row commits. Here:
+
+  landing dir (pre-downloaded feed JSON + .meta sidecars)
+      │ parse_meta ─ anti-join vs update_history high-water-mark  (gate, #15/#16)
+      │ read_feed(all fresh feeds at once) ─ explode ─ flatten    (#5,#6,#19-23)
+      │ last_writer_wins dedup (modified/recent overlap years)    (#34)
+      │ merge_upsert into silver parquet  +  bronze raw copy      (#10,#11)
+      └ append update_history audit rows                          (#9)
+
+One atomic write per table per run replaces ~6 MySQL round-trips per
+CVE. The download/unzip edge (network) stays a thin driver-side helper
+(``fetch.py``) exactly as the reference keeps it outside the data plane.
+
+At scale: silver is partitioned by ``year(published)`` — the partition-
+pruning replacement for the reference's ``dates`` index (:400); feeds
+parallelize by file; the MERGE shuffles once on cve_id.
+
+CLI:  python -m nvd2mysqlloader_spark.ingest --landing DIR --warehouse DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.flatten import flatten_cve, flatten_cve_bronze
+from .operators.upsert import last_writer_wins, write_upsert_parquet
+from .schemas import UPDATE_HISTORY_SCHEMA
+from .sources.cve_feed import explode_items, read_feed
+from .sources.meta_file import parse_meta
+
+
+def fresh_feeds(spark: SparkSession, landing: str, warehouse: str) -> DataFrame:
+    """Feeds whose remote .meta is newer than the stored high-water
+    mark — the incremental gate (nvd2mysqlloader.py:67-99). Missing
+    state ⇒ everything is fresh (the sentinel-date semantics, :89)."""
+    meta = parse_meta(spark, f"{landing}/*.meta")
+    try:
+        hist = spark.read.parquet(f"{warehouse}/update_history")
+        hwm = (hist.groupBy("download_name")
+               .agg(F.max_by("lastModifiedDate", "downloadedDate")
+                    .alias("stored_lmd")))
+        return (meta.join(hwm, "download_name", "left")
+                .filter((F.col("stored_lmd").isNull())
+                        | (F.col("lastModifiedDate") > F.col("stored_lmd")))
+                .drop("stored_lmd"))
+    except Exception:                       # no history yet: load everything
+        return meta
+
+
+def run_ingest(spark: SparkSession, landing: str, warehouse: str) -> dict:
+    """One incremental batch. Returns counts (the reference's tally
+    delta report, nvd2mysqlloader.py:562-573)."""
+    def tally(path: str) -> int:            # count(distinct cve_id), ref :494
+        try:
+            return (spark.read.parquet(path)
+                    .select(F.count_distinct("cve_id")).first()[0])
+        except Exception:
+            return 0
+
+    silver_path = f"{warehouse}/nvd"
+    bronze_path = f"{warehouse}/nvd_json"
+    before = tally(silver_path)
+
+    fresh = fresh_feeds(spark, landing, warehouse).cache()
+    names = [r.download_name for r in fresh.select("download_name").collect()]
+    if not names:
+        return {"feeds": 0, "cves": 0, "tally_before": before,
+                "tally_after": before, "added": 0}
+
+    paths = [f"{landing}/{n}.json" for n in names]
+    items = explode_items(read_feed(spark, paths))
+
+    # modified/recent feeds overlap yearly ones by design — dedup the
+    # batch last-writer-wins on (lastModifiedDate, cve_id) before MERGE
+    silver = last_writer_wins(
+        flatten_cve(items), ["cve_id"], ["last_modified_datetime"])
+    bronze = last_writer_wins(
+        flatten_cve_bronze(items).join(
+            silver.select("cve_id", "last_modified_datetime"), "cve_id"),
+        ["cve_id"], ["last_modified_datetime"]).drop("last_modified_datetime")
+
+    n_cves = silver.count()
+    write_upsert_parquet(silver_path, silver, ["cve_id"])
+    write_upsert_parquet(bronze_path, bronze, ["cve_id"])
+
+    # audit append — one row per ingested feed (ref :441-447)
+    audit = (fresh.withColumn("downloadedDate",
+                              F.date_format(F.current_timestamp(),
+                                            "yyyy-MM-dd'T'HH:mm:ss"))
+             .select(*[f.name for f in UPDATE_HISTORY_SCHEMA.fields]))
+    audit.write.mode("append").parquet(f"{warehouse}/update_history")
+    fresh.unpersist()
+
+    after = tally(silver_path)
+    return {"feeds": len(names), "cves": n_cves, "tally_before": before,
+            "tally_after": after, "added": after - before}
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="NVD feed → parquet warehouse ingest")
+    ap.add_argument("--landing", required=True, help="dir of feed .json + .meta files")
+    ap.add_argument("--warehouse", required=True, help="output parquet warehouse dir")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+    spark = get_spark("nvd_ingest")
+    stats = run_ingest(spark, args.landing, args.warehouse)
+    print(f"feeds loaded: {stats['feeds']}  cves in batch: {stats['cves']}")
+    print(f"tally before: {stats['tally_before']}  after: {stats['tally_after']}"
+          f"  added: {stats['added']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
