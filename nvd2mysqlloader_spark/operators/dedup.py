@@ -1,0 +1,170 @@
+"""Fuzzy-dedup operators — MinHash+LSH and SimHash, pure DataFrame ops.
+
+The 100 TB path for near-dup detection (north-star, BASELINE.json):
+exact all-pairs Jaccard (plans.text_queries.ngram_jaccard_pairs) is the
+verification oracle; these sketches bound the candidate set so the
+quadratic step only runs inside LSH buckets.
+
+Everything is deterministic: shingles → ``xxhash64`` → k universal-hash
+permutations ``(a_i·h + b_i) mod p`` (p = 2^31−1, a/b from a fixed
+LCG) → per-doc min per permutation. Banding: signature split into
+``bands`` chunks; docs sharing any chunk hash are candidates. All
+JVM-side column expressions; the only shuffles are the doc-level
+groupBy and the band-bucket self-join — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+_P = (1 << 31) - 1          # Mersenne prime modulus
+
+
+def _perm_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs from a tiny LCG — stable across runs
+    and executors (no RNG state on the cluster)."""
+    coeffs, x = [], seed
+    for _ in range(num_perm):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = 1 + x % (_P - 1)
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % _P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
+                       shingles_col: str = "s",
+                       num_perm: int = 64) -> DataFrame:
+    """(id, shingle array) → (id, sig array<long> of length num_perm).
+
+    One explode + one groupBy(id) with ``num_perm`` min-aggregates —
+    partial aggregation makes the shuffle carry only k longs per doc
+    regardless of document size.
+    """
+    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P))
+    ex = shingled.select(id_col, F.explode(shingles_col).alias("shingle")) \
+                 .select(id_col, h.alias("h"))
+    mins = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(_perm_coeffs(num_perm))]
+    agg = ex.groupBy(id_col).agg(*mins)
+    return agg.select(id_col,
+                      F.array(*[F.col(f"m{i}") for i in range(num_perm)])
+                      .alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16) -> DataFrame:
+    """Band the signatures and self-join the buckets → distinct
+    candidate pairs (id_a < id_b).
+
+    The band hash is ``xxhash64`` over the band's slice of the
+    signature; the join key is (band index, band hash) so only docs
+    agreeing on a full band collide. Skewed mega-buckets (boilerplate
+    dups) are AQE-split at scale.
+    """
+    num_perm = None  # derived from the array at runtime via slice exprs
+    # build (id, band_idx, band_hash) rows
+    sig_len = F.size("sig")
+    r = F.floor(sig_len / bands)
+    banded = (sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda b: F.xxhash64(
+                            F.concat_ws(",", F.slice(F.col("sig"),
+                                                     b * r + 1, r)))))
+        .alias("band_idx", "band_hash")))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def minhash_near_dups(shingled: DataFrame, id_col: str = "doc_id",
+                      shingles_col: str = "s", num_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates + signature-estimated Jaccard ≥ threshold.
+
+    Estimated Jaccard = fraction of agreeing signature components
+    (unbiased MinHash estimator). The exact-verify variant joins the
+    candidates back to shingle sets instead — candidates × exact
+    Jaccard is the production shape at scale.
+    """
+    sigs = minhash_signatures(shingled, id_col, shingles_col, num_perm)
+    cand = lsh_candidate_pairs(sigs, id_col, bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                     lambda x, y: x == y),
+                          lambda v: v)).cast("double") / num_perm
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash of a token array: per-bit majority vote over the
+    tokens' ``xxhash64`` values.
+
+    Token hashing stays JVM-side (``transform`` + ``xxhash64``); the
+    64-bit-position majority vote is a vectorized Arrow UDF (one numpy
+    broadcast per batch) — bit-position shifts by a *column* amount
+    aren't expressible with the built-in shift functions, and 64
+    interpreted per-bit folds measured far slower.
+    """
+    @F.pandas_udf(T.LongType())
+    def _pack(hash_arrays: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts)
+        out = np.zeros(len(hash_arrays), dtype=np.uint64)
+        for i, hs in enumerate(hash_arrays):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> shifts) & np.uint64(1)       # (n_tok, 64)
+            votes = 2 * bits.astype(np.int64) - 1
+            out[i] = ((votes.sum(axis=0) > 0) * weights).sum()
+        return pd.Series(out.astype(np.int64))
+
+    return _pack(F.transform(tokens_col, lambda t: F.xxhash64(t)))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, tokens_col: Column,
+                      max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit quarters (a pair
+    within hamming ≤ 3·16 shares ≥1 exact quarter by pigeonhole — for
+    max_hamming ≤ 8 recall is high in practice), verify by popcount.
+
+    ``bit_count(a XOR b)`` is the exact hamming distance; the quarter
+    blocking keeps the self-join linear-ish instead of quadratic.
+    """
+    fp = df.select(F.col(id_col), simhash64(tokens_col).alias("fp"))
+    quarters = (fp.select(
+        id_col, "fp",
+        F.posexplode(F.array(*[
+            F.shiftright("fp", q * 16).bitwiseAND(F.lit(0xFFFF))
+            for q in range(4)]))
+        .alias("q_idx", "q_val")))
+    a, b = quarters.alias("a"), quarters.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (a.join(b, (F.col("a.q_idx") == F.col("b.q_idx"))
+                   & (F.col("a.q_val") == F.col("b.q_val"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

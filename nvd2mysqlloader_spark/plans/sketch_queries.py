@@ -1,0 +1,67 @@
+"""Sketch-based queries — approximate operators whose exact twins are
+oracle-checked elsewhere. No DuckDB oracle (hash/sketch internals are
+engine-specific): the driver records rows-only checks, and
+tests/test_dedup.py verifies each against its exact baseline
+(recall / agreement bounds) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingle3_udf, tokens
+from ..operators.dedup import minhash_near_dups, simhash_near_dups
+from ..operators.similarity import ann_topk
+from ..sources.tpch import load_table
+from .registry import query
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", shingle3_udf()("text").alias("s")))
+
+
+@query(
+    "minhash_near_dup",
+    oracle=None,
+    doc="MinHash(64 perms)+LSH(16 bands) near-dup pairs, est. Jaccard ≥ 0.5 — the 100 TB path whose exact twin is ngram_jaccard_pairs; verified by recall tests",
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dups(_shingled(spark, sf_dir), threshold=0.5)
+
+
+@query(
+    "simhash_near_dup",
+    oracle=None,
+    doc="64-bit SimHash fingerprints, 16-bit-quarter blocking, hamming ≤ 8 — near-dup family member for token-frequency similarity",
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return simhash_near_dups(docs, "doc_id", tokens("text"))
+
+
+@query(
+    "ann_topk_lsh",
+    oracle=None,
+    doc="random-hyperplane LSH ANN top-10 (16 bands × 4 bits) for vec_id<5 — scale path of the exact cosine_topk; recall-tested against it",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ann_topk(emb, queries, k=10)
+
+
+@query(
+    "approx_tally",
+    oracle=None,
+    doc="approx_count_distinct (HLL++, rsd=0.02) tally — the 100 TB variant of the reference's count(distinct cve_id) (nvd2mysqlloader.py:494); sketch internals engine-specific",
+)
+def approx_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_keys"),
+        F.count_distinct("o_custkey").alias("exact_keys"))

@@ -1,0 +1,97 @@
+"""Sketch operators verified against their exact baselines — the
+correctness story for the rows-only queries (no DuckDB oracle for
+engine-specific hashes): recall / agreement bounds vs exact plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nvd2mysqlloader_spark.functions.text import shingle3_udf, tokens
+from nvd2mysqlloader_spark.operators.dedup import (lsh_candidate_pairs,
+                                                   minhash_near_dups,
+                                                   minhash_signatures,
+                                                   simhash_near_dups)
+from nvd2mysqlloader_spark.operators.similarity import ann_topk
+from nvd2mysqlloader_spark.plans import QUERIES
+
+from .conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def shingled(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    return (docs.repartition(8)
+            .select("doc_id", shingle3_udf()("text").alias("s")).cache())
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    """Exact n-gram Jaccard pairs (oracle-checked plan) as ground truth."""
+    return {(r.id_a, r.id_b): r.jaccard
+            for r in QUERIES["ngram_jaccard_pairs"].fn(spark, SF_ORACLE).collect()}
+
+
+def test_minhash_estimates_track_exact(spark, shingled, exact_pairs):
+    est = {(r.id_a, r.id_b): r.est_jaccard
+           for r in minhash_near_dups(shingled, threshold=0.5).collect()}
+    high = {p for p, j in exact_pairs.items() if j >= 0.8}
+    assert high, "fixture should contain high-similarity pairs"
+    found = high & set(est)
+    assert len(found) / len(high) >= 0.8        # banding recall on strong dups
+    for p in found:
+        assert abs(est[p] - exact_pairs[p]) < 0.35   # estimator tracks truth
+
+
+def test_minhash_signature_deterministic(spark, shingled):
+    s1 = {r.doc_id: r.sig for r in minhash_signatures(shingled).collect()}
+    s2 = {r.doc_id: r.sig for r in minhash_signatures(shingled).collect()}
+    assert s1 == s2
+
+
+def test_lsh_identical_docs_always_candidates(spark):
+    df = spark.createDataFrame(
+        [(1, ["a b c", "b c d", "c d e"]),
+         (2, ["a b c", "b c d", "c d e"]),       # identical shingle set
+         (3, ["x y z", "y z w", "z w v"])],
+        ["doc_id", "s"])
+    sigs = minhash_signatures(df)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_simhash_identical_zero_hamming(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark merges shuffle partitions adaptively at runtime"),
+         (2, "spark merges shuffle partitions adaptively at runtime"),
+         (3, "completely different words about gardens and rivers flowing")],
+        ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_dups(docs, "doc_id", tokens("text"),
+                                        max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    exact = QUERIES["cosine_topk"].fn(spark, SF_ORACLE).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    approx = ann_topk(emb, queries, k=10).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.4, f"ANN recall@10 too low: {avg:.2f} ({recalls})"
+
+
+def test_approx_tally_close(spark):
+    # rsd=0.02 → 3σ bound 6%
+    r = QUERIES["approx_tally"].fn(spark, SF_ORACLE).first()
+    assert abs(r.approx_keys - r.exact_keys) <= max(1, 0.06 * r.exact_keys)
