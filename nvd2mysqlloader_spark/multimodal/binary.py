@@ -1,0 +1,165 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` with
+typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
+
+North-star surface (BASELINE.json): at 100 TB, media rows dwarf text;
+the engine treats payloads as binary columns co-partitioned with their
+metadata so decode/feature/resize stages are ordinary narrow maps —
+no shuffle, Arrow batches in and out, one Python worker per core.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+decoding real formats raises ``NotImplementedError`` behind an
+import-try; a deterministic fake container format ("SGM1") keeps every
+piece of Spark plumbing — schema, binary handling, batch iteration,
+partitioning — real and testable. Swapping ``_decode_payload`` for a
+real codec changes no plan shape.
+
+Fake container layout (big-endian):
+    magic   4s   b"SGM1"
+    kind    1B   0=image 1=audio 2=video
+    width   u16  (image/video) | sample-rate/1000 (audio)
+    height  u16  (image/video) | channels        (audio)
+    payload rest (pixel/sample bytes)
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"SGM1"
+KINDS = ("image", "audio", "video")
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_payload_bytes", T.LongType()),
+    T.StructField("mean_byte", T.DoubleType()),
+])
+
+
+def pack_media(kind_idx: int, width: int, height: int, payload: bytes) -> bytes:
+    return MAGIC + struct.pack(">BHH", kind_idx, width, height) + payload
+
+
+def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
+    """Parse one media blob. Real formats (PNG/JPEG/WAV/MP4 magics) are
+    stubbed: the container image has no codec libraries."""
+    if content[:4] == MAGIC:
+        kind_idx, width, height = struct.unpack(">BHH", content[4:9])
+        return KINDS[kind_idx], width, height, content[9:]
+    if content[:8] == b"\x89PNG\r\n\x1a\n" or content[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "real image decode requires PIL/opencv — not in this container; "
+            "swap _decode_payload for a codec-backed version in production")
+    raise ValueError(f"unknown media container: {content[:4]!r}")
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table from ``documents``: the
+    UTF-8 text bytes become the payload, kind/dims derived from doc_id
+    — a stand-in for reading real blobs via
+    ``spark.read.format('binaryFile')``."""
+    kind_idx = (F.col("doc_id") % 3).cast("int")
+    width = (F.lit(16) + F.col("doc_id") % 48).cast("int")
+    height = (F.lit(16) + F.col("doc_id") % 32).cast("int")
+    header = F.concat(
+        F.lit(MAGIC),
+        F.unhex(F.lpad(F.hex(kind_idx), 2, "0")),
+        F.unhex(F.lpad(F.hex(width), 4, "0")),
+        F.unhex(F.lpad(F.hex(height), 4, "0")),
+    )
+    content = F.concat(header, F.encode("text", "UTF-8"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(*[F.lit(k) for k in KINDS]), kind_idx + 1)
+        .alias("kind"),
+        content.alias("content"),
+        F.length(content).cast("long").alias("n_bytes"))
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """Binary → typed features via ``mapInPandas`` (narrow, no shuffle;
+    one Arrow batch in, one out)."""
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                kind, w, h, payload = _decode_payload(bytes(content))
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                rows.append((mid, kind, w, h, len(payload),
+                             float(arr.mean()) if len(arr) else 0.0))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return media.select("media_id", "content").mapInPandas(
+        decode, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """'Resize' images: clamp dims, subsample payload accordingly —
+    the real version calls a codec; the plan shape (narrow map over
+    binary, new binary out) is identical."""
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                kind, w, h, payload = _decode_payload(bytes(content))
+                if kind != "image" or max(w, h) <= max_side:
+                    out.append((mid, kind, bytes(content)))
+                    continue
+                scale = max(w, h) / max_side
+                nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
+                step = max(1, len(payload) // max(1, nw * nh))
+                out.append((mid, kind,
+                            pack_media(0, nw, nh, payload[::step])))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "content"])
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return media.select("media_id", "content").mapInPandas(
+        resize, schema=out_schema)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame sampling for 'video' rows: one output row per sampled
+    frame (media_id, frame_idx, frame binary) — the explode-shaped
+    multimodal op (UNNEST of a decoded stream)."""
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                kind, w, h, payload = _decode_payload(bytes(content))
+                if kind != "video":
+                    continue
+                for i in range(0, min(max_frames * every_n_bytes,
+                                      len(payload)), every_n_bytes):
+                    rows.append((mid, i // every_n_bytes,
+                                 payload[i:i + every_n_bytes]))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "frame_idx", "frame"])
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+    return media.select("media_id", "content").mapInPandas(
+        frames, schema=out_schema)

@@ -6,3 +6,4 @@ from . import text_queries       # noqa: F401,E402
 from . import vector_queries     # noqa: F401,E402
 from . import event_queries      # noqa: F401,E402
 from . import sketch_queries     # noqa: F401,E402
+from . import multimodal_queries # noqa: F401,E402

@@ -1,0 +1,58 @@
+"""Multimodal query surface — binary-column pipelines over the
+synthetic media table derived from ``documents`` (see
+``multimodal.binary`` for why decode is stubbed but the Spark plumbing
+is real)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.binary import (decode_media_features,
+                                 media_from_documents, sample_frames)
+from ..sources.tpch import load_table
+from .registry import query
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return media_from_documents(
+        docs.repartition(spark.sparkContext.defaultParallelism))
+
+
+@query(
+    "multimodal_inventory",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*) AS n_media,
+           sum(octet_length(encode(text))) AS total_payload_bytes
+    FROM documents GROUP BY 1
+    """,
+    doc="binary-column inventory: pack → mapInPandas decode → per-kind totals; oracle checks the decoded sizes against the source bytes (multimodal north-star plumbing)",
+)
+def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = decode_media_features(_media(spark, sf_dir))
+    return (feats.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_media"),
+                 F.sum("n_payload_bytes").alias("total_payload_bytes")))
+
+
+@query(
+    "multimodal_features",
+    oracle=None,
+    doc="per-media decoded features (dims, payload bytes, mean byte) via Arrow mapInPandas — rows-only (byte-level features not SQL-expressible)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_media_features(_media(spark, sf_dir))
+
+
+@query(
+    "video_frame_sample",
+    oracle=None,
+    doc="frame sampling: video binaries → one row per sampled frame (explode-shaped multimodal op)",
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_frames(_media(spark, sf_dir))
+    return frames.select("media_id", "frame_idx",
+                         F.length("frame").alias("frame_bytes"))

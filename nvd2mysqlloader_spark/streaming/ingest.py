@@ -1,0 +1,45 @@
+"""Streaming ingest — the scheduled-refresh mode (EP2) as a
+checkpointed file stream.
+
+The reference polls `modified`/`recent` feeds and gates on the stored
+high-water mark (nvd2mysqlloader.py:126-165, 508-531) — a hand-rolled
+file-source checkpoint. Structured Streaming's file source subsumes it:
+new feed files in the landing dir are discovered exactly once
+(checkpoint), ``Trigger.AvailableNow`` drains what's there and stops —
+the batch-on-schedule shape — and ``foreachBatch`` applies the same
+last-writer-wins MERGE the batch path uses. ``update_history`` remains
+as an explicit audit table (SURVEY §4.2 'incremental file discovery').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.flatten import flatten_cve
+from ..operators.upsert import last_writer_wins, write_upsert_parquet
+from ..schemas import CVE_FEED_SCHEMA
+from ..sources.cve_feed import explode_items
+
+
+def stream_ingest_available_now(spark: SparkSession, landing: str,
+                                warehouse: str, checkpoint: str) -> None:
+    """Drain all unseen feed files from ``landing`` into the silver
+    warehouse, exactly once per file, then stop."""
+    feed = (spark.readStream
+            .schema(CVE_FEED_SCHEMA)
+            .option("multiLine", True)
+            .option("maxFilesPerTrigger", 8)
+            .json(f"{landing}/*.json"))
+
+    def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        silver = last_writer_wins(
+            flatten_cve(explode_items(batch_df)),
+            ["cve_id"], ["last_modified_datetime"])
+        write_upsert_parquet(f"{warehouse}/nvd", silver, ["cve_id"])
+
+    q = (feed.writeStream
+         .foreachBatch(upsert_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -1,0 +1,104 @@
+"""Streaming semantics tests: batch↔stream agreement for windowed
+aggregates, exactly-once file ingest with checkpoint, dedup-within-
+watermark — driven synchronously with availableNow + memory sinks."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nvd2mysqlloader_spark.plans import QUERIES
+from nvd2mysqlloader_spark.streaming.ingest import stream_ingest_available_now
+from nvd2mysqlloader_spark.streaming.windows import (
+    stream_dedup_within_watermark, stream_session_aggregates,
+    stream_tumbling_counts)
+
+from .conftest import SF_ORACLE
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def events_parquet(spark, tmp_path_factory):
+    """events table re-written as micro-batch-friendly parquet (the
+    nanos→micros conversion applied once)."""
+    from nvd2mysqlloader_spark.sources.tpch import load_table
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, SF_ORACLE, "events").write.parquet(path)
+    return path
+
+
+def _run_stream(spark, stream_df, name, mode="complete"):
+    q = (stream_df.writeStream.outputMode(mode)
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_tumbling_equals_batch(spark, events_parquet):
+    schema = spark.read.parquet(events_parquet).schema
+    stream = spark.readStream.schema(schema).parquet(events_parquet)
+    out = _run_stream(spark, stream_tumbling_counts(stream), "tumbling_out")
+    batch = (QUERIES["tumbling_window"].fn(spark, SF_ORACLE)
+             .select("window_start", "event_type", "n_events", "sum_value"))
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+           for r in out.collect()}
+    want = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_sessions_match_batch_sessionization(spark, events_parquet):
+    schema = spark.read.parquet(events_parquet).schema
+    stream = spark.readStream.schema(schema).parquet(events_parquet)
+    out = _run_stream(spark, stream_session_aggregates(stream), "session_out")
+    batch = QUERIES["sessionization"].fn(spark, SF_ORACLE)
+    # session_window and gaps-and-islands must agree on session count
+    # and event totals per user
+    got = (out.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events")))
+    want = (batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events")))
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in want.collect()})
+
+
+def test_stream_dedup_within_watermark(spark, events_parquet, tmp_path):
+    # duplicate every event, stream with dedup → original count
+    dup_path = str(tmp_path / "dup")
+    ev = spark.read.parquet(events_parquet)
+    ev.unionByName(ev).write.parquet(dup_path)
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).parquet(dup_path)
+    out = _run_stream(spark, stream_dedup_within_watermark(stream),
+                      "dedup_out", mode="append")
+    assert out.count() == ev.count()
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    warehouse = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.json", landing)
+
+    stream_ingest_available_now(spark, landing, warehouse, ckpt)
+    assert spark.read.parquet(f"{warehouse}/nvd").count() == 5
+
+    # second drain with no new files: checkpoint ⇒ no reprocessing
+    stream_ingest_available_now(spark, landing, warehouse, ckpt)
+    assert spark.read.parquet(f"{warehouse}/nvd").count() == 5
+
+    # drop the modified feed in → only it is processed; upsert applies
+    shutil.copy(f"{DATA}/nvdcve-1.1-modified.json", landing)
+    stream_ingest_available_now(spark, landing, warehouse, ckpt)
+    nvd = spark.read.parquet(f"{warehouse}/nvd")
+    assert nvd.count() == 6
+    r = nvd.filter(F.col("cve_id") == "CVE-2024-0002").first()
+    assert float(r.score) == 5.0         # late update won through the stream
