@@ -40,6 +40,15 @@ HEADLINE = [
     "lang_id",
     "ngram_jaccard_pairs",
     "cosine_topk",
+    "rollup_revenue",
+    "pivot_status_revenue",
+    "asof_join_events",
+    "percentile_disc",
+    "anti_semi_customers",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "ann_topk_lsh",
+    "multimodal_inventory",
 ]
 
 

@@ -88,14 +88,18 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q_sig = queries.select(query_id_col, F.col(emb_col).alias("q_emb"),
                            bits(emb_col).alias("sig"))
 
+    # query side is tiny → broadcast its bands and its vectors so the
+    # corpus is scanned once and NEVER shuffled: the only wide exchange
+    # is the distinct over candidate id pairs (ids, not vectors)
     cb = _banded(c_sig, id_col, "sig", bands, bits_per_band)
     qb = _banded(q_sig, query_id_col, "sig", bands, bits_per_band)
-    cand = (qb.join(cb, ["band_idx", "band_val"])
+    cand = (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
             .select(query_id_col, id_col).distinct())
 
-    scored = (cand
-              .join(q_sig.select(query_id_col, "q_emb"), query_id_col)
-              .join(c_sig.select(id_col, emb_col), id_col)
+    scored = (c_sig.select(id_col, emb_col)
+              .join(F.broadcast(cand), id_col)
+              .join(F.broadcast(q_sig.select(query_id_col, "q_emb")),
+                    query_id_col)
               .filter(F.col(id_col) != F.col(query_id_col))
               .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                       cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim")))
