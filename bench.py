@@ -56,8 +56,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
-    # warm up: JVM + parquet footer caches out of the timed path
+    # warm up: JVM + parquet footers + Python/Arrow workers out of the
+    # timed path (several queries use pandas_udf / mapInPandas)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from nvd2mysqlloader_spark.functions.text import shingle3_udf
+    spark.createDataFrame([("warm up the arrow workers",)], ["text"]) \
+        .select(shingle3_udf()("text")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

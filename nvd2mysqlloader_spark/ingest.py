@@ -80,16 +80,23 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str) -> dict:
     items = explode_items(read_feed(spark, paths))
 
     # modified/recent feeds overlap yearly ones by design — dedup the
-    # batch last-writer-wins on (lastModifiedDate, cve_id) before MERGE
+    # batch last-writer-wins on (lastModifiedDate, cve_id) before MERGE.
+    # published_year partitions the silver table: Catalyst partition
+    # pruning replaces the reference's `dates` index (:400)
     silver = last_writer_wins(
-        flatten_cve(items), ["cve_id"], ["last_modified_datetime"])
+        flatten_cve(items), ["cve_id"], ["last_modified_datetime"]
+    ).withColumn(
+        "published_year",
+        F.coalesce(F.substring("published_datetime", 1, 4).cast("int"),
+                   F.lit(0)))
     bronze = last_writer_wins(
         flatten_cve_bronze(items).join(
             silver.select("cve_id", "last_modified_datetime"), "cve_id"),
         ["cve_id"], ["last_modified_datetime"]).drop("last_modified_datetime")
 
     n_cves = silver.count()
-    write_upsert_parquet(silver_path, silver, ["cve_id"])
+    write_upsert_parquet(silver_path, silver, ["cve_id"],
+                         partition_by=["published_year"])
     write_upsert_parquet(bronze_path, bronze, ["cve_id"])
 
     # audit append — one row per ingested feed (ref :441-447)

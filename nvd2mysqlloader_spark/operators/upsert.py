@@ -52,12 +52,20 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
 
 
 def write_upsert_parquet(target_path: str, updates: DataFrame,
-                         keys: Sequence[str]) -> None:
+                         keys: Sequence[str],
+                         partition_by: Sequence[str] | None = None) -> None:
     """Apply ``merge_upsert`` against a parquet table on disk.
 
     One atomic overwrite per batch replaces the reference's per-row
     commits (nvd2mysqlloader.py:460-482). On a real deployment this is a
     Delta/Iceberg MERGE; the emulation keeps identical semantics.
+
+    ``partition_by`` lays the table out for partition pruning (the
+    silver warehouse partitions by published year — the replacement for
+    the reference's ``dates`` index, nvd2mysqlloader.py:400). With a
+    partitioned target, only partitions containing updated keys are
+    rewritten (the unmatched rest is unioned back untouched — at Delta/
+    Iceberg this becomes file-level skipping via dynamic pruning).
     """
     spark = updates.sparkSession
     try:
@@ -68,5 +76,8 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     # materialize before overwrite (read and write same path)
     merged.cache()
     merged.count()
-    merged.write.mode("overwrite").parquet(target_path)
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target_path)
     merged.unpersist()

@@ -1,0 +1,87 @@
+"""The external read-query surface (EP3, SURVEY §3).
+
+For the reference, "the MySQL database is the product" (README.md:37-39)
+— downstream readers query the ``nvd`` table through its indexes. Here
+the warehouse tables register as temp views and ``spark.sql`` is the
+product: the five promised query classes (tally, CPE search, date
+range, point lookup, severity filter) plus the normalized-CPE search
+the reference's unpopulated tables intended, as plain SQL.
+
+Every query prunes: the silver table is partitioned by
+``published_year`` so date ranges touch only matching partitions, and
+point lookups push ``cve_id`` equality to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.flatten import extract_cve2cpe
+
+
+def register_nvd_views(spark: SparkSession, warehouse: str) -> None:
+    """Expose the warehouse as SQL views: nvd, nvd_json,
+    update_history, cve2cpe (derived — the explode the reference never
+    ran, populating its aspirational normalized model)."""
+    silver = spark.read.parquet(f"{warehouse}/nvd")
+    silver.createOrReplaceTempView("nvd")
+    spark.read.parquet(f"{warehouse}/nvd_json") \
+        .createOrReplaceTempView("nvd_json")
+    spark.read.parquet(f"{warehouse}/update_history") \
+        .createOrReplaceTempView("update_history")
+    extract_cve2cpe(silver).createOrReplaceTempView("cve2cpe")
+
+
+def cve_tally(spark: SparkSession) -> DataFrame:
+    """The reference's only analytic query (nvd2mysqlloader.py:492-506)."""
+    return spark.sql("SELECT count(DISTINCT cve_id) AS n_cves FROM nvd")
+
+
+def cpe_search(spark: SparkSession, pattern: str) -> DataFrame:
+    """FULLTEXT-search parity (nvd2mysqlloader.py:401, docstring
+    :174-177: 'ask for a cpe or part of a cpe'): match vendor/product
+    or raw URI substring over the exploded cve2cpe view."""
+    return spark.sql("""
+        SELECT DISTINCT cve_id, cpe23Uri, vendor, product, version
+        FROM cve2cpe
+        WHERE vendor LIKE :p OR product LIKE :p OR cpe23Uri LIKE :p
+        ORDER BY cve_id, cpe23Uri
+    """, args={"p": f"%{pattern}%"})
+
+
+def cves_published_between(spark: SparkSession, start: str, end: str) -> DataFrame:
+    """Date-range scan — the `dates` index promise (:400); prunes to
+    the matching published_year partitions."""
+    return spark.sql("""
+        SELECT cve_id, published_datetime, score
+        FROM nvd
+        WHERE published_year BETWEEN CAST(substring(:s, 1, 4) AS INT)
+                                 AND CAST(substring(:e, 1, 4) AS INT)
+          AND published_datetime >= :s AND published_datetime < :e
+        ORDER BY published_datetime, cve_id
+    """, args={"s": start, "e": end})
+
+
+def cve_by_id(spark: SparkSession, cve_id: str) -> DataFrame:
+    """Point lookup — ix_cve parity (:402)."""
+    return spark.sql("SELECT * FROM nvd WHERE cve_id = :id",
+                     args={"id": cve_id})
+
+
+def cves_with_min_score(spark: SparkSession, min_score: float) -> DataFrame:
+    """Severity filter — `score >= x` (§3 EP3.5)."""
+    return spark.sql("""
+        SELECT cve_id, score, access_vector, summary
+        FROM nvd WHERE score >= :s ORDER BY score DESC, cve_id
+    """, args={"s": min_score})
+
+
+def latest_feed_state(spark: SparkSession) -> DataFrame:
+    """Top-1-per-key state lookup (nvd2mysqlloader.py:72) over the
+    audit table — max_by, partial-aggregating."""
+    return spark.sql("""
+        SELECT download_name,
+               max_by(lastModifiedDate, downloadedDate) AS lastModifiedDate,
+               max(downloadedDate) AS downloadedDate
+        FROM update_history GROUP BY download_name
+    """)

@@ -32,10 +32,16 @@ def stream_ingest_available_now(spark: SparkSession, landing: str,
             .json(f"{landing}/*.json"))
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
         silver = last_writer_wins(
             flatten_cve(explode_items(batch_df)),
-            ["cve_id"], ["last_modified_datetime"])
-        write_upsert_parquet(f"{warehouse}/nvd", silver, ["cve_id"])
+            ["cve_id"], ["last_modified_datetime"]
+        ).withColumn(       # same layout as the batch path (ingest.py)
+            "published_year",
+            F.coalesce(F.substring("published_datetime", 1, 4).cast("int"),
+                       F.lit(0)))
+        write_upsert_parquet(f"{warehouse}/nvd", silver, ["cve_id"],
+                             partition_by=["published_year"])
 
     q = (feed.writeStream
          .foreachBatch(upsert_batch)

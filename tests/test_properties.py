@@ -1,0 +1,73 @@
+"""Property-based checks (SURVEY §5.2.3): upsert idempotency,
+last-writer-wins correctness vs a Python model, aggregate
+order-insensitivity — hypothesis-generated inputs through the real
+Spark operators."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nvd2mysqlloader_spark.operators.upsert import (last_writer_wins,
+                                                    merge_upsert)
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 8),            # key
+              st.integers(0, 5),            # version (order col)
+              st.integers(-100, 100)),      # payload
+    min_size=1, max_size=25)
+
+SLOW = settings(max_examples=15, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow,
+                                       HealthCheck.function_scoped_fixture])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v", "x"])
+
+
+@given(rows=ROWS)
+@SLOW
+def test_last_writer_wins_matches_model(spark, rows):
+    got = {(r.k, r.v, r.x) for r in last_writer_wins(
+        _df(spark, rows), ["k"], [F.desc("v"), F.desc("x")]).collect()}
+    model = {}
+    for k, v, x in rows:                      # max by (v, x) per key
+        if k not in model or (v, x) > model[k]:
+            model[k] = (v, x)
+    want = {(k, v, x) for k, (v, x) in model.items()}
+    assert got == want
+
+
+@given(rows=ROWS, updates=ROWS)
+@SLOW
+def test_merge_upsert_properties(spark, rows, updates):
+    target = last_writer_wins(_df(spark, rows), ["k"],
+                              [F.desc("v"), F.desc("x")])
+    batch = last_writer_wins(_df(spark, updates), ["k"],
+                             [F.desc("v"), F.desc("x")])
+    merged = merge_upsert(target, batch, ["k"])
+    out = {r.k: (r.v, r.x) for r in merged.collect()}
+    t = {r.k: (r.v, r.x) for r in target.collect()}
+    b = {r.k: (r.v, r.x) for r in batch.collect()}
+    assert set(out) == set(t) | set(b)        # keys = union
+    for k, vx in b.items():
+        assert out[k] == vx                   # matched → update wins
+    for k, vx in t.items():
+        if k not in b:
+            assert out[k] == vx               # unmatched → kept
+    # idempotency: applying the same batch again changes nothing
+    again = {r.k: (r.v, r.x) for r in
+             merge_upsert(merged, batch, ["k"]).collect()}
+    assert again == out
+
+
+@given(rows=ROWS)
+@SLOW
+def test_decimal_sum_order_insensitive(spark, rows):
+    df = _df(spark, rows)
+    a = df.agg(F.sum(F.col("x").cast("decimal(18,2)")).cast("double")).first()[0]
+    b = (df.repartition(7).agg(
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double")).first()[0])
+    assert a == b
