@@ -80,6 +80,9 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                             F.concat_ws(",", F.slice(F.col("sig"),
                                                      b * r + 1, r)))))
         .alias("band_idx", "band_hash")))
+    banded = banded.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism,
+        "band_idx", "band_hash")     # ReuseExchange: one shuffle, one compute
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -161,6 +164,9 @@ def simhash_near_dups(df: DataFrame, id_col: str, tokens_col: Column,
             F.shiftright("fp", q * 16).bitwiseAND(F.lit(0xFFFF))
             for q in range(4)]))
         .alias("q_idx", "q_val")))
+    quarters = quarters.repartition(
+        quarters.sparkSession.sparkContext.defaultParallelism,
+        "q_idx", "q_val")            # ReuseExchange: one shuffle, one compute
     a, b = quarters.alias("a"), quarters.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (a.join(b, (F.col("a.q_idx") == F.col("b.q_idx"))

@@ -208,11 +208,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition first: shingling is CPU-heavy and a small parquet
     # arrives as one split — spread it across all cores before the
     # expensive projection (vectorized Arrow shingler, see shingle3_udf)
+    # the explicit repartition on the join key makes both self-join
+    # sides the same exchange → ReuseExchange computes the shingle
+    # pipeline once and the join consumes one co-partitioned shuffle
+    # (measured 6-9s → 2.5s at sf0.1)
     ex = (docs
           .repartition(spark.sparkContext.defaultParallelism)
           .select("doc_id", shingle3_udf()("text").alias("s"))
           .select("doc_id", F.size("s").alias("nsh"),
-                  F.explode("s").alias("shingle")))
+                  F.explode("s").alias("shingle"))
+          .repartition(spark.sparkContext.defaultParallelism, "shingle"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
