@@ -94,9 +94,15 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str) -> dict:
             silver.select("cve_id", "last_modified_datetime"), "cve_id"),
         ["cve_id"], ["last_modified_datetime"]).drop("last_modified_datetime")
 
-    n_cves = silver.count()
+    # batch row count observed on the write pass itself — no separate
+    # count() action re-running the whole flatten (ref's cvecount loop,
+    # :448-453, for free)
+    from pyspark.sql import Observation
+    obs = Observation("ingest_metrics")
+    silver = silver.observe(obs, F.count(F.lit(1)).alias("n_cves"))
     write_upsert_parquet(silver_path, silver, ["cve_id"],
                          partition_by=["published_year"])
+    n_cves = obs.get["n_cves"]
     write_upsert_parquet(bronze_path, bronze, ["cve_id"])
 
     # audit append — one row per ingested feed (ref :441-447)
