@@ -41,6 +41,57 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT e.event_id, e.event_type, e.value,
+             time_bucket(INTERVAL '15 minutes', e.ts)
+               - k.k * INTERVAL '15 minutes' AS window_start
+      FROM events e, (SELECT unnest(generate_series(0, 3)) AS k) k
+      WHERE time_bucket(INTERVAL '15 minutes', e.ts)
+              - k.k * INTERVAL '15 minutes' > e.ts - INTERVAL '1 hour'
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM starts GROUP BY 1, 2
+    """,
+    doc="sliding event-time window (1h length, 15min slide): each event lands in 4 windows — F.window(slide) in Spark, explicit window-start expansion as the oracle (§2 #49)",
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS lo,
+           CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hi
+    FROM events GROUP BY 1
+    """,
+    doc="fixed-width histogram over event values (width_bucket analog) — single pass, partial-aggregating",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.floor(F.col("value") / 25.0).cast("bigint")
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.col("value").cast("decimal(18,4)")).cast("double")
+                 .alias("lo"),
+                 F.max(F.col("value").cast("decimal(18,4)")).cast("double")
+                 .alias("hi")))
+
+
+@query(
     "sessionization",
     oracle="""
     WITH flagged AS (
