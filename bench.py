@@ -108,7 +108,11 @@ def bench_ingest(spark, n: int = 20000) -> float:
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
         landing = f"{tmp}/landing"
-        synth_cve_feed(landing, n)
+        # shard across yearly files like the real feed corpus: multiLine
+        # JSON cannot split within a file, so files are the parallel unit
+        shards = 8
+        for k in range(shards):
+            synth_cve_feed(landing, n // shards, year=2017 + k)
         t0 = time.perf_counter()
         stats = run_ingest(spark, landing, f"{tmp}/wh")
         dt = time.perf_counter() - t0

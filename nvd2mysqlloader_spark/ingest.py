@@ -31,7 +31,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.flatten import flatten_cve, flatten_cve_bronze
+from .operators.flatten import flatten_cve
 from .operators.upsert import last_writer_wins, write_upsert_parquet
 from .schemas import UPDATE_HISTORY_SCHEMA
 from .sources.cve_feed import explode_items, read_feed
@@ -77,7 +77,9 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str) -> dict:
                 "tally_after": before, "added": 0}
 
     paths = [f"{landing}/{n}.json" for n in names]
-    items = explode_items(read_feed(spark, paths))
+    # cache the exploded items: silver and bronze both consume them, and
+    # multiLine JSON parsing is the most expensive stage of the batch
+    items = explode_items(read_feed(spark, paths)).cache()
 
     # modified/recent feeds overlap yearly ones by design — dedup the
     # batch last-writer-wins on (lastModifiedDate, cve_id) before MERGE.
@@ -89,10 +91,14 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str) -> dict:
         "published_year",
         F.coalesce(F.substring("published_datetime", 1, 4).cast("int"),
                    F.lit(0)))
-    bronze = last_writer_wins(
-        flatten_cve_bronze(items).join(
-            silver.select("cve_id", "last_modified_datetime"), "cve_id"),
-        ["cve_id"], ["last_modified_datetime"]).drop("last_modified_datetime")
+    # bronze dedups independently on the raw record's own
+    # lastModifiedDate — joining back to silver would recompute the
+    # whole flatten pipeline a second time
+    bronze_src = items.select(
+        F.col("cve.cve.CVE_data_meta.ID").alias("cve_id"),
+        F.to_json(F.col("cve")).alias("cve_item"),
+        F.col("cve.lastModifiedDate").alias("__lmd"))
+    bronze = last_writer_wins(bronze_src, ["cve_id"], ["__lmd"]).drop("__lmd")
 
     # batch row count observed on the write pass itself — no separate
     # count() action re-running the whole flatten (ref's cvecount loop,
@@ -112,6 +118,7 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str) -> dict:
              .select(*[f.name for f in UPDATE_HISTORY_SCHEMA.fields]))
     audit.write.mode("append").parquet(f"{warehouse}/update_history")
     fresh.unpersist()
+    items.unpersist()
 
     after = tally(silver_path)
     return {"feeds": len(names), "cves": n_cves, "tally_before": before,

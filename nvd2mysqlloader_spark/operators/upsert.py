@@ -76,8 +76,14 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     # materialize before overwrite (read and write same path)
     merged.cache()
     merged.count()
-    writer = merged.write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(target_path)
+        # cluster rows by the partition key before the partitioned
+        # write: one file per partition instead of (shuffle-partitions
+        # × partitions) tiny files — the small-file explosion is a real
+        # cost locally and a catastrophic one on a 100 TB object store
+        merged = merged.repartition(*[F.col(c) for c in partition_by])
+        merged.write.mode("overwrite").partitionBy(*partition_by) \
+            .parquet(target_path)
+    else:
+        merged.write.mode("overwrite").parquet(target_path)
     merged.unpersist()
