@@ -92,6 +92,13 @@ def flatten_cve(items: DataFrame, cve: str = "cve") -> DataFrame:
                         lambda x: x["url"]),
             F.expr("array()").cast("array<string>")).alias("urls"),               # :238-244
         cpe_uris(c).alias("vulnerable_software_list"),                            # :226-232
+        # CVSS v3 extension — present in NVD 1.1 feeds but unread by the
+        # reference (nvd.sql:34-38 documents the v2-only gap; SURVEY §1.4
+        # directs carrying v3): nullable, no defaults — absence is data
+        F.col(f"{c}.impact.baseMetricV3.cvssV3.baseScore")
+        .cast("decimal(3,1)").alias("score_v3"),
+        F.col(f"{c}.impact.baseMetricV3.cvssV3.baseSeverity").alias("severity_v3"),
+        F.col(f"{c}.impact.baseMetricV3.cvssV3.scope").alias("scope_v3"),
     )
 
 

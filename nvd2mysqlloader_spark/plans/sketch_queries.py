@@ -65,3 +65,13 @@ def approx_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_keys"),
         F.count_distinct("o_custkey").alias("exact_keys"))
+
+
+@query(
+    "minhash_near_dup_exact",
+    oracle=None,
+    doc="production near-dup shape: LSH candidates + exact Jaccard verify on candidates only (O(candidates), matches the all-pairs oracle query on every surviving pair)",
+)
+def minhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_dups_exact
+    return minhash_near_dups_exact(_shingled(spark, sf_dir), threshold=0.5)

@@ -119,6 +119,10 @@ NVD_SILVER_SCHEMA = T.StructType([
     T.StructField("published_datetime", T.StringType()),
     T.StructField("urls", T.ArrayType(T.StringType())),
     T.StructField("vulnerable_software_list", T.ArrayType(T.StringType())),
+    # CVSS v3 extension columns (SURVEY §1.4; unread by the reference)
+    T.StructField("score_v3", T.DecimalType(3, 1)),
+    T.StructField("severity_v3", T.StringType()),
+    T.StructField("scope_v3", T.StringType()),
 ])
 
 # bronze raw-copy table (nvd2mysqlloader.py:305-312)

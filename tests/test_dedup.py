@@ -95,3 +95,16 @@ def test_approx_tally_close(spark):
     # rsd=0.02 → 3σ bound 6%
     r = QUERIES["approx_tally"].fn(spark, SF_ORACLE).first()
     assert abs(r.approx_keys - r.exact_keys) <= max(1, 0.06 * r.exact_keys)
+
+
+def test_minhash_exact_verify_matches_allpairs(spark, shingled, exact_pairs):
+    from nvd2mysqlloader_spark.operators.dedup import minhash_near_dups_exact
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_near_dups_exact(shingled, threshold=0.5).collect()}
+    # every verified candidate's jaccard equals the all-pairs truth
+    for pair, jac in got.items():
+        assert pair in exact_pairs
+        assert abs(jac - exact_pairs[pair]) < 1e-12
+    # and the strong pairs are recalled
+    high = {p for p, j in exact_pairs.items() if j >= 0.8}
+    assert len(high & set(got)) / len(high) >= 0.8

@@ -135,3 +135,12 @@ def test_meta_parse(spark):
     assert r.sha256.startswith("64310FE")
     assert (r.size, r.zipSize, r.gzSize) == (32169411, 1840270, 1840126)
     assert r.lastModifiedDate == "2024-06-01T03:00:00-04:00"
+
+
+def test_cvss_v3_extension(silver):
+    # SURVEY §1.4: v3 fields carried (nullable, no fake defaults)
+    r = row(silver, "CVE-2024-0001")
+    assert float(r.score_v3) == 9.8 and r.severity_v3 == "CRITICAL"
+    assert r.scope_v3 == "UNCHANGED"
+    r2 = row(silver, "CVE-2024-0002")           # no impact at all
+    assert r2.score_v3 is None and r2.severity_v3 is None
