@@ -139,10 +139,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # steady-state: best of 2 full executions (codegen/JIT warm on
+        # the second; plan is rebuilt each time, nothing is cached)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = q.fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # the reference's own workload: 20k-CVE feed → flatten → upsert
