@@ -29,7 +29,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session) and convert to a microsecond timestamp — floor(ns/1000)
     truncation, identical to how DuckDB narrows TIMESTAMP_NS.
     """
+    # pin determinism-relevant confs at call time: the caller's session
+    # (driver harness, notebook) may not have been built by session.py
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer div — ns epochs exceed 2^53, double division drifts 1µs
