@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator — ``applyInPandasWithState``.
+
+The remaining Structured-Streaming API family the engine exposes:
+arbitrary per-key state beyond what windows/dedup cover. Demonstrated
+operator: per-user running counters + exponentially-weighted mean of
+event values, emitting one row per micro-batch per active key with the
+state carried across batches.
+
+At 100 TB the state store shards by key across executors; the timeout
+(``ProcessingTimeTimeout``) bounds state for keys that go quiet —
+the same state-hygiene principle as watermarks on windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),      # lifetime count
+    T.StructField("batch_events", T.LongType()),  # this micro-batch
+    T.StructField("ewm_value", T.DoubleType()),   # running EW mean
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("ewm", T.DoubleType()),
+])
+
+_ALPHA = 0.1
+# module-level switch: ProcessingTimeTimeout keeps re-triggering batches
+# under Trigger.AvailableNow (the drain never terminates), so bounded
+# drains run with NoTimeout and long-lived streams opt into expiry
+_TIMEOUT_MS = [0]
+
+
+def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, ewm = state.get if state.exists else (0, None)
+    batch_n = 0
+    for pdf in pdfs:
+        # deterministic state evolution: fold in event order
+        for v in pdf.sort_values(["ts", "event_id"])["value"]:
+            ewm = float(v) if ewm is None else (1 - _ALPHA) * ewm + _ALPHA * float(v)
+            n += 1
+            batch_n += 1
+    state.update((n, ewm))
+    if _TIMEOUT_MS[0]:
+        state.setTimeoutDuration(_TIMEOUT_MS[0])  # quiet keys expire
+    yield pd.DataFrame([{"user_id": user_id, "n_events": n,
+                         "batch_events": batch_n, "ewm_value": ewm}])
+
+
+def stream_user_running_stats(events: DataFrame,
+                              state_timeout_ms: int = 0) -> DataFrame:
+    """events stream → one (user_id, lifetime count, batch count, EW
+    mean) row per user per micro-batch, state carried across batches.
+
+    ``state_timeout_ms`` > 0 expires quiet keys (long-lived streams);
+    0 = NoTimeout, required for bounded ``Trigger.AvailableNow`` drains
+    — a processing-time timer re-triggers batches forever there.
+    """
+    _TIMEOUT_MS[0] = state_timeout_ms
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_timeout_ms > 0 else GroupStateTimeout.NoTimeout)
+    return (events
+            .select("user_id", "ts", "event_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=timeout))

@@ -8,7 +8,6 @@ from __future__ import annotations
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 from nvd2mysqlloader_spark.ingest import run_ingest
 from nvd2mysqlloader_spark.query_layer import (cpe_search, cve_by_id,

@@ -4,7 +4,6 @@ plan, not just claimed)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from nvd2mysqlloader_spark.operators.scale import (bucketed_join,

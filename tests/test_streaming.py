@@ -27,7 +27,8 @@ def events_parquet(spark, tmp_path_factory):
     nanos→micros conversion applied once)."""
     from nvd2mysqlloader_spark.sources.tpch import load_table
     path = str(tmp_path_factory.mktemp("stream") / "events")
-    load_table(spark, SF_ORACLE, "events").write.parquet(path)
+    # 4 files → maxFilesPerTrigger=1 yields real multi-batch streams
+    load_table(spark, SF_ORACLE, "events").repartition(4).write.parquet(path)
     return path
 
 
@@ -102,3 +103,29 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     assert nvd.count() == 6
     r = nvd.filter(F.col("cve_id") == "CVE-2024-0002").first()
     assert float(r.score) == 5.0         # late update won through the stream
+
+
+def test_stateful_running_stats(spark, events_parquet, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches and
+    the final lifetime counts equal the batch ground truth."""
+    from nvd2mysqlloader_spark.streaming.stateful import (
+        stream_user_running_stats)
+    schema = spark.read.parquet(events_parquet).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)      # force multiple batches
+              .parquet(events_parquet))
+    out = _run_stream(spark, stream_user_running_stats(stream),
+                      "stateful_out", mode="append")
+    rows = out.collect()
+    assert rows, "stateful stream produced no output"
+    # last emission per user carries the lifetime count
+    last = {}
+    for r in rows:                                  # emissions accumulate
+        last[r.user_id] = max(last.get(r.user_id, 0), r.n_events)
+    truth = {r.user_id: r.cnt for r in
+             spark.read.parquet(events_parquet)
+             .groupBy("user_id").count().withColumnRenamed("count", "cnt")
+             .collect()}
+    assert last == truth
+    for r in rows:
+        assert r.ewm_value is not None and r.batch_events >= 1
