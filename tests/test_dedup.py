@@ -108,3 +108,21 @@ def test_minhash_exact_verify_matches_allpairs(spark, shingled, exact_pairs):
     # and the strong pairs are recalled
     high = {p for p, j in exact_pairs.items() if j >= 0.8}
     assert len(high & set(got)) / len(high) >= 0.8
+
+
+def test_ivf_recall_beats_scan_fraction(spark):
+    from nvd2mysqlloader_spark.operators.similarity import ivf_topk
+    exact = QUERIES["cosine_topk"].fn(spark, SF_ORACLE).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = {}
+    for r in ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    # scans nprobe/nlist = 25% of the corpus; must beat that meaningfully
+    assert avg >= 0.45, f"IVF recall {avg:.2f} ({recalls})"
