@@ -8,7 +8,12 @@ correctness gate at sf0.01.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# robust under file-spec imports (driver may not have the repo on sys.path)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

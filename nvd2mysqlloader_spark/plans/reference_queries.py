@@ -425,3 +425,113 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(k).alias("sum_k")))
+
+
+# ---------------------------------------------------------------------------
+# Classic analytic shapes (TPC-H-style) — exercising the same operator
+# families at higher plan complexity: multi-join + filter + agg + top-k
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H-Q3 shape: selective dim filters pushed through a 3-way join, grouped revenue, global top-10 (TakeOrderedAndProject, no full sort)",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (li.filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+            .join(F.broadcast(
+                orders.filter(F.col("o_orderdate")
+                              < F.lit("1997-01-01").cast("timestamp"))),
+                li.l_orderkey == F.col("o_orderkey"))
+            .join(F.broadcast(
+                cust.filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double")
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                     F.asc("l_orderkey"))
+            .limit(10))
+
+
+@query(
+    "shipmode_priority_classes",
+    oracle="""
+    SELECT l.l_returnflag AS shipclass,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H-Q12 shape: conditional aggregation (CASE-sum) over a filtered fact-dim join",
+)
+def shipmode_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+            .join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+                  li.l_orderkey == F.col("o_orderkey"))
+            .groupBy(F.col("l_returnflag").alias("shipclass"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                 ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS total_revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H-Q14 shape: conditional share of a measure over a broadcast dim join, single global aggregate",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)")))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(38,6)"))
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+            .join(F.broadcast(part.select("p_partkey", "p_type")),
+                  li.l_partkey == F.col("p_partkey"))
+            .agg(F.sum(promo).cast("double").alias("promo_revenue"),
+                 F.sum(rev).cast("double").alias("total_revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
