@@ -48,7 +48,11 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_near_dup",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "multimodal_inventory",
+    "shipping_priority",
+    "shipmode_priority_classes",
+    "promo_revenue_share",
 ]
 
 

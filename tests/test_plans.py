@@ -1,0 +1,62 @@
+"""Physical-plan regression tests — the PLANS.md guarantees pinned by
+assertion: filters/columns reach the scans, dims broadcast, no
+sort-merge joins where broadcast is intended, partial aggregation
+present. A perf regression that changes these shapes fails loudly."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from nvd2mysqlloader_spark.plans import QUERIES
+
+from .conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_ORACLE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    p = plan_of(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p          # predicate at the scan
+    # column pruning: untouched wide columns never read
+    assert "l_comment" not in p and "l_tax" not in p
+    assert "HashAggregate" in p                       # partial + final agg
+
+
+def test_star_join_all_broadcast(spark):
+    p = plan_of(spark, "star_join_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p                   # fact never shuffled
+
+
+def test_date_range_pushdown(spark):
+    p = plan_of(spark, "date_range")
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "LessThan(o_orderdate" in p
+
+
+def test_top1_partial_aggregates(spark):
+    # max_by aggregates (ObjectHashAggregate) — not a full window sort
+    p = plan_of(spark, "top1_per_key")
+    assert "ObjectHashAggregate" in p or "SortAggregate" in p
+    assert "Window" not in p
+
+
+def test_shipping_priority_topk_not_full_sort(spark):
+    p = plan_of(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in p               # top-10, no global sort
+
+
+def test_ann_corpus_not_shuffled(spark):
+    # the corpus side reaches the scoring join without an Exchange
+    # introduced by the candidate join (broadcast on the small sides)
+    p = plan_of(spark, "ann_topk_lsh")
+    assert p.count("BroadcastExchange") >= 2
