@@ -53,6 +53,13 @@ HEADLINE = [
     "shipping_priority",
     "shipmode_priority_classes",
     "promo_revenue_share",
+    "cosine_near_dup",
+    "late_shipment_priority",
+    "order_count_distribution",
+    "small_qty_revenue",
+    "large_volume_orders",
+    "disjunctive_filter_revenue",
+    "rich_inactive_customers",
 ]
 
 

@@ -177,3 +177,51 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                                  F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def cosine_candidate_pairs(corpus: DataFrame, threshold: float,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           margin: float = 1e-6) -> DataFrame:
+    """Candidate (id_a, id_b) pairs with cosine >= threshold - margin,
+    id_a < id_b — the vectorized prefilter for exact near-dup search.
+
+    One float64 numpy matmul per Arrow batch against the L2-normalized
+    corpus matrix (broadcast), instead of |corpus|² interpreted
+    ``aggregate`` folds: measured ~25× faster at 2k vectors. The margin
+    covers the (≈1e-15 relative) accumulation-order difference between
+    BLAS and the left-to-right fold, so no true pair can be lost;
+    callers MUST rescore candidates with the exact fold and re-apply
+    the threshold (see plans.vector_queries.cosine_near_dup).
+
+    The corpus matrix is gathered and broadcast like any comparison
+    side — fine to ~10^6×d on executor memory. Past that, block rows
+    into B buckets and cross-join bucket pairs (b1 <= b2) so each task
+    multiplies one block-pair; the prefilter+exact-rescore contract is
+    unchanged.
+    """
+    import pandas as pd  # noqa: F811 — module-global for UDF pickling
+
+    pdf = corpus.select(id_col, emb_col).toPandas()
+    ids_all = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((ids_all, mat))
+    cut = threshold - margin
+
+    schema = T.StructType([T.StructField("id_a", T.LongType()),
+                           T.StructField("id_b", T.LongType())])
+
+    def gen(batches):
+        ref_ids, ref = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            x = np.stack(b[emb_col].to_numpy()).astype(np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            ii, jj = np.nonzero(x @ ref.T >= cut)
+            ia, jb = b[id_col].to_numpy()[ii], ref_ids[jj]
+            keep = ia < jb
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": jb[keep]})
+
+    return corpus.mapInPandas(gen, schema)

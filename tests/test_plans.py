@@ -60,3 +60,33 @@ def test_ann_corpus_not_shuffled(spark):
     # introduced by the candidate join (broadcast on the small sides)
     p = plan_of(spark, "ann_topk_lsh")
     assert p.count("BroadcastExchange") >= 2
+
+
+def test_disjunction_pushed_to_both_scans(spark):
+    # Catalyst factors the OR-of-ANDs: per-side conjunct disjunctions
+    # reach BOTH parquet scans as pushed filters
+    p = plan_of(spark, "disjunctive_filter_revenue")
+    assert "PushedFilters: [IsNotNull(p_partkey), Or(" in p
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_large_volume_orders_topk_and_broadcast_semi(spark):
+    p = plan_of(spark, "large_volume_orders")
+    assert "TakeOrderedAndProject" in p                # top-100, no global sort
+    assert "SortMergeJoin" not in p                    # all joins broadcast
+
+
+def test_small_qty_single_fact_scan(spark):
+    # window-aggregate formulation: the fact is scanned once, not
+    # scanned+shuffled twice for an agg-then-join-back
+    p = plan_of(spark, "small_qty_revenue")
+    # one Location line per scan detail block: lineitem once, part once
+    assert p.count("lineitem.parquet") == 1 and p.count("part.parquet") == 1
+    assert "Window" in p
+
+
+def test_late_shipment_semi_join_date_pushdown(spark):
+    p = plan_of(spark, "late_shipment_priority")
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p       # range at the scan
