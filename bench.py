@@ -60,6 +60,8 @@ HEADLINE = [
     "large_volume_orders",
     "disjunctive_filter_revenue",
     "rich_inactive_customers",
+    "bpe_token_stats",
+    "winnow_fingerprint_pairs",
 ]
 
 
