@@ -62,6 +62,7 @@ HEADLINE = [
     "rich_inactive_customers",
     "bpe_token_stats",
     "winnow_fingerprint_pairs",
+    "error_window_event_rollup",
 ]
 
 

@@ -129,3 +129,40 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
                  dsum("value", 4).alias("sum_value")))
+
+
+@query(
+    "error_window_event_rollup",
+    oracle="""
+    SELECT i.event_id AS anchor_id, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') i
+    JOIN events e
+      ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 2 HOUR
+    GROUP BY i.event_id
+    """,
+    doc=(
+        "range (interval) join: all events inside the 2-hour window "
+        "after each error event, rolled up per anchor. The naive "
+        "non-equi form is a BroadcastNestedLoopJoin (quadratic); "
+        "operators.rangejoin.bucketed_interval_join restructures it "
+        "into a 2h-bucket hash equi-join + exact residual (each window "
+        "spans exactly 2 buckets, each event one), so at 100 TB it "
+        "shuffles and AQE-balances like any equi-join instead of "
+        "looping."
+    ),
+)
+def error_window_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import bucketed_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select("ts", "value")
+    anchors = (ev.filter(F.col("event_type") == "error")
+               .select(F.col("event_id").alias("anchor_id"),
+                       F.col("ts").alias("lo"),
+                       (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("hi")))
+    joined = bucketed_interval_join(points, anchors, "ts", "lo", "hi",
+                                    bucket_seconds=7200)
+    return (joined.groupBy("anchor_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", 4).alias("sum_value")))
