@@ -1,0 +1,47 @@
+"""Stream-stream joins — the watermark-bounded interval join.
+
+The reference's closest shape is its row-at-a-time "look up what we
+already stored" probe (nvd2mysqlloader.py:456-467); in Structured
+Streaming the equivalent correlation of two live streams needs BOTH
+sides watermarked and a time-range join condition, which is what lets
+the engine expire per-key state: a click older than
+``error_ts - bound - watermark`` can never match a future error, so
+its state is dropped.
+
+At 100 TB/day the state store only ever holds ``watermark + bound``
+worth of each stream per key — the join condition, not the data
+volume, bounds memory. The same function applied to batch DataFrames
+produces the identical result (withWatermark is a no-op in batch);
+tests assert stream output == batch output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_error_click_interval_join(events: DataFrame,
+                                     bound: str = "1 hour",
+                                     watermark: str = "2 hours") -> DataFrame:
+    """Each error event joined to the same user's clicks in the
+    ``bound`` interval before it (inclusive) — inner join, append-mode
+    capable. ``events`` may be streaming or batch."""
+    errors = (events.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      "user_id",
+                      F.col("ts").alias("error_ts"))
+              .withWatermark("error_ts", watermark))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    cond = F.expr(f"""
+        user_id = click_user_id
+        AND click_ts >= error_ts - INTERVAL {bound}
+        AND click_ts <= error_ts
+    """)
+    return (errors.join(clicks, cond, "inner")
+            .select("error_id", "user_id", "error_ts",
+                    "click_id", "click_ts"))

@@ -129,3 +129,27 @@ def test_stateful_running_stats(spark, events_parquet, tmp_path):
     assert last == truth
     for r in rows:
         assert r.ewm_value is not None and r.batch_events >= 1
+
+
+def test_stream_interval_join_equals_batch(spark, events_parquet):
+    from nvd2mysqlloader_spark.streaming.joins import (
+        stream_error_click_interval_join)
+
+    batch = spark.read.parquet(events_parquet)
+    want = {tuple(r) for r in
+            stream_error_click_interval_join(batch).collect()}
+    assert want, "fixture must produce at least one error-click match"
+
+    # the fixture files are NOT time-ordered, so across micro-batches a
+    # tight watermark would legitimately drop late rows — widen it past
+    # the fixture's whole span to make stream == batch exact
+    schema = batch.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(events_parquet))
+    got_df = _run_stream(
+        spark,
+        stream_error_click_interval_join(stream, watermark="720 hours"),
+        "interval_join_sink", mode="append")
+    got = [tuple(r) for r in got_df.collect()]
+    assert len(got) == len(set(got))          # appended exactly once
+    assert set(got) == want
