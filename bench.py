@@ -63,6 +63,13 @@ HEADLINE = [
     "bpe_token_stats",
     "winnow_fingerprint_pairs",
     "error_window_event_rollup",
+    "local_supplier_volume",
+    "cross_nation_volume",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_revenue",
+    "top_supplier_revenue",
+    "lone_late_supplier",
 ]
 
 

@@ -90,3 +90,46 @@ def test_late_shipment_semi_join_date_pushdown(spark):
     p = plan_of(spark, "late_shipment_priority")
     assert "LeftSemi" in p
     assert "GreaterThanOrEqual(o_orderdate" in p       # range at the scan
+
+
+def test_local_supplier_volume_snowflake_broadcast(spark):
+    # Q5 shape: region filter reaches the region scan; every dim join
+    # is broadcast — the fact only ever shuffles on its join keys
+    p = plan_of(spark, "local_supplier_volume")
+    assert "EqualTo(r_name,ASIA)" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_lone_late_supplier_single_fact_scan(spark):
+    # Q21 shape: EXISTS + NOT-EXISTS collapsed into one per-order
+    # aggregation — lineitem is scanned ONCE (the literal SQL plan
+    # scans it three times), and the top-10 is a heap, not a sort
+    p = plan_of(spark, "lone_late_supplier")
+    assert p.count("lineitem.parquet") == 1
+    assert "EqualTo(o_orderstatus,F)" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_returned_item_revenue_topk_pushdown(spark):
+    p = plan_of(spark, "returned_item_revenue")
+    assert "EqualTo(l_returnflag,R)" in p             # flag filter at the scan
+    assert "GreaterThanOrEqual(o_orderdate" in p      # quarter at the scan
+    assert "TakeOrderedAndProject" in p               # top-20, no global sort
+
+
+def test_top_supplier_revenue_agg_reuse(spark):
+    # the per-supplier revenue aggregate feeds both the scalar max and
+    # the equality filter; its shuffle must be computed once. AQE
+    # dedupes the exchanges at RUNTIME (identical canonicalized stage —
+    # this is why the supplier join forks BEFORE the max), so execute
+    # first and assert on the final adaptive plan.
+    df = QUERIES["top_supplier_revenue"].fn(spark, SF_ORACLE)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    # 3 scan nodes: the fact ONCE, plus the tiny supplier dim twice —
+    # the initial (pre-AQE) plan has 4, with the fact scanned twice
+    assert final.count("Scan parquet") == 3
