@@ -70,6 +70,10 @@ HEADLINE = [
     "returned_item_revenue",
     "top_supplier_revenue",
     "lone_late_supplier",
+    "min_cost_supplier",
+    "important_part_stock",
+    "supplier_cnt_by_part",
+    "dominant_part_suppliers",
 ]
 
 

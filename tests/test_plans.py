@@ -133,3 +133,45 @@ def test_top_supplier_revenue_agg_reuse(spark):
     # 3 scan nodes: the fact ONCE, plus the tiny supplier dim twice —
     # the initial (pre-AQE) plan has 4, with the fact scanned twice
     assert final.count("Scan parquet") == 3
+
+
+def test_min_cost_supplier_min_joinback_single_fact_scan(spark):
+    # Q2 shape: the correlated MIN decorrelates to agg + equality
+    # join-back — the fact is scanned once (the literal SQL scans it
+    # twice), the EUROPE and STANDARD filters broadcast
+    p = plan_of(spark, "min_cost_supplier")
+    assert p.count("lineitem.parquet") == 1
+    assert "EqualTo(r_name,EUROPE)" in p
+    assert "EqualTo(p_type,STANDARD)" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_important_part_stock_agg_reuse(spark):
+    # Q11 shape: the grouped aggregate feeds both the global total and
+    # the fraction filter; AQE dedupes the identical exchanges at
+    # runtime, so execute first and assert on the final adaptive plan
+    df = QUERIES["important_part_stock"].fn(spark, SF_ORACLE)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("Scan parquet") == 3   # fact once + 2 tiny dims
+
+
+def test_supplier_cnt_by_part_anti_join_broadcast(spark):
+    p = plan_of(spark, "supplier_cnt_by_part")
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "GreaterThanOrEqual(p_size,25)" in p       # size filter at the scan
+    assert "LessThan(s_acctbal" in p                  # exclusion at the scan
+
+
+def test_dominant_part_suppliers_semi_join_no_refact(spark):
+    # Q20 shape: both aggregation levels come from ONE fact scan; the
+    # supplier probe is a semi join on the distinct dominant keys
+    p = plan_of(spark, "dominant_part_suppliers")
+    assert p.count("lineitem.parquet") == 1
+    assert "LeftSemi" in p
+    assert "EqualTo(p_type,PROMO)" in p
