@@ -74,6 +74,9 @@ HEADLINE = [
     "important_part_stock",
     "supplier_cnt_by_part",
     "dominant_part_suppliers",
+    "deterministic_sample",
+    "stratified_sample_mix",
+    "event_transitions",
 ]
 
 

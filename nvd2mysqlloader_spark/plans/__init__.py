@@ -11,3 +11,4 @@ from . import sql_surface_queries # noqa: F401,E402
 from . import analytic_queries   # noqa: F401,E402
 from . import multiway_queries   # noqa: F401,E402
 from . import correlated_queries # noqa: F401,E402
+from . import sampling_queries   # noqa: F401,E402

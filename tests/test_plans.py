@@ -175,3 +175,26 @@ def test_dominant_part_suppliers_semi_join_no_refact(spark):
     assert p.count("lineitem.parquet") == 1
     assert "LeftSemi" in p
     assert "EqualTo(p_type,PROMO)" in p
+
+
+def test_deterministic_sample_filter_before_only_shuffle(spark):
+    # the hash-sample predicate is a stateless row filter evaluated at
+    # the scan stage; the per-lang rollup is the ONLY exchange
+    p = plan_of(spark, "deterministic_sample")
+    assert p.count("hashpartitioning(") == 1
+    assert "md5" in p and "Filter" in p
+
+
+def test_stratified_sample_rate_table_broadcast(spark):
+    p = plan_of(spark, "stratified_sample_mix")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_event_transitions_single_fact_shuffle(spark):
+    # window shuffles on user_id; the bigram rollup partial-aggregates
+    # before its pair-key exchange — 2 hash exchanges total, 1 scan
+    p = plan_of(spark, "event_transitions")
+    assert p.count("events.parquet") == 1
+    assert p.count("hashpartitioning(") == 2
+    assert "WindowExec" in p or "Window" in p
