@@ -77,6 +77,10 @@ HEADLINE = [
     "deterministic_sample",
     "stratified_sample_mix",
     "event_transitions",
+    "forecast_revenue_change",
+    "chunk_documents",
+    "quality_band_filter",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -12,3 +12,4 @@ from . import analytic_queries   # noqa: F401,E402
 from . import multiway_queries   # noqa: F401,E402
 from . import correlated_queries # noqa: F401,E402
 from . import sampling_queries   # noqa: F401,E402
+from . import chunking_queries   # noqa: F401,E402

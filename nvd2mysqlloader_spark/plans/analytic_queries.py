@@ -251,3 +251,40 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  dsum("c_acctbal").alias("total_bal")))
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 shape (completes the 22-query analog set): pure "
+        "scan-aggregate whose entire selectivity lives in three "
+        "conjunctive range predicates — all pushed to the parquet "
+        "reader (PushedFilters + row-group stats pruning), so at 100 TB "
+        "the query reads only row groups overlapping one ship-year. No "
+        "join, no hash exchange: partial sums feed a single-partition "
+        "final aggregate. Revenue accumulates in DECIMAL, one final "
+        "DOUBLE cast."
+    ),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                & F.col("l_discount").between(0.05, 0.07)
+                & (F.col("l_quantity") < 24))
+            .agg(F.sum(price * disc).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))

@@ -198,3 +198,30 @@ def test_event_transitions_single_fact_shuffle(spark):
     assert p.count("events.parquet") == 1
     assert p.count("hashpartitioning(") == 2
     assert "WindowExec" in p or "Window" in p
+
+
+def test_forecast_revenue_change_scan_only(spark):
+    # TPC-H Q6 shape: all three range predicates pushed to the parquet
+    # reader; scalar aggregate -> NO hash exchange at all
+    p = plan_of(spark, "forecast_revenue_change")
+    assert p.count("hashpartitioning(") == 0
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+    assert "GreaterThanOrEqual(l_discount" in p
+
+
+def test_chunk_documents_generate_before_rollup(spark):
+    # chunker explodes at the scan stage (Generate), n_chars>0 pushed;
+    # count-distinct rollup = expand + 2 exchanges, nothing else
+    p = plan_of(spark, "chunk_documents")
+    assert "Generate" in p
+    assert "GreaterThan(n_chars,0)" in p
+    assert p.count("hashpartitioning(") == 2
+
+
+def test_quality_band_filter_broadcast_band(spark):
+    # 5-row (p25,p75) band table broadcasts back onto the fact: the
+    # corpus shuffles only for the ranking window + final rollup
+    p = plan_of(spark, "quality_band_filter")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert p.count("hashpartitioning(") == 2
