@@ -81,6 +81,10 @@ HEADLINE = [
     "chunk_documents",
     "quality_band_filter",
     "dedup_cluster_sizes",
+    "group_sample_topk",
+    "sequence_packing",
+    "embedding_centroids",
+    "rolling_time_range",
 ]
 
 

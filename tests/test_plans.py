@@ -225,3 +225,29 @@ def test_quality_band_filter_broadcast_band(spark):
     p = plan_of(spark, "quality_band_filter")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     assert p.count("hashpartitioning(") == 2
+
+
+def test_group_sample_topk_single_shuffle(spark):
+    p = plan_of(spark, "group_sample_topk")
+    assert p.count("hashpartitioning(") == 1
+    assert "Window" in p
+
+
+def test_sequence_packing_reuses_lang_partitioning(spark):
+    # window shuffles on lang; both downstream rollups (lang,pack_id)
+    # and (lang) are satisfied by that clustering -> ONE exchange total
+    p = plan_of(spark, "sequence_packing")
+    assert p.count("hashpartitioning(") == 1
+    assert "Window" in p
+
+
+def test_embedding_centroids_explode_then_one_exchange(spark):
+    p = plan_of(spark, "embedding_centroids")
+    assert "Generate" in p
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_rolling_time_range_window_rollup_share_shuffle(spark):
+    p = plan_of(spark, "rolling_time_range")
+    assert p.count("hashpartitioning(") == 1
+    assert "Window" in p
