@@ -85,6 +85,10 @@ HEADLINE = [
     "sequence_packing",
     "embedding_centroids",
     "rolling_time_range",
+    "zscore_outliers",
+    "df_top_terms",
+    "weighted_sample",
+    "scd2_intervals",
 ]
 
 

@@ -1,0 +1,192 @@
+"""Group statistics, vocabulary analytics, weighted sampling, and
+SCD2 interval building — dataset-profiling ops a training pipeline
+runs before/while assembling a corpus (north-star extensions; the
+reference's surface is single-table SELECTs, nvd2mysqlloader.py:339-420).
+
+Determinism notes per registry rules: moments accumulate as exact
+integer sums and every derived double (mean, variance, z-bound) is
+written as the IDENTICAL expression tree on both engines — IEEE
++ - * / sqrt are correctly rounded, so equal inputs and equal
+parenthesization give bit-equal outputs. Sampling keys derive from
+md5, never rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import query
+
+_TWO52 = 4503599627370496  # 2^52: 13 hex chars of md5 -> uniform (0,1]
+
+
+@query(
+    "zscore_outliers",
+    oracle="""
+    WITH st AS (
+      SELECT lang, count(*) AS n,
+             sum(n_chars) AS s, sum(n_chars*n_chars) AS sq
+      FROM documents GROUP BY lang),
+    m AS (
+      SELECT lang, n, CAST(s AS DOUBLE)/n AS mean,
+             sqrt(greatest((CAST(sq AS DOUBLE)
+                            - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/n,
+                           0.0)) AS std
+      FROM st)
+    SELECT d.lang, min(m.n) AS n_docs,
+           min(m.mean) AS mean_chars, min(m.std) AS std_chars,
+           CAST(sum(CASE WHEN abs(CAST(d.n_chars AS DOUBLE) - m.mean)
+                              > 2*m.std
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d JOIN m ON m.lang = d.lang
+    GROUP BY d.lang
+    """,
+    doc=(
+        "per-group z-score outlier profile (length-anomaly detection "
+        "before curation): per-lang moments accumulate as exact BIGINT "
+        "sum / sum-of-squares (order-independent, engine-exact); mean "
+        "and population std are derived in double with one fixed "
+        "expression tree so both engines produce bit-equal values; "
+        "|x-mean| > 2*std counts the outliers. The 5-row stats table "
+        "broadcasts back onto the corpus, so the second pass never "
+        "shuffles the fact — at 100 TB this is two scans, one tiny "
+        "exchange, and integer-only shuffle traffic."
+    ),
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = (docs.groupBy("lang")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("n_chars").alias("s"),
+               F.sum(F.col("n_chars") * F.col("n_chars")).alias("sq")))
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("sq").cast("double")
+           - F.col("s").cast("double") * F.col("s").cast("double")
+           / F.col("n")) / F.col("n")
+    m = st.select("lang", "n", mean.alias("mean"),
+                  F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"))
+    d = docs.select("lang", "n_chars")
+    out = (F.abs(F.col("n_chars").cast("double") - F.col("mean"))
+           > 2 * F.col("std")).cast("bigint")
+    return (d.join(F.broadcast(m), "lang")
+            .groupBy("lang")
+            .agg(F.min("n").alias("n_docs"),
+                 F.min("mean").alias("mean_chars"),
+                 F.min("std").alias("std_chars"),
+                 F.sum(out).alias("n_outliers")))
+
+
+@query(
+    "df_top_terms",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    d AS (
+      SELECT token, count(DISTINCT doc_id) AS df
+      FROM t WHERE token <> '' GROUP BY token)
+    SELECT token, df FROM d ORDER BY df DESC, token LIMIT 20
+    """,
+    doc=(
+        "document-frequency vocabulary head (the df side of TF-IDF and "
+        "the stopword-candidate list a curation pipeline derives): "
+        "explode tokens, count(DISTINCT doc_id) per token, global "
+        "top-20 with the token itself as the unique tie-break. "
+        "Spark plans the distinct as two partial-agg phases — "
+        "(token,doc_id) dedup is map-side-combined before either "
+        "exchange — and the global top-k is TakeOrderedAndProject "
+        "(per-partition heaps, never a full sort): at 100 TB only "
+        "20 rows reach the driver."
+    ),
+)
+def df_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != ""))
+    dfreq = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df"))
+    return dfreq.orderBy(F.desc("df"), "token").limit(20)
+
+
+@query(
+    "weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) + 1.0) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0),
+    r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rk
+      FROM keyed)
+    SELECT lang, doc_id, rk FROM r WHERE rk <= 5
+    """,
+    doc=(
+        "weighted sampling without replacement (Efraimidis-Spirakis "
+        "A-ES): per-doc uniform u from 13 hex chars of md5(doc_id) "
+        "(so the draw is reproducible and oracle-checkable — rand() "
+        "is neither), selection key ln(u)/weight with weight = "
+        "n_chars, keep each language's top-5 keys. Longer docs are "
+        "proportionally likelier, yet reruns and engines agree "
+        "exactly. One shuffle on lang; the rank window keeps 5 rows "
+        "per group, so at 100 TB the output is |langs|*5 regardless "
+        "of corpus size — the distributed form of reservoir sampling."
+    ),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("bigint") + F.lit(1.0))
+    key = F.log(u) / F.col("n_chars")
+    keyed = docs.select("lang", "doc_id", key.alias("es_key"))
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), "doc_id")
+    return (keyed.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("lang", "doc_id", "rk"))
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t0,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               AS t1
+      FROM events)
+    SELECT event_type,
+           count(*) AS n_intervals,
+           CAST(sum(t1 - t0) AS BIGINT) AS total_us,
+           max(t1 - t0) AS max_us
+    FROM s WHERE t1 IS NOT NULL GROUP BY event_type
+    """,
+    doc=(
+        "SCD2 validity-interval build (slowly-changing-dimension "
+        "snapshots from an event log): each event's state is valid "
+        "from its timestamp until the user's next event — "
+        "effective_to = lead(ts) over (user, ts, event_id) — then "
+        "interval durations roll up per state. Exact epoch-micros "
+        "integers end to end (ns parquet truncated identically on "
+        "both engines). The lead window shuffles on user_id once; "
+        "the rollup's second exchange carries only "
+        "(event_type, partial sums). The open intervals (t1 IS NULL) "
+        "are the CURRENT dimension rows a MERGE would upsert."
+    ),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t0 = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("t0", "event_id")
+    iv = (ev.select("user_id", "event_type", t0.alias("t0"), "event_id")
+          .withColumn("t1", F.lead("t0").over(w))
+          .filter(F.col("t1").isNotNull()))
+    dur = F.col("t1") - F.col("t0")
+    return (iv.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum(dur).alias("total_us"),
+                 F.max(dur).alias("max_us")))

@@ -251,3 +251,29 @@ def test_rolling_time_range_window_rollup_share_shuffle(spark):
     p = plan_of(spark, "rolling_time_range")
     assert p.count("hashpartitioning(") == 1
     assert "Window" in p
+
+
+def test_zscore_outliers_stats_broadcast_back(spark):
+    # 5-row moments table broadcasts; corpus never shuffles for the join
+    p = plan_of(spark, "zscore_outliers")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert p.count("hashpartitioning(") == 2
+
+
+def test_df_top_terms_heap_topk_not_full_sort(spark):
+    # global top-20 must be TakeOrderedAndProject (per-partition heaps)
+    p = plan_of(spark, "df_top_terms")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("hashpartitioning(") == 2      # distinct + final agg
+
+
+def test_weighted_sample_single_shuffle(spark):
+    p = plan_of(spark, "weighted_sample")
+    assert p.count("hashpartitioning(") == 1
+    assert "Window" in p
+
+
+def test_scd2_intervals_lead_window_then_rollup(spark):
+    p = plan_of(spark, "scd2_intervals")
+    assert "Window" in p
+    assert p.count("hashpartitioning(") == 2      # user_id + event_type
