@@ -89,6 +89,9 @@ HEADLINE = [
     "df_top_terms",
     "weighted_sample",
     "scd2_intervals",
+    "decontaminate_ngrams",
+    "zorder_locality",
+    "kmeans_clusters",
 ]
 
 

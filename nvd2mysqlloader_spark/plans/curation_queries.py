@@ -1,0 +1,171 @@
+"""Corpus curation at scale: test-set decontamination and Z-order
+data layout (north-star extensions; the reference has no multi-table
+or layout surface — single-table SELECTs, nvd2mysqlloader.py:339-420).
+
+Decontamination is the step every training pipeline runs before
+shipping a corpus: drop training documents that share long n-grams
+with the held-out evaluation set. Z-ordering is how a 100 TB table is
+laid out so two-dimensional range predicates prune files — the
+Spark-side computation is a pure integer expression evaluated at the
+scan, then a repartitionByRange/sortWithinPartitions write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import query
+
+_N = 5           # n-gram length (words) for contamination matching
+_HOLD = "10"     # md5-prefix holdout: first 2 hex < '10' → ~6% test set
+
+
+@query(
+    "decontaminate_ngrams",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws
+      FROM documents WHERE len(string_split(text, ' ')) >= {_N}),
+    idx AS (
+      SELECT doc_id, lang, ws,
+             unnest(generate_series(1, len(ws) - {_N - 1})) AS i
+      FROM w),
+    g AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(list_slice(ws, i, i + {_N - 1}), ' '))
+               AS gram
+      FROM idx),
+    test AS (
+      SELECT DISTINCT gram FROM g
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_HOLD}'),
+    train AS (
+      SELECT DISTINCT doc_id, lang, gram FROM g
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '{_HOLD}'),
+    cont AS (
+      SELECT DISTINCT t.doc_id, t.lang
+      FROM train t JOIN test USING (gram)),
+    tr AS (
+      SELECT lang, count(DISTINCT doc_id) AS n_train_docs
+      FROM train GROUP BY lang)
+    SELECT tr.lang, tr.n_train_docs,
+           coalesce(c.n, 0) AS n_contaminated
+    FROM tr LEFT JOIN (SELECT lang, count(*) AS n
+                       FROM cont GROUP BY lang) c USING (lang)
+    """,
+    doc=(
+        "eval-set decontamination: the held-out set is an md5-prefix "
+        "bucket of doc_ids (deterministic, so the same docs hold out "
+        "on every engine and every rerun); a training doc is "
+        "contaminated when it shares any 5-word-gram with any test "
+        "doc. Grams are md5'd so the join key is fixed-width. The "
+        "distinct test-gram relation is the small side — Catalyst "
+        "broadcasts the left-semi probe, so the training corpus is "
+        "never shuffled by the join; at 100 TB hold the test grams in "
+        "a bloom filter pushed into the scan and the shape is "
+        "unchanged. Reports per-lang training size and contamination "
+        "count a curation report would publish."
+    ),
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (docs.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+         .filter(F.size("ws") >= _N))
+    grams = w.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(ws) - {_N}),"
+            f" i -> md5(array_join(slice(ws, i + 1, {_N}), ' ')))"
+        )).alias("gram"))
+    holdout = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    test = (grams.filter(holdout < _HOLD).select("gram").distinct())
+    # no distinct on train grams: the semi join and the count_distinct
+    # rollups dedup downstream, and a distinct here would shuffle the
+    # full gram relation — the one thing that must not happen at 100 TB
+    train = grams.filter(holdout >= _HOLD).select("doc_id", "lang", "gram")
+    cont = (train.join(F.broadcast(test), "gram", "left_semi")
+            .select("doc_id", "lang").distinct()
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+    tr = train.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_train_docs"))
+    return (tr.join(F.broadcast(cont), "lang", "left")
+            .select("lang", "n_train_docs",
+                    F.coalesce("n", F.lit(0)).alias("n_contaminated")))
+
+
+# --- Z-order (Morton) layout -------------------------------------------
+# 8-bit dims: date bucket over the orders span (1995-01-01..2001-08-01,
+# 2404 days -> //2410) and a 1954-per-bucket price grid (max ~500k).
+_DAY_DIV = 2410
+_PRICE_DIV = 1954.0
+
+
+def _spread_steps(col_in: str, prefix: str) -> list[tuple[str, str]]:
+    """Morton bit-spread of an 8-bit int into even bit positions, as
+    three (name, integer-expression) steps valid in both Spark SQL and
+    DuckDB (only | & << arithmetic, no engine-specific functions)."""
+    a, b, c = f"{prefix}1", f"{prefix}2", f"{prefix}3"
+    return [
+        (a, f"(({col_in}) | (({col_in}) << 4)) & 3855"),
+        (b, f"(({a}) | (({a}) << 2)) & 13107"),
+        (c, f"(({b}) | (({b}) << 1)) & 21845"),
+    ]
+
+
+@query(
+    "zorder_locality",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(255, (datediff('day', DATE '1995-01-01',
+                                  CAST(o_orderdate AS DATE)) * 256)
+                        // {_DAY_DIV}) AS xb,
+             least(255, CAST(floor(o_totalprice / {_PRICE_DIV}) AS INT))
+               AS yb
+      FROM orders),
+    s AS (
+      SELECT xb, yb,
+             {" , ".join(f"({e}) AS {n}"
+                         for n, e in _spread_steps("xb", "x")
+                         + _spread_steps("yb", "y"))}
+      FROM b),
+    z AS (
+      SELECT xb, yb, (x3 | (y3 << 1)) >> 10 AS zcell FROM s)
+    SELECT zcell, count(*) AS n_orders,
+           min(xb) AS min_xb, max(xb) AS max_xb,
+           min(yb) AS min_yb, max(yb) AS max_yb
+    FROM z GROUP BY zcell
+    """,
+    doc=(
+        "Z-order (Morton) layout statistic: bucket o_orderdate and "
+        "o_totalprice to 8 bits each, interleave the bits with the "
+        "standard three-step magic-number spread (pure | & << integer "
+        "arithmetic — identical on every engine), and roll up row "
+        "counts plus per-cell dim bounds for the 64 coarse z-cells. "
+        "The tight min/max rectangles per cell are exactly why "
+        "z-ordered files prune under 2-D range predicates. At 100 TB "
+        "the same z expression feeds repartitionByRange(zcell) + "
+        "sortWithinPartitions(z) at write time, turning both "
+        "date-range and price-range filters into file skips — the "
+        "Spark-native replacement for the reference's MySQL B-tree "
+        "indexes (nvd2mysqlloader.py:400-403)."
+    ),
+)
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.least(F.lit(255),
+                F.expr(f"(datediff(CAST(o_orderdate AS DATE),"
+                       f" DATE '1995-01-01') * 256) div {_DAY_DIV}"))
+        .cast("int").alias("xb"),
+        F.least(F.lit(255),
+                F.floor(F.col("o_totalprice") / _PRICE_DIV).cast("int"))
+        .alias("yb"))
+    for name, expr in _spread_steps("xb", "x") + _spread_steps("yb", "y"):
+        df = df.withColumn(name, F.expr(expr))
+    z = df.select("xb", "yb",
+                  F.expr("(x3 | (y3 << 1)) >> 10").alias("zcell"))
+    return (z.groupBy("zcell")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("xb").alias("min_xb"), F.max("xb").alias("max_xb"),
+                 F.min("yb").alias("min_yb"), F.max("yb").alias("max_yb")))

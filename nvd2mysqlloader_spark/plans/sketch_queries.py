@@ -88,3 +88,24 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return ivf_topk(emb, queries, k=10)
+
+
+@query(
+    "kmeans_clusters",
+    oracle=None,
+    doc=(
+        "3 Lloyd iterations of k-means (k=8) over the embedding "
+        "column — iterative algorithm, not SQL-expressible: "
+        "pandas_udf argmin assignment against broadcast-closure "
+        "centroids (corpus scanned, never shuffled), fixed-point "
+        "BIGINT M-step (k*d rows per exchange). Verified bit-for-bit "
+        "against a numpy twin in tests/test_kmeans.py."
+    ),
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    return (kmeans(emb, k=8, iters=3)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vecs")))

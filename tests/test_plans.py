@@ -277,3 +277,20 @@ def test_scd2_intervals_lead_window_then_rollup(spark):
     p = plan_of(spark, "scd2_intervals")
     assert "Window" in p
     assert p.count("hashpartitioning(") == 2      # user_id + event_type
+
+
+def test_decontaminate_probe_is_broadcast_never_smj(spark):
+    # test-gram relation broadcasts; the training grams never shuffle
+    # through a join, and no distinct shuffles the full gram relation
+    p = plan_of(spark, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "gram" not in p[p.index("Exchange"):].split("Exchange", 2)[-1] \
+        or p.count("hashpartitioning(gram") <= 1  # only test-side distinct
+
+
+def test_zorder_locality_single_rollup_exchange(spark):
+    # morton interleave is pure projected integer arithmetic: the only
+    # exchange is the 64-cell rollup
+    p = plan_of(spark, "zorder_locality")
+    assert p.count("hashpartitioning(") == 1
+    assert "Window" not in p and "Join" not in p
