@@ -92,6 +92,10 @@ HEADLINE = [
     "decontaminate_ngrams",
     "zorder_locality",
     "kmeans_clusters",
+    "agg_state_merge",
+    "user_event_features",
+    "unpivot_metrics",
+    "distribution_windows",
 ]
 
 

@@ -241,3 +241,69 @@ def anti_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n"))
                .select(F.lit("big_spender_1997").alias("cohort"), "n"))
     return never.unionByName(spender)
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH a AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang)
+    SELECT lang, 'n_docs' AS metric, n_docs AS value FROM a
+    UNION ALL
+    SELECT lang, 'sum_chars' AS metric, sum_chars AS value FROM a
+    UNION ALL
+    SELECT lang, 'n_sources' AS metric, n_sources AS value FROM a
+    """,
+    doc=(
+        "wide-to-long unpivot/melt (§2 #33-35 SQL-surface "
+        "completeness): a per-lang metrics row melts into "
+        "(lang, metric, value) via DataFrame.unpivot — the Spark "
+        "native Expand, one row-multiplying projection, no join and "
+        "no extra shuffle beyond the agg; the oracle is the "
+        "dialect-safe UNION ALL spelling. The long form is what a "
+        "metrics sink or a plotting layer ingests."
+    ),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wide = (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.count_distinct("source").alias("n_sources")))
+    return wide.unpivot("lang", ["n_docs", "sum_chars", "n_sources"],
+                        "metric", "value")
+
+
+@query(
+    "distribution_windows",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           ntile(10) OVER w AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc=(
+        "distribution window functions (percent_rank / cume_dist / "
+        "ntile) — the remaining §2 #35 window family: all three are "
+        "exact ratios of integer ranks and counts, so the doubles are "
+        "bit-equal across engines; (o_totalprice, o_orderkey) is a "
+        "unique ordering so every rank is deterministic. One exchange "
+        "on o_orderpriority shared by all three functions (same "
+        "window spec = one Window operator)."
+    ),
+)
+def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(w).alias("decile"))

@@ -288,6 +288,31 @@ def test_decontaminate_probe_is_broadcast_never_smj(spark):
         or p.count("hashpartitioning(gram") <= 1  # only test-side distinct
 
 
+def test_agg_state_merge_partials_per_branch(spark):
+    # both branches partial-agg before their exchanges; no join anywhere
+    p = plan_of(spark, "agg_state_merge")
+    assert p.count("hashpartitioning(") == 2
+    assert "Join" not in p and "Union" in p
+
+
+def test_user_event_features_arrow_single_shuffle(spark):
+    # applyInPandas = FlatMapGroupsInPandas after ONE user_id exchange
+    p = plan_of(spark, "user_event_features")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_unpivot_is_expand_not_join(spark):
+    p = plan_of(spark, "unpivot_metrics")
+    assert "Expand" in p and "Join" not in p
+
+
+def test_distribution_windows_share_one_window_op(spark):
+    # same window spec -> all three functions in one Window operator
+    p = plan_of(spark, "distribution_windows")
+    assert p.count("hashpartitioning(") == 1
+
+
 def test_zorder_locality_single_rollup_exchange(spark):
     # morton interleave is pure projected integer arithmetic: the only
     # exchange is the 64-cell rollup
