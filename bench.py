@@ -96,6 +96,9 @@ HEADLINE = [
     "user_event_features",
     "unpivot_metrics",
     "distribution_windows",
+    "bm25_search",
+    "fuzzy_token_join",
+    "column_profile",
 ]
 
 

@@ -17,3 +17,4 @@ from . import packing_queries    # noqa: F401,E402
 from . import stats_queries      # noqa: F401,E402
 from . import curation_queries   # noqa: F401,E402
 from . import pipeline_queries   # noqa: F401,E402
+from . import retrieval_queries  # noqa: F401,E402

@@ -1,0 +1,205 @@
+"""Ranked retrieval (BM25) and fuzzy record linkage (edit-distance
+join) — the lexical-search side of a training-data pipeline (dedup's
+sibling: finding *related*, not identical, records). North-star
+extensions; the reference's only search surface is the FULLTEXT
+MATCH..AGAINST promise on vulnerable_software_list
+(nvd2mysqlloader.py:401, docstring 174-177), which `like_search`
+covers — these queries add scored relevance ranking and approximate
+key matching on top.
+
+Determinism: tf/df/doclen are exact integers; every derived double is
+one fixed expression tree evaluated identically by both engines
+(IEEE + - * / are correctly rounded; `ln` is NOT — JVM Math.log and
+libm log drift by 1 ulp on some inputs, measured here — so BM25
+scores are rounded to 6 decimals in BOTH engines, absorbing the ulp
+while the ordering stays exact: distinct score gaps are ~1e-2, ties
+are bit-identical by construction). Per-doc score totals are written
+as an explicit fixed-order sum over per-term columns, never a float
+`sum()` whose accumulation order the engine picks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import query
+
+# BM25 free parameters (classic Robertson defaults).
+_K1 = 1.2
+_B = 0.75
+# Fixed query: three mid-df vocabulary terms.
+_TERMS = ("spark", "join", "window")
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS doclen FROM base),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS token FROM base)
+      WHERE token IN ('spark', 'join', 'window')
+      GROUP BY doc_id, token),
+    df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ln((CAST(c.n_docs - df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(tf.tf AS DOUBLE) * ({_K1} + 1.0))
+             / (CAST(tf.tf AS DOUBLE)
+                + {_K1} * (1.0 - {_B}
+                           + {_B} * (CAST(dl.doclen AS DOUBLE)
+                                     / c.avgdl))) AS s
+      FROM tf
+      JOIN df ON df.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus c),
+    per_doc AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN token = 'spark' THEN s END), 0.0)
+               AS s1,
+             coalesce(max(CASE WHEN token = 'join' THEN s END), 0.0)
+               AS s2,
+             coalesce(max(CASE WHEN token = 'window' THEN s END), 0.0)
+               AS s3
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, round((s1 + s2) + s3, 6) AS score
+    FROM per_doc
+    ORDER BY round((s1 + s2) + s3, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    doc=(
+        "BM25 ranked retrieval over documents for the fixed query "
+        "{spark, join, window}: doclen is a projection "
+        "(size∘filter∘split — no explode, no shuffle), tf explodes "
+        "tokens but filters to the 3 query terms BEFORE the "
+        "(doc,token) rollup so the exchange carries only matching "
+        "postings, df and the 1-row corpus stats broadcast back, and "
+        "the per-doc total is an explicit fixed-order (s1+s2)+s3 so "
+        "the doubles are engine-exact. Top-10 is "
+        "TakeOrderedAndProject with doc_id tie-break. The full-corpus "
+        "exchanges carry only query-term postings pre-reduced to one "
+        "row per (doc, term-pivot) — inverted-index-probe "
+        "asymptotics; Spark plans the scalar df stats as a second "
+        "pass over that rollup (a real deployment persists the "
+        "postings table or maintains df incrementally, so scoring is "
+        "one pass)."
+    ),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    dl = base.select(
+        "doc_id", F.size("toks").cast("bigint").alias("doclen"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1)))
+        .alias("avgdl"))
+
+    # ONE explode → ONE doc_id rollup: per-term tf pivoted to columns,
+    # doclen carried through (constant per doc). df then derives from
+    # this same aggregate as a scalar — never a second corpus scan,
+    # never a 3-key token shuffle (which would skew).
+    tok = (base.select(
+        "doc_id", F.size("toks").cast("bigint").alias("doclen"),
+        F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(*_TERMS)))
+    per_tf = (tok.groupBy("doc_id")
+              .agg(F.min("doclen").alias("doclen"),
+                   *[F.sum((F.col("token") == t).cast("bigint"))
+                     .alias(f"tf{i}")
+                     for i, t in enumerate(_TERMS, 1)]))
+    stats = per_tf.agg(
+        *[F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+          for i in range(1, len(_TERMS) + 1)])
+
+    scored = (per_tf.crossJoin(F.broadcast(stats))
+              .crossJoin(F.broadcast(corpus)))
+
+    def term_s(i: int):
+        # tf=0 ⇒ numerator 0.0 ⇒ exact 0.0, matching the oracle's
+        # coalesce(max(CASE ...), 0.0) for absent postings.
+        idf = F.log(
+            ((F.col("n_docs") - F.col(f"df{i}")).cast("double")
+             + F.lit(0.5))
+            / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+            + F.lit(1.0))
+        tf_d = F.col(f"tf{i}").cast("double")
+        norm = (tf_d + _K1 * (F.lit(1.0 - _B)
+                              + _B * (F.col("doclen").cast("double")
+                                      / F.col("avgdl"))))
+        return idf * (tf_d * F.lit(_K1 + 1.0)) / norm
+
+    total = F.round((term_s(1) + term_s(2)) + term_s(3), 6)
+    return (scored.select("doc_id", total.alias("score"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(10))
+
+
+@query(
+    "fuzzy_token_join",
+    oracle="""
+    WITH v AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token <> '' GROUP BY token)
+    SELECT a.token AS token_a, b.token AS token_b,
+           levenshtein(a.token, b.token) AS dist,
+           a.freq AS freq_a, b.freq AS freq_b
+    FROM v a JOIN v b
+      ON a.token < b.token
+     AND abs(length(a.token) - length(b.token)) <= 2
+     AND levenshtein(a.token, b.token) <= 2
+    """,
+    doc=(
+        "fuzzy record linkage / typo-tolerant key matching: the "
+        "token vocabulary self-joins on edit distance ≤ 2. Blocking "
+        "is a LENGTH BAND — lev(a,b) ≤ 2 implies |len(a)−len(b)| ≤ 2, "
+        "a sound necessary condition, so one side expands each token "
+        "under candidate lengths len−2..len+2 and the join is a hash "
+        "EQUI-join on length (never a nested-loop cross product); "
+        "levenshtein runs only inside blocks. The vocabulary is an "
+        "aggregate of the corpus (millions of rows at 100 TB, not "
+        "billions), and the expansion factor is a constant 5. The "
+        "oracle states the same semantics declaratively — results "
+        "are plan-independent."
+    ),
+)
+def fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (docs.select(
+        F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq")))
+    # left side: each token under every candidate partner length
+    lens = F.array(*[F.length("token") + F.lit(d)
+                     for d in (-2, -1, 0, 1, 2)])
+    a = vocab.select(F.col("token").alias("token_a"),
+                     F.col("freq").alias("freq_a"),
+                     F.explode(lens).alias("cand_len"))
+    b = vocab.select(F.col("token").alias("token_b"),
+                     F.col("freq").alias("freq_b"),
+                     F.length("token").alias("len_b"))
+    pairs = a.join(b, (F.col("cand_len") == F.col("len_b"))
+                   & (F.col("token_a") < F.col("token_b")))
+    return (pairs
+            .withColumn("dist",
+                        F.levenshtein("token_a", "token_b"))
+            .filter(F.col("dist") <= 2)
+            .select("token_a", "token_b", "dist",
+                    "freq_a", "freq_b"))

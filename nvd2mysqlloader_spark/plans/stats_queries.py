@@ -150,6 +150,89 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "doc_id", "rk"))
 
 
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_orderdate")
+
+
+@query(
+    "column_profile",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+             count(DISTINCT o_orderkey) AS d1,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS z1,
+             CAST(min(o_orderkey) AS VARCHAR) AS lo1,
+             CAST(max(o_orderkey) AS VARCHAR) AS hi1,
+             count(DISTINCT o_custkey) AS d2,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS z2,
+             CAST(min(o_custkey) AS VARCHAR) AS lo2,
+             CAST(max(o_custkey) AS VARCHAR) AS hi2,
+             count(DISTINCT o_orderstatus) AS d3,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS z3,
+             min(o_orderstatus) AS lo3, max(o_orderstatus) AS hi3,
+             count(DISTINCT o_orderpriority) AS d4,
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS z4,
+             min(o_orderpriority) AS lo4, max(o_orderpriority) AS hi4,
+             count(DISTINCT o_orderdate) AS d5,
+             sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS z5,
+             CAST(min(o_orderdate) AS VARCHAR) AS lo5,
+             CAST(max(o_orderdate) AS VARCHAR) AS hi5
+      FROM orders)
+    SELECT 'o_orderkey' AS col_name, n_rows,
+           d1 AS n_distinct, CAST(z1 AS BIGINT) AS n_null,
+           lo1 AS min_val, hi1 AS max_val FROM a
+    UNION ALL SELECT 'o_custkey', n_rows, d2, CAST(z2 AS BIGINT),
+           lo2, hi2 FROM a
+    UNION ALL SELECT 'o_orderstatus', n_rows, d3, CAST(z3 AS BIGINT),
+           lo3, hi3 FROM a
+    UNION ALL SELECT 'o_orderpriority', n_rows, d4, CAST(z4 AS BIGINT),
+           lo4, hi4 FROM a
+    UNION ALL SELECT 'o_orderdate', n_rows, d5, CAST(z5 AS BIGINT),
+           lo5, hi5 FROM a
+    """,
+    doc=(
+        "one-pass data profiling (the schema-health report a pipeline "
+        "runs on every new drop before curation): per-column distinct "
+        "count, null count, and min/max for five orders columns, all "
+        "computed in a SINGLE aggregate over one scan — Spark plans "
+        "the five count(DISTINCT)s with one Expand (5× row multiply, "
+        "partial-agged map-side before the only exchange), then the "
+        "1-row wide result melts to long (col_name, stats) rows "
+        "driver-free. min/max stringify in-engine; the DOUBLE column "
+        "is deliberately excluded (float→string formatting is "
+        "engine-specific; profile doubles as numeric quantiles "
+        "instead — see percentile_disc/value_histogram). At 100 TB "
+        "this is one scan and one tiny exchange regardless of "
+        "column count."
+    ),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count_distinct(c).alias(f"d_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"z_{c}"),
+            F.min(c).cast("string").alias(f"lo_{c}"),
+            F.max(c).cast("string").alias(f"hi_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col(f"d_{c}").alias("n_distinct"),
+                 F.col(f"z_{c}").alias("n_null"),
+                 F.col(f"lo_{c}").alias("min_val"),
+                 F.col(f"hi_{c}").alias("max_val"))
+        for c in _PROFILE_COLS])
+    return (wide.select("n_rows", F.explode(rows).alias("p"))
+            .select(F.col("p.col_name").alias("col_name"),
+                    "n_rows",
+                    F.col("p.n_distinct").alias("n_distinct"),
+                    F.col("p.n_null").alias("n_null"),
+                    F.col("p.min_val").alias("min_val"),
+                    F.col("p.max_val").alias("max_val")))
+
+
 @query(
     "scd2_intervals",
     oracle="""

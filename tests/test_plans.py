@@ -313,6 +313,32 @@ def test_distribution_windows_share_one_window_op(spark):
     assert p.count("hashpartitioning(") == 1
 
 
+def test_bm25_topk_heap_no_smj(spark):
+    # top-10 is a heap (TakeOrderedAndProject), dims broadcast —
+    # the corpus is never sort-merge-joined or globally sorted
+    p = plan_of(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "Sort " not in p
+
+
+def test_fuzzy_join_is_blocked_equi_never_nested_loop(spark):
+    # length-band blocking makes it a hash EQUI-join with the
+    # levenshtein residual attached — no cross product anywhere
+    p = plan_of(spark, "fuzzy_token_join")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "levenshtein" in p
+
+
+def test_column_profile_one_scan_one_exchange(spark):
+    # five count(DISTINCT)s fold into one Expand-based aggregate:
+    # one corpus exchange, then a 1-row melt — never five scans
+    p = plan_of(spark, "column_profile")
+    assert "Expand" in p
+    assert p.count("hashpartitioning(") == 1
+    assert p.count("Location: InMemoryFileIndex") == 1  # ONE scan
+
+
 def test_zorder_locality_single_rollup_exchange(spark):
     # morton interleave is pure projected integer arithmetic: the only
     # exchange is the 64-cell rollup
