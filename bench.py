@@ -163,11 +163,18 @@ def bench_ingest(spark, n: int = 20000) -> float:
         shards = 8
         for k in range(shards):
             synth_cve_feed(landing, n // shards, year=2017 + k)
-        t0 = time.perf_counter()
-        stats = run_ingest(spark, landing, f"{tmp}/wh")
-        dt = time.perf_counter() - t0
-        assert stats["cves"] == n, stats
-        return round(dt, 4)
+        # best of 2 like every other entry (fresh warehouse per round —
+        # a second run against the SAME warehouse would be gated to a
+        # no-op by the high-water mark): steady-state pipeline cost,
+        # not one-shot JSON-codegen/JIT warmup
+        best = None
+        for r in range(2):
+            t0 = time.perf_counter()
+            stats = run_ingest(spark, landing, f"{tmp}/wh{r}")
+            dt = time.perf_counter() - t0
+            assert stats["cves"] == n, stats
+            best = dt if best is None or dt < best else best
+        return round(best, 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -199,6 +206,12 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # outside the timed region: let the ContextCleaner drop shuffle
+        # files / broadcasts / localCheckpoint blocks the query left
+        # behind — without this, heap pressure accumulates across the
+        # suite and inflates later queries 2-3× vs their standalone
+        # steady-state (measured)
+        spark.sparkContext._jvm.System.gc()
 
     # the reference's own workload: 20k-CVE feed → flatten → upsert
     timings["nvd_ingest_20k"] = bench_ingest(spark)
