@@ -99,6 +99,7 @@ HEADLINE = [
     "bm25_search",
     "fuzzy_token_join",
     "column_profile",
+    "token_pmi_pairs",
 ]
 
 

@@ -364,3 +364,85 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (F.col("nfp_a") + F.col("nfp_b") - F.col("n_shared")))
     return (inter.select("id_a", "id_b", "n_shared", jac.alias("fp_jaccard"))
             .filter(F.col("fp_jaccard") >= _FP_JACCARD))
+
+
+@query(
+    "token_pmi_pairs",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token <> ''),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    cnt AS (SELECT token, count(*) AS n_tok FROM pres GROUP BY token),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             count(*) AS n_ab
+      FROM pres a JOIN pres b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2)
+    SELECT token_a, token_b, n_ab,
+           round(ln((CAST(n_ab AS DOUBLE) * CAST(n.n_docs AS DOUBLE))
+                    / (CAST(ca.n_tok AS DOUBLE)
+                       * CAST(cb.n_tok AS DOUBLE))), 6) AS pmi
+    FROM pairs
+    JOIN cnt ca ON ca.token = token_a
+    JOIN cnt cb ON cb.token = token_b
+    CROSS JOIN n
+    ORDER BY pmi DESC, token_a, token_b
+    LIMIT 20
+    """,
+    doc=(
+        "token co-occurrence PMI (association mining — the phrase/"
+        "collocation detector a corpus pipeline runs to find "
+        "multi-word units): per-doc presence pairs are generated "
+        "IN-ENGINE from the sorted distinct-token array with "
+        "higher-order functions (index-transform over slices) — no "
+        "(doc,token) self-join, no shuffle until the pair rollup, "
+        "whose map-side combine reduces to |vocab|² keys at most. "
+        "Marginal counts and the doc total broadcast back; "
+        "pmi = ln(n_ab·N/(n_a·n_b)) rounded to 6 dp on both engines "
+        "(ln drifts 1 ulp JVM vs libm), top-20 heap with the pair "
+        "itself as tie-break. At real-corpus vocabulary sizes, bound "
+        "the per-doc pair fan-out by a distinct-token cap or a "
+        "frequent-token prefilter before the combos."
+    ),
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.array_sort(F.array_distinct(
+        F.filter(F.split("text", " "), lambda x: x != "")))
+    base = docs.select("doc_id", arr.alias("toks"))
+    n_docs = base.agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+
+    # per-doc pair combos via HOFs: for token i, pair with every later
+    # token in the sorted array — (a < b) ordering by construction
+    combos = F.flatten(F.transform(
+        F.col("toks"),
+        lambda x, i: F.transform(
+            F.slice(F.col("toks"), i + F.lit(2),
+                    F.greatest(F.size("toks") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("token_a"), y.alias("token_b")))))
+    pairs = (base.select(F.explode(combos).alias("p"))
+             .groupBy(F.col("p.token_a").alias("token_a"),
+                      F.col("p.token_b").alias("token_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+
+    cnt = (base.select("doc_id", F.explode("toks").alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("n_tok")))
+
+    ca = cnt.select(F.col("token").alias("token_a"),
+                    F.col("n_tok").alias("n_a"))
+    cb = cnt.select(F.col("token").alias("token_b"),
+                    F.col("n_tok").alias("n_b"))
+    pmi = F.round(F.log(
+        (F.col("n_ab").cast("double") * F.col("n_docs").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))), 6)
+    return (pairs.join(F.broadcast(ca), "token_a")
+            .join(F.broadcast(cb), "token_b")
+            .crossJoin(F.broadcast(n_docs))
+            .select("token_a", "token_b", "n_ab", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "token_a", "token_b")
+            .limit(20))

@@ -339,6 +339,14 @@ def test_column_profile_one_scan_one_exchange(spark):
     assert p.count("Location: InMemoryFileIndex") == 1  # ONE scan
 
 
+def test_token_pmi_marginals_broadcast_topk_heap(spark):
+    # pair counts never sort-merge-join the marginals; top-20 is a heap
+    p = plan_of(spark, "token_pmi_pairs")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_zorder_locality_single_rollup_exchange(spark):
     # morton interleave is pure projected integer arithmetic: the only
     # exchange is the 64-cell rollup
