@@ -100,6 +100,7 @@ HEADLINE = [
     "fuzzy_token_join",
     "column_profile",
     "token_pmi_pairs",
+    "repetition_filter",
 ]
 
 

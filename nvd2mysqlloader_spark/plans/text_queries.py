@@ -446,3 +446,70 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("token_a", "token_b", "n_ab", pmi.alias("pmi"))
             .orderBy(F.desc("pmi"), "token_a", "token_b")
             .limit(20))
+
+
+@query(
+    "repetition_filter",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             greatest(len(t) - 2, 0) AS total,
+             len(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS uniq
+      FROM base)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN total > 0
+                         AND CAST(total - uniq AS DOUBLE)
+                             / CAST(total AS DOUBLE) > 0.2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(total - uniq) AS BIGINT) AS n_dup_shingles,
+           CAST(sum(total) AS BIGINT) AS n_shingles,
+           CAST(sum(total - uniq) AS DOUBLE)
+             / CAST(sum(total) AS DOUBLE) AS dup_rate
+    FROM sh GROUP BY source
+    """,
+    doc=(
+        "repetition filter (Gopher/C4-style quality gate: drop docs "
+        "whose text is dominated by repeated n-grams): per doc, the "
+        "duplicate-3-gram fraction is (total − distinct)/total over "
+        "word shingles built IN-ENGINE with sequence+element_at HOFs "
+        "— no explode, no shuffle; the per-source rollup then "
+        "aggregates exact integers (docs over the 0.2 threshold, "
+        "duplicate and total shingle counts) and derives the corpus "
+        "dup_rate in ONE double division, so every value is "
+        "bit-equal across engines. One scan, one tiny exchange at "
+        "any corpus size — the cheapest of the curation gates and "
+        "the first one a 100 TB pipeline should run."
+    ),
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", "source", arr.alias("t"))
+    total = F.greatest(F.size("t") - 2, F.lit(0))
+    shingles = F.when(total > 0, F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.concat_ws(" ", F.element_at("t", i),
+                              F.element_at("t", i + F.lit(1)),
+                              F.element_at("t", i + F.lit(2))))
+    ).otherwise(F.array().cast("array<string>"))
+    sh = base.select(
+        "source", total.alias("total"),
+        F.size(F.array_distinct(shingles)).alias("uniq"))
+    dup = F.col("total") - F.col("uniq")
+    flagged = ((F.col("total") > 0)
+               & (dup.cast("double") / F.col("total").cast("double")
+                  > 0.2)).cast("bigint")
+    return (sh.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(flagged).alias("n_flagged"),
+                 F.sum(dup).alias("n_dup_shingles"),
+                 F.sum("total").alias("n_shingles"),
+                 (F.sum(dup).cast("double")
+                  / F.sum("total").cast("double")).alias("dup_rate")))

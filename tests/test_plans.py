@@ -347,6 +347,15 @@ def test_token_pmi_marginals_broadcast_topk_heap(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_repetition_filter_no_explode_one_exchange(spark):
+    # shingle stats are HOF projections — no Generate (explode), and
+    # only the per-source rollup exchanges
+    p = plan_of(spark, "repetition_filter")
+    assert "Generate" not in p
+    assert p.count("hashpartitioning(") == 1
+    assert "Join" not in p
+
+
 def test_zorder_locality_single_rollup_exchange(spark):
     # morton interleave is pure projected integer arithmetic: the only
     # exchange is the 64-cell rollup
