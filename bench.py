@@ -101,6 +101,7 @@ HEADLINE = [
     "column_profile",
     "token_pmi_pairs",
     "repetition_filter",
+    "bigram_lm_scores",
 ]
 
 

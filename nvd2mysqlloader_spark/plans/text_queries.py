@@ -513,3 +513,97 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("total").alias("n_shingles"),
                  (F.sum(dup).cast("double")
                   / F.sum("total").cast("double")).alias("dup_rate")))
+
+
+@query(
+    "bigram_lm_scores",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(t[1:greatest(len(t)-1, 0)]) AS w1,
+             unnest(t[2:len(t)]) AS w2
+      FROM base),
+    uni AS (
+      SELECT w1 AS w, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(*) AS vsize FROM (
+            SELECT DISTINCT unnest(t) AS w FROM base)),
+    bc AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(round(ln((CAST(bc.c2 AS DOUBLE) + 1.0)
+                           / (CAST(uni.c1 AS DOUBLE)
+                              + CAST(v.vsize AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM bg
+      JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+      JOIN uni ON uni.w = bg.w1
+      CROSS JOIN v),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(q) AS BIGINT) AS sum_q
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           CAST(sum_q AS DOUBLE) / 1000000.0
+             / CAST(n_bigrams AS DOUBLE) AS avg_logprob
+    FROM per_doc
+    ORDER BY CAST(sum_q AS DOUBLE) / 1000000.0
+               / CAST(n_bigrams AS DOUBLE), doc_id
+    LIMIT 20
+    """,
+    doc=(
+        "statistical LM quality filter (CCNet-style: score each doc "
+        "by the average log-probability of its bigrams under a model "
+        "trained on the corpus itself; the lowest-scoring docs are "
+        "the junk candidates). Add-1-smoothed bigram probs come from "
+        "exact integer counts; each ln is QUANTIZED to fixed-point "
+        "micros (BIGINT) before the per-doc sum, so the accumulation "
+        "is order-independent integer arithmetic and both engines "
+        "agree bit-for-bit (the same trick embedding_centroids uses "
+        "— a float sum's order is engine-chosen and would drift). "
+        "avg_logprob derives in one fixed double tree. Bigram/unigram "
+        "count tables broadcast back onto the exploded bigram stream; "
+        "worst-20 is a heap. At 100 TB the bigram vocabulary no "
+        "longer broadcasts — it becomes a shuffle hash join keyed on "
+        "(w1,w2), same plan otherwise."
+    ),
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", arr.alias("t"))
+    # (w1, w2) bigram stream, document order preserved by construction
+    bg = (base.select(
+        "doc_id",
+        F.explode(F.arrays_zip(
+            F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+            F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0)))))
+        .alias("p"))
+        .select("doc_id", F.col("p.0").alias("w1"),
+                F.col("p.1").alias("w2")))
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vsize = (base.select(F.explode("t").alias("w")).distinct()
+             .agg(F.count(F.lit(1)).alias("vsize")))
+
+    lnp = F.log((F.col("c2").cast("double") + F.lit(1.0))
+                / (F.col("c1").cast("double")
+                   + F.col("vsize").cast("double")))
+    q = F.round(lnp * F.lit(1000000.0), 0).cast("bigint")
+    scored = (bg.join(F.broadcast(bc), ["w1", "w2"])
+              .join(F.broadcast(uni), "w1")
+              .crossJoin(F.broadcast(vsize))
+              .select("doc_id", q.alias("q")))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum("q").alias("sum_q")))
+    avg = (F.col("sum_q").cast("double") / F.lit(1000000.0)
+           / F.col("n_bigrams").cast("double"))
+    return (per_doc.select("doc_id", "n_bigrams",
+                           avg.alias("avg_logprob"))
+            .orderBy(avg, "doc_id")
+            .limit(20))

@@ -356,6 +356,15 @@ def test_repetition_filter_no_explode_one_exchange(spark):
     assert "Join" not in p
 
 
+def test_bigram_lm_counts_broadcast_worst_k_heap(spark):
+    # count tables broadcast onto the bigram stream; worst-20 is a
+    # heap, never a global sort of per-doc scores
+    p = plan_of(spark, "bigram_lm_scores")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_zorder_locality_single_rollup_exchange(spark):
     # morton interleave is pure projected integer arithmetic: the only
     # exchange is the 64-cell rollup
