@@ -126,3 +126,38 @@ def test_ivf_recall_beats_scan_fraction(spark):
     avg = sum(recalls) / len(recalls)
     # scans nprobe/nlist = 25% of the corpus; must beat that meaningfully
     assert avg >= 0.45, f"IVF recall {avg:.2f} ({recalls})"
+
+
+def test_ivf_kmeans_centroids_match_or_beat_strided(spark):
+    # Lloyd-trained centroids at the same nlist/nprobe beat the
+    # strided seed once the corpus has enough vectors per list — run
+    # at sf0.01 (2k vectors); at sf0.001 (~200) every seeding ties.
+    # Deterministic data → stable recall values, not a flaky bound.
+    sf = "/root/testdata/sf0.01"
+    from nvd2mysqlloader_spark.operators import kmeans as km
+    from nvd2mysqlloader_spark.operators.similarity import ivf_topk
+    exact = QUERIES["cosine_topk"].fn(spark, sf).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rs = [len(truth[q] & got.get(q, set())) / len(truth[q])
+              for q in truth]
+        return sum(rs) / len(rs)
+
+    cents = km.init_centroids(emb, 16)
+    for _ in range(5):
+        cents = km.update_centroids(km.lloyd_assignments(emb, cents),
+                                    cents)
+    trained = recall(ivf_topk(emb, queries, k=10, nlist=16, nprobe=4,
+                              centroids=cents))
+    strided = recall(ivf_topk(emb, queries, k=10, nlist=16, nprobe=4))
+    assert trained >= strided, (trained, strided)
+    assert trained >= 0.5
