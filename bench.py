@@ -102,6 +102,7 @@ HEADLINE = [
     "token_pmi_pairs",
     "repetition_filter",
     "bigram_lm_scores",
+    "dedup_keep_best",
 ]
 
 

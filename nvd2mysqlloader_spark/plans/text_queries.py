@@ -607,3 +607,48 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                            avg.alias("avg_logprob"))
             .orderBy(avg, "doc_id")
             .limit(20))
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(text) AS content_hash,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id)
+               AS rk,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents)
+    SELECT content_hash, doc_id AS keeper_id, lang, source,
+           n_chars AS kept_chars, CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rk = 1
+    """,
+    doc=(
+        "best-copy dedup (the curation variant of exact dedup: when a "
+        "content group has multiple copies, keep the highest-quality "
+        "one — here longest n_chars, doc_id tie-break — not the "
+        "arbitrary min-id): one window over the content hash computes "
+        "rank and group size together, so a single md5 exchange "
+        "serves both the keeper choice and the copy count (filter "
+        "n_copies > 1 downstream to list only the duplicated "
+        "groups — the synthetic corpus has dup groups at sf0.1 "
+        "only, so the full keeper set keeps the oracle "
+        "non-vacuous at sf0.01). Quality-aware keeper "
+        "selection is what production dedup does (dedup_exact's "
+        "min-id keeper is the mechanical baseline). Shuffles the "
+        "128-bit hash + metadata, never the text."
+    ),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    wo = w.orderBy(F.desc("n_chars"), "doc_id")
+    ranked = (docs.select("doc_id", "lang", "source", "n_chars",
+                          F.md5("text").alias("content_hash"))
+              .withColumn("rk", F.row_number().over(wo))
+              .withColumn("n_copies", F.count(F.lit(1)).over(w)))
+    return (ranked.filter(F.col("rk") == 1)
+            .select("content_hash", F.col("doc_id").alias("keeper_id"),
+                    "lang", "source",
+                    F.col("n_chars").alias("kept_chars"), "n_copies"))

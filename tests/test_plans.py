@@ -365,6 +365,14 @@ def test_bigram_lm_counts_broadcast_worst_k_heap(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_dedup_keep_best_single_hash_exchange(spark):
+    # rank + group count share one Window partitioning: one exchange
+    # on the content hash, and the text column never shuffles
+    p = plan_of(spark, "dedup_keep_best")
+    assert p.count("hashpartitioning(") == 1
+    assert "Join" not in p
+
+
 def test_zorder_locality_single_rollup_exchange(spark):
     # morton interleave is pure projected integer arithmetic: the only
     # exchange is the 64-cell rollup
