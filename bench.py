@@ -103,6 +103,11 @@ HEADLINE = [
     "repetition_filter",
     "bigram_lm_scores",
     "dedup_keep_best",
+    "funnel_conversion",
+    "retention_cohorts",
+    "session_paths",
+    "tfidf_top_terms",
+    "oov_rate_filter",
 ]
 
 

@@ -18,3 +18,4 @@ from . import stats_queries      # noqa: F401,E402
 from . import curation_queries   # noqa: F401,E402
 from . import pipeline_queries   # noqa: F401,E402
 from . import retrieval_queries  # noqa: F401,E402
+from . import funnel_queries     # noqa: F401,E402

@@ -169,3 +169,64 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.min("xb").alias("min_xb"), F.max("xb").alias("max_xb"),
                  F.min("yb").alias("min_yb"), F.max("yb").alias("max_yb")))
+
+
+@query(
+    "oov_rate_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS c FROM ex
+        GROUP BY 1 ORDER BY c DESC, token LIMIT 200)),
+    oov AS (
+      SELECT e.doc_id, count(*) AS n_oov
+      FROM ex e LEFT JOIN vocab v USING (token)
+      WHERE v.token IS NULL GROUP BY 1),
+    d AS (
+      SELECT t.doc_id, t.source, len(t.t) AS n_toks,
+             coalesce(o.n_oov, 0) AS n_oov
+      FROM toks t LEFT JOIN oov o USING (doc_id))
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_oov * 2 > n_toks THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_oov,
+           CAST(sum(n_oov) AS BIGINT) AS oov_tokens,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_oov) AS DOUBLE) / sum(n_toks), 6)
+             AS oov_rate
+    FROM d GROUP BY source
+    """,
+    doc="out-of-vocabulary curation gate: top-200 corpus vocabulary "
+        "(heap, tie-broken), per-doc OOV count via broadcast ANTI join "
+        "on the exploded tokens, per-doc token totals via size() HOF "
+        "(no second explode), per-source rollup of exact integers",
+)
+def oov_rate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", "source", toks.alias("t"))
+    ex = base.select("doc_id", F.explode("t").alias("token"))
+    # vocabulary: one token rollup + a 200-row heap -> broadcastable
+    # at any corpus scale (its size is fixed, not data-dependent)
+    vocab = (ex.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), "token").limit(200)
+             .select("token"))
+    oov = (ex.join(F.broadcast(vocab), "token", "left_anti")
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_oov")))
+    # doc totals never re-explode: size() over the token array
+    d = (base.select("doc_id", "source",
+                     F.size("t").cast("bigint").alias("n_toks"))
+         .join(oov, "doc_id", "left")
+         .na.fill({"n_oov": 0}))
+    high = (F.col("n_oov") * 2 > F.col("n_toks")).cast("bigint")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(high).alias("n_high_oov"),
+                 F.sum("n_oov").alias("oov_tokens"),
+                 F.sum("n_toks").alias("total_tokens"),
+                 F.round(F.sum("n_oov").cast("double")
+                         / F.sum("n_toks"), 6).alias("oov_rate")))

@@ -20,7 +20,7 @@ as an explicit fixed-order sum over per-term columns, never a float
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tpch import load_table
@@ -203,3 +203,55 @@ def fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("dist") <= 2)
             .select("token_a", "token_b", "dist",
                     "freq_a", "freq_b"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             round(tf * ln(CAST(n.n_docs AS DOUBLE)
+                           / count(*) OVER (PARTITION BY token)), 6)
+               AS score
+      FROM tf, n),
+    ranked AS (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rk
+      FROM scored)
+    SELECT doc_id, token, score, rk FROM ranked WHERE rk <= 3
+    """,
+    doc="per-document top-3 TF-IDF terms: df from a COUNT window over "
+        "the (doc,token) rollup (never a second corpus scan), n_docs a "
+        "1-row broadcast, per-doc rank a window top-k; ln rounds to "
+        "6 dp in both engines (JVM vs libm 1-ulp drift)",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # (doc, token) rollup is the ONLY place raw tokens shuffle; df is
+    # a window over that aggregate (|docs|x|vocab| rows max), so the
+    # frequent-token skew a token-keyed join would hit never appears
+    # at full row width — only (doc_id, token, tf) triples move.
+    tf = (docs.select("doc_id", F.explode(toks).alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_w = Window.partitionBy("token")
+    scored = (tf.crossJoin(F.broadcast(n))
+              .select("doc_id", "token",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_docs").cast("double")
+                                      / F.count(F.lit(1)).over(df_w)), 6)
+                      .alias("score")))
+    rk_w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (scored
+            .withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") <= 3))

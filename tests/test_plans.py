@@ -379,3 +379,45 @@ def test_zorder_locality_single_rollup_exchange(spark):
     p = plan_of(spark, "zorder_locality")
     assert p.count("hashpartitioning(") == 1
     assert "Window" not in p and "Join" not in p
+
+
+def test_funnel_three_windows_one_user_exchange(spark):
+    # three chained conditional-MIN stages share ONE user_id
+    # partitioning; the event stream is never self-joined
+    p = plan_of(spark, "funnel_conversion")
+    assert p.count(") Window") == 3
+    assert "Join" not in p
+    assert p.count("Location: InMemoryFileIndex") == 1   # ONE scan
+    assert p.count("hashpartitioning(") <= 2             # window + distinct agg
+
+
+def test_session_paths_heap_topk(spark):
+    # path rollup is exchange #2; top-10 is a heap, never a full sort
+    p = plan_of(spark, "session_paths")
+    assert ") TakeOrderedAndProject" in p
+    assert p.count("hashpartitioning(") == 2
+    assert "Join" not in p
+
+
+def test_retention_cohorts_two_exchanges(spark):
+    p = plan_of(spark, "retention_cohorts")
+    assert p.count("hashpartitioning(") == 2             # user window + rollup
+    assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_tfidf_no_smj_df_from_window(spark):
+    # df comes from a COUNT window over the tf rollup; n_docs is a
+    # broadcast scalar — the corpus is never sort-merge-joined
+    p = plan_of(spark, "tfidf_top_terms")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p                # 1-row n_docs
+    assert p.count("hashpartitioning(") == 3
+
+
+def test_oov_vocab_broadcast_anti(spark):
+    # fixed-size vocabulary broadcasts; OOV count is a broadcast ANTI
+    # join, and the top-200 vocab pick is a heap
+    p = plan_of(spark, "oov_rate_filter")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert ") TakeOrderedAndProject" in p
