@@ -21,93 +21,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from nvd2mysqlloader_spark.plans import QUERIES            # noqa: E402
 from nvd2mysqlloader_spark.session import get_spark        # noqa: E402
 
+# Representative slice of the 100+ query surface, one-per-family plus
+# the heaviest ops. Kept to ~30 entries so the single stdout JSON line
+# stays well under 2 KB: the round-1 driver recorded only the last ~2 KB
+# of output and failed to parse the full-surface (~3 KB) line
+# (BENCH_r01.json: tail begins mid-JSON, parsed=null).
 HEADLINE = [
+    # reference parity: scan/agg/join/window/upsert shapes
     "pricing_summary",
     "star_join_revenue",
     "top1_per_key",
     "upsert_last_writer_wins",
     "rank_window",
     "explode_filter_reagg",
-    "date_range",
     "tally_count_distinct",
-    "incremental_gate",
-    "json_extract",
-    "tumbling_window",
-    "sessionization",
-    "dedup_exact",
-    "token_stats",
-    "text_quality",
-    "lang_id",
-    "ngram_jaccard_pairs",
-    "cosine_topk",
-    "rollup_revenue",
-    "pivot_status_revenue",
-    "asof_join_events",
-    "percentile_disc",
-    "anti_semi_customers",
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "multimodal_inventory",
+    # TPC-H analog analytic shapes
     "shipping_priority",
     "shipmode_priority_classes",
     "promo_revenue_share",
-    "cosine_near_dup",
-    "late_shipment_priority",
     "order_count_distribution",
-    "small_qty_revenue",
-    "large_volume_orders",
-    "disjunctive_filter_revenue",
-    "rich_inactive_customers",
-    "bpe_token_stats",
-    "winnow_fingerprint_pairs",
-    "error_window_event_rollup",
-    "local_supplier_volume",
-    "cross_nation_volume",
-    "nation_market_share",
     "product_type_profit",
-    "returned_item_revenue",
-    "top_supplier_revenue",
-    "lone_late_supplier",
     "min_cost_supplier",
-    "important_part_stock",
-    "supplier_cnt_by_part",
-    "dominant_part_suppliers",
-    "deterministic_sample",
-    "stratified_sample_mix",
-    "event_transitions",
-    "forecast_revenue_change",
-    "chunk_documents",
-    "quality_band_filter",
-    "dedup_cluster_sizes",
-    "group_sample_topk",
-    "sequence_packing",
-    "embedding_centroids",
-    "rolling_time_range",
-    "zscore_outliers",
-    "df_top_terms",
-    "weighted_sample",
-    "scd2_intervals",
-    "decontaminate_ngrams",
-    "zorder_locality",
-    "kmeans_clusters",
-    "agg_state_merge",
-    "user_event_features",
-    "unpivot_metrics",
-    "distribution_windows",
-    "bm25_search",
-    "fuzzy_token_join",
-    "column_profile",
-    "token_pmi_pairs",
-    "repetition_filter",
-    "bigram_lm_scores",
-    "dedup_keep_best",
+    "rollup_revenue",
+    # event-time / sessionization / range join
+    "tumbling_window",
+    "sessionization",
+    "error_window_event_rollup",
     "funnel_conversion",
-    "retention_cohorts",
-    "session_paths",
-    "tfidf_top_terms",
-    "oov_rate_filter",
+    # text analysis + dedup (LLM-pipeline ops)
+    "token_stats",
+    "text_quality",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "dedup_cluster_sizes",
+    "bm25_search",
+    "decontaminate_ngrams",
+    "chunk_documents",
+    # vectors / ANN / clustering
+    "cosine_topk",
+    "cosine_near_dup",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_centroids",
+    "kmeans_clusters",
+    # multimodal plumbing
+    "multimodal_inventory",
 ]
 
 

@@ -102,8 +102,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 0 ELSE 1 END AS new_sess
       FROM events
     ), numbered AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(sum(new_sess)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,

@@ -26,7 +26,8 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            count(*) AS n_media,
-           sum(octet_length(encode(text))) AS total_payload_bytes
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+             AS total_payload_bytes
     FROM documents GROUP BY 1
     """,
     doc="binary-column inventory: pack → mapInPandas decode → per-kind totals; oracle checks the decoded sizes against the source bytes (multimodal north-star plumbing)",

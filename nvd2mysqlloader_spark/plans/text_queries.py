@@ -57,9 +57,10 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens,
-           sum(length(text)) AS total_chars,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
            count(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
     """,
@@ -242,11 +243,11 @@ _BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT))
-             AS total_subtokens,
-           sum(CASE WHEN trim(text) = '' THEN 0
+           CAST(sum(CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT))
+                AS BIGINT) AS total_subtokens,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
                     ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-               END) AS total_ws_tokens
+               END) AS BIGINT) AS total_ws_tokens
     FROM documents GROUP BY source
     """,
     doc=(

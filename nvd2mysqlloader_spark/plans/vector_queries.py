@@ -111,7 +111,7 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_norms",
     oracle="""
     SELECT label, count(*) AS n_vecs,
-           sum(CAST(len(embedding) AS BIGINT)) AS total_dims
+           CAST(sum(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS total_dims
     FROM embeddings GROUP BY label
     """,
     doc="embedding-table profile: per-label counts and dimensionality (schema sanity for the vector path)",

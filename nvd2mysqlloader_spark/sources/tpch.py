@@ -24,19 +24,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (``region nation customer supplier part
     orders lineitem events documents embeddings``).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read nanos as long (runtime conf, works on any
-    session) and convert to a microsecond timestamp — floor(ns/1000)
-    truncation, identical to how DuckDB narrows TIMESTAMP_NS.
+    ``events.parquet`` has shipped with different physical ``ts`` types
+    across testdata generations (TIMESTAMP(NANOS); TIMESTAMP(MICROS)
+    with isAdjustedToUTC=false → TIMESTAMP_NTZ). Normalize all of them
+    to session-UTC TIMESTAMP so every downstream epoch extraction
+    (``unix_micros`` & co.) sees one type with DuckDB-identical epoch
+    values.
     """
     # pin determinism-relevant confs at call time: the caller's session
     # (driver harness, notebook) may not have been built by session.py
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer div — ns epochs exceed 2^53, double division drifts 1µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long: integer div — ns epochs exceed 2^53, double
+            # division drifts 1µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # wall-clock == UTC instant under the session tz pinned above,
+            # so this cast is epoch-preserving vs the DuckDB oracle
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -48,6 +48,18 @@ def compare(spark, sf_dir: str, fn, oracle: str) -> tuple[bool, str]:
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = sdf.columns
     con = duck_con(sf_dir)
+    # Arrow-type guard: the driver fetches DuckDB results via Arrow, where
+    # HUGEINT (sum of any integer type) lands as decimal128(38,0) and
+    # FLOAT stays float32 — both canonicalize differently from Spark's
+    # BIGINT/DOUBLE and hash-mismatch driver-side even when values agree
+    # (observed rounds 1-2). Oracles must CAST such columns explicitly.
+    tbl = con.execute(oracle).arrow()
+    hazards = [(f.name, str(f.type)) for f in tbl.schema
+               if str(f.type) in ("decimal128(38, 0)", "decimal256(76, 0)",
+                                  "float", "halffloat")]
+    if hazards:
+        con.close()
+        return False, f"driver-unsafe oracle output types (wrap in CAST): {hazards}"
     res = con.execute(oracle)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
