@@ -25,6 +25,23 @@ from pyspark.sql import functions as F
 _P = (1 << 31) - 1          # Mersenne prime modulus
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut the lineage so a DataFrame consumed by both sides of a
+    self-join (and again by a verify join-back) is computed ONCE.
+
+    Without this, AQE's broadcast conversion of the band/quarter
+    self-join defeats ReuseExchange and the whole upstream pipeline —
+    including the Arrow shingling UDF — re-executes per consumer
+    (measured 4× ArrowEvalPython in the candidate plan, ~5s of the
+    ~6s candidate step at sf0.1). ``localCheckpoint`` materializes to
+    executor-local blocks on first use; on a cluster the same role is
+    played by persisting the signature table (it is tiny: k longs per
+    doc, independent of document size), which is also the natural
+    incremental artifact at 100 TB — signatures are computed once per
+    new document, not per query."""
+    return df.localCheckpoint(eager=False)
+
+
 def _perm_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs from a tiny LCG — stable across runs
     and executors (no RNG state on the cluster)."""
@@ -68,7 +85,6 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     agreeing on a full band collide. Skewed mega-buckets (boilerplate
     dups) are AQE-split at scale.
     """
-    num_perm = None  # derived from the array at runtime via slice exprs
     # build (id, band_idx, band_hash) rows
     sig_len = F.size("sig")
     r = F.floor(sig_len / bands)
@@ -80,9 +96,13 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                             F.concat_ws(",", F.slice(F.col("sig"),
                                                      b * r + 1, r)))))
         .alias("band_idx", "band_hash")))
-    banded = banded.repartition(
-        banded.sparkSession.sparkContext.defaultParallelism,
-        "band_idx", "band_hash")     # ReuseExchange: one shuffle, one compute
+    # materialize once: both self-join sides read the same blocks
+    # instead of re-running the explode (+ everything upstream of
+    # ``sigs`` that isn't already cut). The join itself is a plain
+    # equi-join on (band_idx, band_hash) — AQE picks broadcast at small
+    # scale and a shuffle join with skew-split at 100 TB, where a
+    # boilerplate mega-bucket would otherwise straggle.
+    banded = _materialize(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -105,7 +125,8 @@ def minhash_near_dups(shingled: DataFrame, id_col: str = "doc_id",
     # candidates first (ids only through the bucket shuffle), then join
     # the signatures back for the estimate — measured ~3× faster than
     # carrying the 64-long signatures through the band self-join
-    sigs = minhash_signatures(shingled, id_col, shingles_col, num_perm)
+    sigs = _materialize(
+        minhash_signatures(shingled, id_col, shingles_col, num_perm))
     cand = lsh_candidate_pairs(sigs, id_col, bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -157,16 +178,16 @@ def simhash_near_dups(df: DataFrame, id_col: str, tokens_col: Column,
     ``bit_count(a XOR b)`` is the exact hamming distance; the quarter
     blocking keeps the self-join linear-ish instead of quadratic.
     """
-    fp = df.select(F.col(id_col), simhash64(tokens_col).alias("fp"))
+    fp = _materialize(
+        df.select(F.col(id_col), simhash64(tokens_col).alias("fp")))
     quarters = (fp.select(
         id_col, "fp",
         F.posexplode(F.array(*[
             F.shiftright("fp", q * 16).bitwiseAND(F.lit(0xFFFF))
             for q in range(4)]))
         .alias("q_idx", "q_val")))
-    quarters = quarters.repartition(
-        quarters.sparkSession.sparkContext.defaultParallelism,
-        "q_idx", "q_val")            # ReuseExchange: one shuffle, one compute
+    # one compute for both self-join sides (see _materialize)
+    quarters = _materialize(quarters)
     a, b = quarters.alias("a"), quarters.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (a.join(b, (F.col("a.q_idx") == F.col("b.q_idx"))
@@ -190,7 +211,9 @@ def minhash_near_dups_exact(shingled: DataFrame, id_col: str = "doc_id",
     ``array_intersect`` — O(candidates), not O(n²); results match the
     all-pairs ``ngram_jaccard_pairs`` query on every surviving pair.
     """
-    sigs = minhash_signatures(shingled, id_col, shingles_col, num_perm)
+    shingled = _materialize(shingled)
+    sigs = _materialize(
+        minhash_signatures(shingled, id_col, shingles_col, num_perm))
     cand = lsh_candidate_pairs(sigs, id_col, bands)
     sa = shingled.select(F.col(id_col).alias("id_a"),
                          F.col(shingles_col).alias("s_a"))
