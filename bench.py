@@ -43,11 +43,12 @@ HEADLINE = [
     "product_type_profit",
     "min_cost_supplier",
     "rollup_revenue",
-    # event-time / sessionization / range join
+    # event-time / sessionization / range join (incl. a real streaming drain)
     "tumbling_window",
     "sessionization",
     "error_window_event_rollup",
     "funnel_conversion",
+    "stream_tumbling_window",
     # text analysis + dedup (LLM-pipeline ops)
     "token_stats",
     "text_quality",
@@ -160,6 +161,11 @@ def main() -> None:
     # JIT the parquet-scan + agg codegen paths on the tiny sf before timing
     QUERIES["pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
     QUERIES["star_join_revenue"].fn(spark, "/root/testdata/sf0.001").count()
+    # warm the sketch path: its first run in a session pays ~6s of
+    # whole-pool Arrow worker spawn + localCheckpoint + codegen that no
+    # later run pays (measured 9.6s cold vs 2.6s steady at sf0.1)
+    QUERIES["minhash_near_dup"].fn(spark, "/root/testdata/sf0.001").count()
+    QUERIES["simhash_near_dup"].fn(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -19,6 +19,7 @@ from . import curation_queries   # noqa: F401,E402
 from . import pipeline_queries   # noqa: F401,E402
 from . import retrieval_queries  # noqa: F401,E402
 from . import funnel_queries     # noqa: F401,E402
+from . import streaming_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver-facing order. The correctness harness samples the FIRST 50
@@ -41,9 +42,9 @@ _DRIVER_PRIORITY = [
     # TPC-H analog analytic shapes
     "shipping_priority", "shipmode_priority_classes", "promo_revenue_share",
     "order_count_distribution", "product_type_profit", "min_cost_supplier",
-    # event-time analytics
+    # event-time analytics (incl. a REAL streaming drain under the oracle)
     "tumbling_window", "sessionization", "error_window_event_rollup",
-    "funnel_conversion", "rolling_time_range",
+    "funnel_conversion", "stream_tumbling_window",
     # text analysis + dedup (LLM-pipeline north star)
     "dedup_exact", "dedup_keep_best", "token_stats", "bpe_token_stats",
     "text_quality", "lang_id", "ngram_jaccard_pairs",

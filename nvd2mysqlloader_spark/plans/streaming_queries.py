@@ -1,0 +1,133 @@
+"""Structured-Streaming queries under the DuckDB-oracle gate.
+
+Everything else in ``streaming/`` is verified by stream==batch tests;
+these two entries go further and put an actual streaming drain —
+``readStream`` → watermark → event-time window → ``availableNow``
+micro-batches → memory sink — behind the same value-hash oracle as the
+batch queries. The streamed result must match ANSI SQL run by another
+engine, not just our own batch plan.
+
+The reference's closest concept is its hand-rolled polling loop
+(nvd2mysqlloader.py:508-531); event-time windows are the north-star
+streaming surface (SURVEY §2 #47-49).
+
+At 100 TB the same topology runs continuously: the file source becomes
+a bucketed landing zone or Kafka, ``availableNow`` becomes a real
+trigger, and the watermark is what bounds the state store — the drain
+here exercises exactly that plan, just to exhaustion of the input.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._helpers import dsum
+from .registry import query
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded source with the same ts
+    normalization the batch loader applies (NTZ/nanos → session-UTC
+    TIMESTAMP, see sources.tpch.load_table)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory: stream the sf dir with a
+    # glob pinned to the events file
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _drain(spark: SparkSession, stream_df: DataFrame) -> DataFrame:
+    """Run the stream to exhaustion (availableNow) into a memory sink;
+    return the final table. Unique sink name per run — the driver and
+    bench may invoke one query several times in a session."""
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    q = (stream_df.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "STREAMING tumbling window under the value-hash oracle: "
+        "readStream file source → withWatermark(2h) → 1h F.window agg "
+        "→ availableNow drain → memory sink; the streamed output must "
+        "hash-equal DuckDB's date_trunc GROUP BY over the same rows. "
+        "Same shuffle shape as the batch twin — partial aggregation "
+        "into the state store keyed by (window, event_type)."
+    ),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (_stream_events(spark, sf_dir)
+           .withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value", 4).alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n_events", "sum_value"))
+    return _drain(spark, agg)
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= 30 * 60 * 1000000
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT *, CAST(sum(new_sess)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc=(
+        "STREAMING native session windows (30-min gap) under the "
+        "oracle: session_window groupBy with watermarked state, drained "
+        "availableNow; hash-compared against the DuckDB gaps-and-"
+        "islands twin. session_last = max(ts) (Spark's window end is "
+        "last+gap, so the portable column is the max event time)."
+    ),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (_stream_events(spark, sf_dir)
+           .withWatermark("ts", "2 hours")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                    "user_id")
+           .agg(F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_last"),
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", 4).alias("sum_value"))
+           .select("user_id", "session_start", "session_last",
+                   "n_events", "sum_value"))
+    return _drain(spark, agg)
