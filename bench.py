@@ -64,6 +64,7 @@ HEADLINE = [
     "cosine_near_dup",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_pq",
     "embedding_centroids",
     "kmeans_clusters",
     # multimodal plumbing

@@ -186,6 +186,142 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the compressed-scan path. At 100 TB
+# raw float32 embeddings are the storage/IO bottleneck; PQ stores m
+# bytes per vector (here m=8 → 32-64× smaller than the raw column) and
+# scans codes with per-query lookup tables (ADC), so the whole corpus
+# pass is a narrow map over a tiny column with NO shuffle of vectors.
+# Candidates are exact-rescored like every other ANN path here.
+
+
+def pq_train(mat: np.ndarray, m: int = 8, ksub: int = 16,
+             iters: int = 5) -> list[np.ndarray]:
+    """Per-subspace k-means codebooks over an (n × d) float64 matrix.
+
+    Deterministic: init takes an evenly-strided sample of the rows in
+    norm-sorted stable order; Lloyd updates are plain numpy means. At
+    100 TB this trains on a driver-side sample (codebooks are m·ksub·d
+    doubles — broadcastable); training cost is independent of corpus
+    size.
+    """
+    n = mat.shape[0]
+    books = []
+    for sub in np.array_split(mat, m, axis=1):
+        order = np.argsort(np.linalg.norm(sub, axis=1), kind="stable")
+        cents = sub[order[::max(1, n // ksub)][:ksub]].copy()
+        if cents.shape[0] < ksub:                     # tiny corpora
+            reps = -(-ksub // cents.shape[0])
+            cents = np.tile(cents, (reps, 1))[:ksub]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = sub[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def pq_encode_udf(books: list[np.ndarray], splits: list[int]):
+    """array<float> → array<int> of m codebook indices (the PQ code)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(embs: pd.Series) -> pd.Series:
+        x = np.stack(embs.to_numpy()).astype(np.float64)
+        x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+        subs = np.split(x, splits, axis=1)
+        codes = np.stack([
+            ((s[:, None, :] - b[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for s, b in zip(subs, books)], axis=1)    # (batch, m)
+        return pd.Series([row.astype("int32").tolist() for row in codes])
+
+    return encode
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            query_id_col: str = "query_id",
+            m: int = 8, ksub: int = 16, fetch_k: int | None = None) -> DataFrame:
+    """PQ/ADC approximate top-k with exact rescoring.
+
+    Plan shape: train codebooks (driver sample) → encode corpus (narrow
+    Arrow map, m small ints per vector) → ADC scan: every partition
+    scores its codes against per-query distance lookup tables
+    (m × ksub doubles per query, closure-broadcast) and emits only its
+    LOCAL top ``fetch_k`` per query — the shuffle carries
+    O(partitions · queries · fetch_k) id/score pairs, never vectors —
+    → global rank → exact-cosine rescore of candidates → top k.
+
+    On unit vectors ADC approximates L2² = 2 − 2·cos, so ascending ADC
+    order is descending approximate cosine.
+    """
+    fetch_k = fetch_k or max(4 * k, 50)
+    dim = len(corpus.select(emb_col).first()[0])
+    bounds = np.cumsum([len(s) for s in np.array_split(np.arange(dim), m)])
+    splits = bounds[:-1].tolist()
+
+    pdf = corpus.select(emb_col).toPandas()
+    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    books = pq_train(mat, m, ksub)
+
+    encoded = corpus.select(
+        id_col, pq_encode_udf(books, splits)(emb_col).alias("code"))
+
+    q_rows = queries.select(query_id_col, emb_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_mat = q_mat / np.clip(np.linalg.norm(q_mat, axis=1, keepdims=True),
+                            1e-12, None)
+    # LUT[q, j, c] = ||q_sub_j − books[j][c]||²
+    q_subs = np.split(q_mat, splits, axis=1)          # m × (nq, dsub_j)
+    luts = np.stack([
+        np.stack([((q_subs[j][i] - books[j]) ** 2).sum(axis=1)
+                  for j in range(m)])
+        for i in range(len(q_rows))])                 # (nq, m, ksub)
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("adc_d2", T.DoubleType()),
+    ])
+    jj = np.arange(m)
+
+    def scan(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            codes = np.stack(b["code"].to_numpy())            # (n, m)
+            ids = b[id_col].to_numpy()
+            for qi, qid in enumerate(q_ids):
+                d2 = luts[qi][jj[None, :], codes].sum(axis=1)  # (n,)
+                top = np.argsort(d2, kind="stable")[:fetch_k]
+                yield pd.DataFrame({"query_id": qid,
+                                    "neighbor_id": ids[top],
+                                    "adc_d2": d2[top]})
+
+    cand = (encoded.mapInPandas(scan, out_schema)
+            .filter(F.col("neighbor_id") != F.col("query_id")))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"),
+                                               F.asc("neighbor_id"))
+    cand = (cand.withColumn("r", F.row_number().over(wq))
+            .filter(F.col("r") <= fetch_k).drop("r", "adc_d2"))
+
+    q_emb = queries.select(F.col(query_id_col).alias("query_id"),
+                           F.col(emb_col).alias("q_emb"))
+    scored = (corpus.select(F.col(id_col).alias("neighbor_id"), emb_col)
+              .join(F.broadcast(cand), "neighbor_id")
+              .join(F.broadcast(q_emb), "query_id")
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def cosine_candidate_pairs(corpus: DataFrame, threshold: float,
                            id_col: str = "vec_id",
                            emb_col: str = "embedding",

@@ -78,6 +78,26 @@ def minhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_pq",
+    oracle=None,
+    doc=(
+        "product-quantization ANN top-10 (m=8, ksub=16): corpus encoded "
+        "to 8 small ints per vector (32-64x smaller than raw float32 - "
+        "the compressed-scan path when 100 TB of embeddings are the IO "
+        "bottleneck), ADC scan with per-query LUTs emitting only local "
+        "top-k per partition, exact-cosine rescore of candidates; "
+        "recall-tested against the exact cosine_topk"
+    ),
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return pq_topk(emb, queries, k=10)
+
+
+@query(
     "ann_topk_ivf",
     oracle=None,
     doc="IVF ANN top-10 (nlist=16, nprobe=4): inverted centroid lists, 25% corpus scanned, recall ~2.5x the scan fraction on weakly-structured embeddings — the partition-based ANN scale path",

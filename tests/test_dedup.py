@@ -161,3 +161,35 @@ def test_ivf_kmeans_centroids_match_or_beat_strided(spark):
     strided = recall(ivf_topk(emb, queries, k=10, nlist=16, nprobe=4))
     assert trained >= strided, (trained, strided)
     assert trained >= 0.5
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    from nvd2mysqlloader_spark.operators.similarity import pq_topk
+    exact = QUERIES["cosine_topk"].fn(spark, SF_ORACLE).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    approx = pq_topk(emb, queries, k=10).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # every query returns a full top-k and the ADC+rescore pipeline
+    # recalls a solid fraction of the exact neighbors despite 8-byte
+    # codes (the rescore step guarantees returned cos_sim are exact)
+    assert all(len(v) == 10 for v in got.values())
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"PQ recall@10 too low: {avg:.2f} ({recalls})"
+
+
+def test_pq_codes_deterministic(spark):
+    from nvd2mysqlloader_spark.operators.similarity import pq_topk
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    a = sorted(map(tuple, pq_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, pq_topk(emb, queries, k=5).collect()))
+    assert a == b
