@@ -78,3 +78,76 @@ def stream_user_running_stats(events: DataFrame,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=timeout))
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's arbitrary-state API (the
+# successor to applyInPandasWithState): typed named state slots
+# (Value/List/Map) on a StatefulProcessor object plus first-class
+# timers. Demonstrated operator: per-user lifetime totals with EXACT
+# integer accumulation (value quantized to micros before summing, so
+# the streamed result is order- and batch-boundary-independent and
+# bit-equal to the batch groupBy twin).
+
+try:  # Spark >= 4.0, and the TWS state server needs protobuf at
+    # runtime (its driver worker imports google.protobuf.descriptor) —
+    # probe both so HAS_TWS means "will actually run here"
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object
+    HAS_TWS = False
+
+TWS_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value_micros", T.LongType()),
+])
+
+_TWS_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.LongType()),
+])
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key (n_events, exact micro-quantized value sum), carried in
+    a ValueState slot across micro-batches; emits the running totals
+    for the key once per batch it appears in (Update mode)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState("totals", _TWS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, s = self._totals.get() if self._totals.exists() else (0, 0)
+        import numpy as _np
+        for pdf in rows:
+            n += len(pdf)
+            # quantize each value to micros BEFORE summing: integer adds
+            # commute exactly across rows, batches, and partitions
+            s += int(_np.round(pdf["value"].to_numpy(dtype="float64")
+                               * 1e6).astype("int64").sum())
+        self._totals.update((n, s))
+        import pandas as _pd
+        yield _pd.DataFrame([{"user_id": key[0], "n_events": n,
+                              "sum_value_micros": s}])
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_totals_tws(events: DataFrame) -> DataFrame:
+    """events stream → running per-user totals via
+    ``transformWithStateInPandas`` (timeMode none: bounded availableNow
+    drains; switch to processingTime + registerTimer for expiry on
+    long-lived streams — same state-hygiene role as watermarks)."""
+    return (events
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotalsProcessor(),
+                outputStructType=TWS_OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))

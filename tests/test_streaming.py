@@ -153,3 +153,36 @@ def test_stream_interval_join_equals_batch(spark, events_parquet):
     got = [tuple(r) for r in got_df.collect()]
     assert len(got) == len(set(got))          # appended exactly once
     assert set(got) == want
+
+
+def test_tws_running_totals_exact(spark, events_parquet):
+    """transformWithStateInPandas (Spark 4 typed-state API): per-user
+    lifetime totals carried in a ValueState slot across micro-batches;
+    the final emission per user is bit-equal to the batch twin thanks to
+    micro-quantized integer accumulation."""
+    from nvd2mysqlloader_spark.streaming.stateful import (
+        HAS_TWS, stream_user_totals_tws)
+    if not HAS_TWS:
+        pytest.skip("transformWithStateInPandas needs Spark >= 4")
+    schema = spark.read.parquet(events_parquet).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(events_parquet))
+    out = _run_stream(spark, stream_user_totals_tws(stream),
+                      "tws_out", mode="update")
+    rows = out.collect()
+    assert rows, "tws stream produced no output"
+    last_n, last_s = {}, {}
+    for r in rows:                      # running totals only grow
+        if r.n_events >= last_n.get(r.user_id, -1):
+            last_n[r.user_id] = r.n_events
+            last_s[r.user_id] = r.sum_value_micros
+    batch = (spark.read.parquet(events_parquet)
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.expr("CAST(round(value * 1e6) AS BIGINT)"))
+                  .alias("s")).collect())
+    truth_n = {r.user_id: r.n for r in batch}
+    truth_s = {r.user_id: r.s for r in batch}
+    assert last_n == truth_n
+    assert last_s == truth_s
