@@ -206,21 +206,20 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # carry the per-doc shingle-set size through the explode so the
-    # self-join already has both sizes — no extra joins, and the two
-    # identical join inputs share one shuffle via ReuseExchange.
+    # self-join already has both sizes — no extra joins.
     # repartition first: shingling is CPU-heavy and a small parquet
     # arrives as one split — spread it across all cores before the
-    # expensive projection (vectorized Arrow shingler, see shingle3_udf)
-    # the explicit repartition on the join key makes both self-join
-    # sides the same exchange → ReuseExchange computes the shingle
-    # pipeline once and the join consumes one co-partitioned shuffle
-    # (measured 6-9s → 2.5s at sf0.1)
+    # expensive projection (vectorized Arrow shingler, see shingle3_udf).
+    # The inverted index is materialized ONCE for both self-join sides:
+    # AQE's broadcast conversion re-plans each side independently, so
+    # ReuseExchange never fires and the Arrow shingle pipeline would
+    # otherwise run per side (see operators.dedup._materialize).
     ex = (docs
           .repartition(spark.sparkContext.defaultParallelism)
           .select("doc_id", shingle3_udf()("text").alias("s"))
           .select("doc_id", F.size("s").alias("nsh"),
                   F.explode("s").alias("shingle"))
-          .repartition(spark.sparkContext.defaultParallelism, "shingle"))
+          .localCheckpoint(eager=False))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -346,13 +345,15 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", winnow_fingerprints_udf()(norm).alias("fps"))
           .select("doc_id", F.explode("fps").alias("fp")))
     # df cap and per-doc set size as window counts: two narrow shuffles
-    # (fp, then doc_id), no extra scans of the fingerprint pipeline
+    # (fp, then doc_id), no extra scans of the fingerprint pipeline.
+    # Materialized once for both self-join sides (AQE broadcast defeats
+    # ReuseExchange; see operators.dedup._materialize).
     rare = (ex
             .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("fp")))
             .filter(F.col("d") <= _FP_DF_CAP)
             .withColumn("nfp", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
             .select("doc_id", "fp", "nfp")
-            .repartition(spark.sparkContext.defaultParallelism, "fp"))
+            .localCheckpoint(eager=False))
     a, b = rare.alias("a"), rare.alias("b")
     inter = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
