@@ -167,3 +167,49 @@ def error_window_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("anchor_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  dsum("value", 4).alias("sum_value")))
+
+
+@query(
+    "gap_filled_hourly",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    ), bounds AS (
+      SELECT min(hour_start) AS lo, max(hour_start) AS hi FROM agg
+    ), cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    )
+    SELECT c.hour_start,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM cal c LEFT JOIN agg a USING (hour_start)
+    """,
+    doc=(
+        "time-series gap filling: hourly rollup → derive [min,max] "
+        "bounds from the rollup itself (ONE fact scan), generate the "
+        "dense hour calendar with sequence()+explode, left-join the "
+        "rollup back and zero-fill missing buckets. The calendar and "
+        "rollup are both tiny post-aggregation — the fill join "
+        "broadcasts; at 100 TB the only heavy step stays the "
+        "partial-aggregating rollup scan."
+    ),
+)
+def gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = (events
+           .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                dsum("value", 4).alias("sum_value"))
+           .localCheckpoint(eager=False))   # one scan feeds bounds + join
+    cal = (agg.agg(F.min("hour_start").alias("lo"),
+                   F.max("hour_start").alias("hi"))
+           .select(F.explode(F.sequence(
+               "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")))
+    return (cal.join(agg, "hour_start", "left")
+            .select("hour_start",
+                    F.coalesce("n_events", F.lit(0)).cast("bigint")
+                    .alias("n_events"),
+                    F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")))
