@@ -435,3 +435,37 @@ def test_driver_window_is_curated_and_oracle_backed():
     missing = [n for n in names[:50]
                if QUERIES[n].oracle is None and n not in allowed_rows_only]
     assert not missing, f"non-oracle queries in driver window: {missing}"
+
+
+# queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# every one is a 1-row scalar side (global total / threshold / corpus
+# stats) broadcast into the fact — O(n), not quadratic. Anything NEW
+# appearing here must be reviewed: an equi-join that degenerates to
+# BNLJ is the classic 100 TB cliff.
+_SCALAR_BNLJ_OK = {
+    "incremental_gate", "bm25_search", "cosine_topk", "token_pmi_pairs",
+    "bigram_lm_scores", "rich_inactive_customers", "important_part_stock",
+    "tfidf_top_terms",
+}
+
+
+def test_no_unexpected_nested_loop_or_cartesian_joins(spark):
+    """Plan lint across the whole registered surface: no
+    CartesianProduct anywhere; BroadcastNestedLoopJoin only where a
+    1-row scalar side makes it linear (whitelist above). Streaming
+    drains are excluded (their fn executes the stream; the result is a
+    memory-sink scan with no join planning to lint)."""
+    offenders = {}
+    for name, q in QUERIES.items():
+        if name.startswith("stream_"):
+            continue
+        df = q.fn(spark, "/root/testdata/sf0.001")
+        p = df._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        if "CartesianProduct" in p:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in p and name not in _SCALAR_BNLJ_OK:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"unexpected non-equi join plans: {offenders}"
