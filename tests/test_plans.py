@@ -469,3 +469,24 @@ def test_no_unexpected_nested_loop_or_cartesian_joins(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"unexpected non-equi join plans: {offenders}"
+
+
+def test_gap_filled_hourly_single_scan_broadcast_fill(spark):
+    # the rollup is checkpointed once (ExistingRDD) and feeds both the
+    # bounds->calendar branch and the fill join; the joins broadcast
+    # (everything post-rollup is tiny) — never a sort-merge join
+    p = plan_of(spark, "gap_filled_hourly")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "ExistingRDD" in p            # one materialized rollup, reused
+    assert "Generate" in p               # sequence() calendar explode
+
+
+def test_pq_scan_shape(spark):
+    # ADC scan is MapInPandas over the encoded codes; the only window
+    # ranks id/score candidate pairs, and no vector column crosses a
+    # sort-merge join
+    p = plan_of(spark, "ann_topk_pq")
+    assert "MapInPandas" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p      # candidate + query join-backs
