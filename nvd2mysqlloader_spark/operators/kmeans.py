@@ -34,12 +34,19 @@ _MICROS = 1e6
 
 
 def _assign_udf(cents: np.ndarray):
-    """Arrow-batched argmin assignment against a captured k×d matrix."""
+    """Arrow-batched argmin assignment against a captured k×d matrix.
+
+    Expanded-form distances: argmin_c ||x−c||² = argmin_c (||c||² −
+    2·x·c) — one (n×d)@(d×k) matmul per batch instead of an n×k×d
+    broadcast cube (~d× less memory traffic). The numpy twin in
+    tests/test_kmeans.py replays this exact expression, so assignments
+    stay bit-reproducible."""
+    cnorm2 = (cents ** 2).sum(axis=1)
 
     @F.pandas_udf("int")
     def assign(col: pd.Series) -> pd.Series:
         m = np.array(col.tolist(), dtype=np.float64)        # n × d
-        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = cnorm2[None, :] - 2.0 * (m @ cents.T)          # n × k (+‖x‖²)
         return pd.Series(d2.argmin(axis=1))
 
     return assign

@@ -27,7 +27,8 @@ def _numpy_twin(vecs: dict[int, np.ndarray], cents: np.ndarray,
     m = np.array([vecs[i] for i in ids], dtype=np.float64)
 
     def assign(c):
-        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # identical expression to operators.kmeans._assign_udf
+        d2 = (c ** 2).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
         return d2.argmin(axis=1)
 
     for _ in range(iters):
