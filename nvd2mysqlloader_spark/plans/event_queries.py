@@ -213,3 +213,44 @@ def gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_events", F.lit(0)).cast("bigint")
                     .alias("n_events"),
                     F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")))
+
+
+@query(
+    "salted_skew_rollup",
+    oracle="""
+    WITH dim(event_type, weight) AS (
+      VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0),
+             ('error', 0.0), ('login', 0.5)
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))
+                    * CAST(d.weight AS DECIMAL(6,1))) AS DOUBLE)
+             AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    doc=(
+        "skew-salted dimension join under the oracle gate: event_type "
+        "has ~5 values over the whole fact (extreme key skew — the "
+        "worst case for a plain shuffle join), so the fact side gets a "
+        "deterministic row-hash salt and the 5-row dim is replicated "
+        "per salt value (operators.scale.salted_join); a hot key "
+        "spreads across 16 partitions instead of melting one. Results "
+        "must hash-equal the plain GROUP BY oracle — salting is a "
+        "physical rewrite with zero semantic drift."
+    ),
+)
+def salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+         ("error", 0.0), ("login", 0.5)], ["event_type", "weight"])
+    joined = salted_join(events, dim, "event_type", salt_buckets=16)
+    wv = (F.col("value").cast("decimal(18,4)")
+          * F.col("weight").cast("decimal(6,1)"))
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(wv).cast("double").alias("weighted_value")))
