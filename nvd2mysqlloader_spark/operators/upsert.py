@@ -74,22 +74,28 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     immutable attribute of the key (published year of a CVE), so an
     updated key cannot migrate between partitions.
     """
+    import os
+
     spark = updates.sparkSession
     if partition_by:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        "dynamic")
-        affected = [tuple(r) for r in
-                    updates.select(*partition_by).distinct().collect()]
-        pred = None
-        for vals in affected:
-            clause = F.lit(True)
-            for c, v in zip(partition_by, vals):
-                clause = clause & (F.col(c) == F.lit(v))
-            pred = clause if pred is None else (pred | clause)
-        try:
-            target = spark.read.parquet(target_path).filter(pred)
-            merged = merge_upsert(target, updates, keys)
-        except Exception:  # first load: target does not exist yet
+        merged = None
+        if os.path.exists(target_path):  # skip partition census on first load
+            affected = [tuple(r) for r in
+                        updates.select(*partition_by).distinct().collect()]
+            pred = None
+            for vals in affected:
+                clause = F.lit(True)
+                for c, v in zip(partition_by, vals):
+                    clause = clause & (F.col(c) == F.lit(v))
+                pred = clause if pred is None else (pred | clause)
+            try:
+                target = spark.read.parquet(target_path).filter(pred)
+                merged = merge_upsert(target, updates, keys)
+            except Exception:  # unreadable/empty target dir
+                merged = None
+        if merged is None:
             merged = updates
         # materialize before overwrite (read and write same path)
         merged.cache()
