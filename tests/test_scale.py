@@ -55,3 +55,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # co-located buckets: the join itself introduces no shuffle exchange
     assert "Exchange hashpartitioning" not in plan, plan
     assert joined.count() == li.count()
+
+
+def test_runtime_bloom_filter_prunes_big_shuffle_join(spark):
+    """When a join is too big to broadcast but one side is selectively
+    filtered, Spark can inject a runtime bloom filter: the filtered
+    side builds a bloom_filter_agg and the fact side applies
+    might_contain BEFORE its shuffle — row-level semi-join pruning, the
+    companion to partition pruning for 100 TB shuffle joins. Pin the
+    injection with the thresholds a real deployment would tune."""
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in p       # build on the filtered side
+        assert "might_contain" in p          # applied on the fact scan side
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
