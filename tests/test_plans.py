@@ -446,6 +446,9 @@ _SCALAR_BNLJ_OK = {
     "incremental_gate", "bm25_search", "cosine_topk", "token_pmi_pairs",
     "bigram_lm_scores", "rich_inactive_customers", "important_part_stock",
     "tfidf_top_terms",
+    # deliberate tiny-side replication: the 5-row dim cross-joined with
+    # the salt range (5 x 16 = 80 rows) in operators.scale.salted_join
+    "salted_skew_rollup",
 }
 
 
