@@ -35,10 +35,13 @@ _DRIVER_PRIORITY = [
     "upsert_last_writer_wins", "flatten_defaults", "explode_filter_reagg",
     "star_join_revenue", "incremental_gate", "meta_parse", "json_extract",
     "asof_join_events",
-    # extended SQL surface
-    "rollup_revenue", "cube_counts", "grouping_sets_mix",
+    # extended SQL surface (grouping_sets_mix stays oracle-tested in
+    # the suite; its window slot goes to the skew-salting demo below)
+    "rollup_revenue", "cube_counts",
     "pivot_status_revenue", "percentile_disc", "set_ops_customers",
     "anti_semi_customers",
+    # physical-rewrite correctness: salted skew join == plain GROUP BY
+    "salted_skew_rollup",
     # TPC-H analog analytic shapes
     "shipping_priority", "shipmode_priority_classes", "promo_revenue_share",
     "order_count_distribution", "product_type_profit", "min_cost_supplier",
