@@ -129,3 +129,27 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kmeans(emb, k=8, iters=3)
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
+@query(
+    "approx_quantiles",
+    oracle=None,
+    doc=(
+        "percentile_approx (GK sketch, accuracy 10000) next to the "
+        "exact discrete percentiles for p50/p90/p99 of event values — "
+        "the sketch path for quantiles at 100 TB where an exact sort "
+        "is a full shuffle; rank-error bound pinned by test "
+        "(sketch internals engine-specific, rows-only)"
+    ),
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ps = [0.5, 0.9, 0.99]
+    return events.agg(
+        F.percentile_approx("value", ps, 10000).alias("approx"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .alias("exact_p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
+        .alias("exact_p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
+        .alias("exact_p99"))

@@ -193,3 +193,13 @@ def test_pq_codes_deterministic(spark):
     a = sorted(map(tuple, pq_topk(emb, queries, k=5).collect()))
     b = sorted(map(tuple, pq_topk(emb, queries, k=5).collect()))
     assert a == b
+
+
+def test_approx_quantiles_bounded(spark):
+    r = QUERIES["approx_quantiles"].fn(spark, SF_ORACLE).first()
+    for approx, exact in zip(r.approx, (r.exact_p50, r.exact_p90,
+                                        r.exact_p99)):
+        # GK with accuracy=10000: rank error <= n/10000; translate to a
+        # generous value tolerance on this distribution
+        assert abs(approx - exact) <= max(0.5, 0.02 * abs(exact)), \
+            (approx, exact)
