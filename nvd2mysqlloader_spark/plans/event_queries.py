@@ -254,3 +254,68 @@ def salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(wv).cast("double").alias("weighted_value")))
+
+
+_PATTERN = [50.0, 60.0, 70.0, 60.0, 50.0, 40.0, 30.0, 40.0]
+
+
+def _d2_sql(pat: list[float], elem: str) -> str:
+    """Left-to-right nested sum of squared deltas — the SAME expression
+    tree in both engines, so the doubles are bit-equal (IEEE ops are
+    correctly rounded; equal inputs + equal parenthesization = equal
+    bits). ``elem`` is an accessor template ('s[{i}]' for DuckDB's
+    1-based subscript, 'element_at(s, {i})' for Spark's 1-based
+    element_at — Spark's [] subscript is 0-based)."""
+    def t(i, p):
+        e = elem.format(i=i + 1)
+        return f"(({e} - {p}) * ({e} - {p}))"
+    terms = [t(i, p) for i, p in enumerate(pat)]
+    out = terms[0]
+    for term in terms[1:]:
+        out = f"({out} + {term})"
+    return out
+
+
+@query(
+    "pattern_match_topk",
+    oracle=f"""
+    WITH sub AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             list(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN CURRENT ROW
+                               AND 7 FOLLOWING) AS s
+      FROM events
+    )
+    SELECT user_id, pos, {_d2_sql(_PATTERN, 's[{i}]')} AS d2
+    FROM sub WHERE len(s) = 8
+    ORDER BY d2, user_id, pos LIMIT 10
+    """,
+    doc=(
+        "time-series subsequence similarity search (pattern matching): "
+        "each user's event-value series yields its length-8 "
+        "subsequences via a rows-frame collect_list (frame order = "
+        "sort order, deterministic), squared euclidean distance to a "
+        "fixed pattern as one shared expression tree (bit-equal "
+        "doubles across engines), heap top-10 "
+        "(TakeOrderedAndProject — never a full sort). One shuffle on "
+        "user_id; at 100 TB the pattern scan is embarrassingly "
+        "parallel per series partition (cf. distributed subsequence "
+        "matching in EDBT'19 streaming-similarity literature)."
+    ),
+)
+def pattern_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = order.rowsBetween(Window.currentRow, 7)
+    sub = (events.select(
+        "user_id",
+        F.row_number().over(order).alias("pos"),
+        F.collect_list("value").over(frame).alias("s"))
+        .filter(F.size("s") == 8))
+    d2 = F.expr(_d2_sql(_PATTERN, "element_at(s, {i})"))
+    return (sub.select("user_id", "pos", d2.alias("d2"))
+            .orderBy(F.asc("d2"), F.asc("user_id"), F.asc("pos"))
+            .limit(10))
