@@ -273,3 +273,63 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_intervals"),
                  F.sum(dur).alias("total_us"),
                  F.max(dur).alias("max_us")))
+
+
+_CORR_EXPR = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "corr_quantity_price",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)
+                 * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           {_CORR_EXPR} AS corr_qty_price
+    FROM m
+    """,
+    doc=(
+        "Pearson correlation per group from EXACT integer moments: "
+        "values quantized to cents (BIGINT) so the five sums are "
+        "order-independent and engine-exact; the correlation itself is "
+        "ONE shared double expression over those exact moments, "
+        "rounded to 6 dp to absorb the final-step ulp (the bm25/PMI "
+        "rounding discipline). Never avg()/corr() over doubles — both "
+        "are accumulation-order-dependent under parallel partials. One "
+        "partial-aggregating exchange at any scale."
+    ),
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    # DuckDB sums of BIGINT are HUGEINT (exact); mirror with DECIMAL(38,0)
+    # partials so Spark is exact too, then the shared expression casts
+    dec = "decimal(38,0)"
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x.cast(dec)).alias("sx"),
+              F.sum(y.cast(dec)).alias("sy"),
+              F.sum((x * y).cast(dec)).alias("sxy"),
+              F.sum((x * x).cast(dec)).alias("sxx"),
+              F.sum((y * y).cast(dec)).alias("syy")))
+    return m.select("l_returnflag",
+                    F.col("n").alias("n_rows"),
+                    F.expr(_CORR_EXPR).alias("corr_qty_price"))
