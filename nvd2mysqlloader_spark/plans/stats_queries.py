@@ -333,3 +333,41 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("l_returnflag",
                     F.col("n").alias("n_rows"),
                     F.expr(_CORR_EXPR).alias("corr_qty_price"))
+
+
+@query(
+    "heavy_hitter_keys",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM per_key
+    )
+    SELECT p.o_custkey, p.n_orders,
+           round(CAST(p.n_orders AS DOUBLE) / CAST(t.total AS DOUBLE), 9)
+             AS share
+    FROM per_key p, tot t
+    ORDER BY p.n_orders DESC, p.o_custkey LIMIT 20
+    """,
+    doc=(
+        "skew diagnostics: top-20 heaviest join/agg keys with their "
+        "share of all rows — the detection side of the skew toolkit "
+        "(operators.scale.salted_join + AQE skew-join are the cure; "
+        "this query is how a 100 TB pipeline finds the keys that melt "
+        "a shuffle partition). Per-key rollup partial-aggregates; the "
+        "1-row total joins back as a broadcast scalar; heap top-20 "
+        "(TakeOrderedAndProject), never a global sort."
+    ),
+)
+def heavy_hitter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = (orders.groupBy("o_custkey")
+               .agg(F.count(F.lit(1)).alias("n_orders")))
+    total = per_key.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    share = F.round(F.col("n_orders").cast("double")
+                    / F.col("total").cast("double"), 9)
+    return (per_key.crossJoin(F.broadcast(total))
+            .select("o_custkey", "n_orders", share.alias("share"))
+            .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+            .limit(20))

@@ -449,6 +449,8 @@ _SCALAR_BNLJ_OK = {
     # deliberate tiny-side replication: the 5-row dim cross-joined with
     # the salt range (5 x 16 = 80 rows) in operators.scale.salted_join
     "salted_skew_rollup",
+    # 1-row grand-total scalar broadcast into the per-key rollup
+    "heavy_hitter_keys",
 }
 
 
