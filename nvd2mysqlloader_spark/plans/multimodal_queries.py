@@ -50,8 +50,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "video_frame_sample",
-    oracle=None,
-    doc="frame sampling: video binaries → one row per sampled frame (explode-shaped multimodal op)",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT v.media_id, CAST(k.k AS INT) AS frame_idx,
+           CAST(least(64, v.L - k.k * 64) AS INT) AS frame_bytes
+    FROM v, (SELECT unnest(range(0, 8)) AS k) k
+    WHERE k.k * 64 < least(8 * 64, v.L)
+    """,
+    doc=(
+        "frame sampling: video binaries → one row per sampled frame "
+        "(explode-shaped multimodal op over mapInPandas). The synthetic "
+        "SGM1 container makes the decode SQL-replayable, so the frame "
+        "inventory (id, index, byte-length) is fully oracle-checked — "
+        "the payload slicing itself stays binary-side in Spark."
+    ),
 )
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(_media(spark, sf_dir))
