@@ -73,6 +73,14 @@ HEADLINE = [
     "chunk_documents",
     # multimodal plumbing
     "multimodal_inventory",
+    "video_frame_sample",
+    # round-3 additions: gap fill, skew tools, exact-moment stats,
+    # subsequence matching
+    "gap_filled_hourly",
+    "salted_skew_rollup",
+    "heavy_hitter_keys",
+    "corr_quantity_price",
+    "pattern_match_topk",
 ]
 
 
