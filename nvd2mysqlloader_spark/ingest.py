@@ -42,8 +42,11 @@ def fresh_feeds(spark: SparkSession, landing: str, warehouse: str) -> DataFrame:
     """Feeds whose remote .meta is newer than the stored high-water
     mark — the incremental gate (nvd2mysqlloader.py:67-99). Missing
     state ⇒ everything is fresh (the sentinel-date semantics, :89)."""
+    import os
     meta = parse_meta(spark, f"{landing}/*.meta")
     try:
+        if not os.path.exists(f"{warehouse}/update_history"):
+            return meta              # no history yet: load everything
         hist = spark.read.parquet(f"{warehouse}/update_history")
         hwm = (hist.groupBy("download_name")
                .agg(F.max_by("lastModifiedDate", "downloadedDate")
@@ -60,6 +63,9 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str) -> dict:
     """One incremental batch. Returns counts (the reference's tally
     delta report, nvd2mysqlloader.py:562-573)."""
     def tally(path: str) -> int:            # count(distinct cve_id), ref :494
+        import os
+        if not os.path.exists(path):        # avoid noisy first-load probes
+            return 0
         try:
             return (spark.read.parquet(path)
                     .select(F.count_distinct("cve_id")).first()[0])

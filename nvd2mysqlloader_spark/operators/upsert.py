@@ -109,11 +109,13 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
             .parquet(target_path)
         merged.unpersist()
         return
-    try:
-        target = spark.read.parquet(target_path)
-        merged = merge_upsert(target, updates, keys)
-    except Exception:  # first load: target does not exist yet
-        merged = updates
+    merged = updates
+    if os.path.exists(target_path):  # avoid noisy first-load read probe
+        try:
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, updates, keys)
+        except Exception:  # unreadable/empty target dir
+            merged = updates
     merged.cache()
     merged.count()
     merged.write.mode("overwrite").parquet(target_path)
