@@ -55,8 +55,9 @@ _DRIVER_PRIORITY = [
     # vectors / similarity
     "cosine_topk", "cosine_near_dup", "embedding_norms",
     "embedding_centroids",
-    # multimodal plumbing + one sketch representative (rows-only)
-    "multimodal_inventory", "minhash_near_dup_exact",
+    # multimodal plumbing: binary inventory + the frame-sample explode,
+    # both oracle-backed (the SGM1 container makes decode SQL-replayable)
+    "multimodal_inventory", "video_frame_sample",
 ]
 
 

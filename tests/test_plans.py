@@ -431,9 +431,7 @@ def test_driver_window_is_curated_and_oracle_backed():
     from nvd2mysqlloader_spark.plans import _DRIVER_PRIORITY
     names = list(QUERIES)
     assert names[:len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
-    allowed_rows_only = {"minhash_near_dup_exact"}
-    missing = [n for n in names[:50]
-               if QUERIES[n].oracle is None and n not in allowed_rows_only]
+    missing = [n for n in names[:50] if QUERIES[n].oracle is None]
     assert not missing, f"non-oracle queries in driver window: {missing}"
 
 
