@@ -41,8 +41,27 @@ def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_features",
-    oracle=None,
-    doc="per-media decoded features (dims, payload bytes, mean byte) via Arrow mapInPandas — rows-only (byte-level features not SQL-expressible)",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + doc_id % 32 AS INT) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE list_avg(list_transform(
+                       range(1, length(text) + 1),
+                       i -> CAST(unicode(text[i]) AS DOUBLE))) END
+             AS mean_byte
+    FROM documents
+    """,
+    doc=(
+        "per-media decoded features (dims, payload bytes, mean byte) "
+        "via Arrow mapInPandas. The corpus is ASCII, so the byte-level "
+        "mean is SQL-replayable as a codepoint mean: integer sums are "
+        "exact in float64 regardless of accumulation order, making the "
+        "mapInPandas numpy mean and DuckDB's list_avg bit-equal."
+    ),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(_media(spark, sf_dir))
