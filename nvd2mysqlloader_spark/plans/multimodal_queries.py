@@ -92,3 +92,51 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(_media(spark, sf_dir))
     return frames.select("media_id", "frame_idx",
                          F.length("frame").alias("frame_bytes"))
+
+
+@query(
+    "image_resize_inventory",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(16 + doc_id % 48 AS INT) AS w,
+             CAST(16 + doc_id % 32 AS INT) AS h,
+             octet_length(encode(text)) AS L
+      FROM documents
+    ), r AS (
+      SELECT media_id, kind, w, h, L,
+             greatest(w, h) / 32.0 AS scale
+      FROM m
+    ), s AS (
+      SELECT media_id, kind, L,
+             CASE WHEN kind <> 'image' OR greatest(w, h) <= 32 THEN NULL
+                  ELSE greatest(1, L // (greatest(1, CAST(trunc(w / scale) AS BIGINT))
+                                         * greatest(1, CAST(trunc(h / scale) AS BIGINT))))
+             END AS step
+      FROM r
+    )
+    SELECT media_id, kind,
+           CAST(CASE WHEN step IS NULL THEN 9 + L
+                     ELSE 9 + (L + step - 1) // step END AS BIGINT)
+             AS n_out_bytes
+    FROM s
+    """,
+    doc=(
+        "image resize inventory: mapInPandas 'resize' (dim clamp + "
+        "payload stride subsample — a codec call in production, "
+        "identical plan shape) and the resulting per-media byte sizes, "
+        "hash-verified against a pure-SQL replay of the stride "
+        "arithmetic (float64 scale division + truncation written "
+        "identically in both engines). With this, every multimodal op "
+        "(inventory, features, frames, resize) is oracle-checked."
+    ),
+)
+def image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary import resize_images
+
+    resized = resize_images(_media(spark, sf_dir), max_side=32)
+    return resized.select(
+        "media_id", "kind",
+        F.length("content").cast("bigint").alias("n_out_bytes"))
