@@ -67,7 +67,25 @@ def compact_parquet(spark: SparkSession, path: str,
     Z-order layout in ``plans.curation_queries.zorder_locality``) so
     range predicates skip row groups again after many unordered
     appends.
+
+    Hive-partitioned tables (``col=val`` subdirectories) are compacted
+    per partition directory, so the layout — and partition pruning —
+    is preserved and each partition's rewrite is independent (at scale:
+    trivially parallel and restartable per partition).
     """
+    part_dirs = sorted(
+        os.path.join(path, d) for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d)))
+    if part_dirs:
+        before = after = 0
+        total = 0
+        for sub in part_dirs:
+            stats = compact_parquet(spark, sub, target_bytes, sort_by)
+            before += stats["before_files"]
+            after += stats["after_files"]
+            total += stats["bytes"]
+        return {"before_files": before, "after_files": after,
+                "bytes": total, "partitions": len(part_dirs)}
     plan = plan_compaction(path, target_bytes)
     df = spark.read.parquet(path)
     if sort_by:
