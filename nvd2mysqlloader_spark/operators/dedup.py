@@ -225,3 +225,71 @@ def minhash_near_dups_exact(shingled: DataFrame, id_col: str = "doc_id",
     return (cand.join(sa, "id_a").join(sb, "id_b")
             .select("id_a", "id_b", (inter / union).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup maintenance — the 100 TB operating mode.
+#
+# A full-corpus self-join per batch is O(corpus) every time; the
+# production shape is a PERSISTED signature table (k longs per doc,
+# independent of document size) maintained incrementally: each new
+# batch computes signatures for ITS documents only, probes the banded
+# signature table for candidates, and appends its own signatures. Work
+# per batch is O(batch + collisions), never O(corpus).
+
+
+def write_signature_table(shingled: DataFrame, path: str,
+                          id_col: str = "doc_id",
+                          shingles_col: str = "s", num_perm: int = 64,
+                          mode: str = "append") -> None:
+    """Compute and persist MinHash signatures for a batch of documents.
+
+    The table layout is (id, sig array<long>); banding happens at probe
+    time so the band count can be retuned without rebuilding."""
+    sigs = minhash_signatures(shingled, id_col, shingles_col, num_perm)
+    sigs.write.mode(mode).parquet(path)
+
+
+def incremental_minhash_candidates(spark, sig_path: str,
+                                   new_shingled: DataFrame,
+                                   id_col: str = "doc_id",
+                                   shingles_col: str = "s",
+                                   num_perm: int = 64, bands: int = 16,
+                                   threshold: float = 0.5) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the persisted corpus.
+
+    (new_id, old_id, est_jaccard) for every banded collision with
+    estimated Jaccard >= threshold. The corpus side is read from the
+    signature table (never re-shingled, never re-hashed); the new
+    side's bands broadcast into the probe, so the corpus scan is the
+    only O(corpus) step — and with the table partitioned/bucketed by
+    band hash even that becomes a pruned lookup.
+    """
+    corpus_sigs = spark.read.parquet(sig_path)
+    new_sigs = _materialize(
+        minhash_signatures(new_shingled, id_col, shingles_col, num_perm))
+
+    def banded(sigs: DataFrame, label: str) -> DataFrame:
+        sig_len = F.size("sig")
+        r = F.floor(sig_len / bands)
+        return sigs.select(
+            F.col(id_col).alias(label),
+            F.col("sig").alias(f"sig_{label}"),
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+                            lambda b: F.xxhash64(
+                                F.concat_ws(",", F.slice(F.col("sig"),
+                                                         b * r + 1, r)))))
+            .alias("band_idx", "band_hash"))
+
+    probe = (banded(corpus_sigs, "old_id")
+             .join(F.broadcast(banded(new_sigs, "new_id")),
+                   ["band_idx", "band_hash"])
+             .filter(F.col("new_id") != F.col("old_id"))
+             .select("new_id", "old_id", "sig_new_id", "sig_old_id")
+             .dropDuplicates(["new_id", "old_id"]))
+    est = (F.size(F.filter(F.zip_with("sig_new_id", "sig_old_id",
+                                      lambda x, y: x == y),
+                           lambda v: v)).cast("double") / num_perm)
+    return (probe.select("new_id", "old_id", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))

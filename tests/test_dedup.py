@@ -203,3 +203,36 @@ def test_approx_quantiles_bounded(spark):
         # generous value tolerance on this distribution
         assert abs(approx - exact) <= max(0.5, 0.02 * abs(exact)), \
             (approx, exact)
+
+
+def test_incremental_minhash_matches_full_corpus(spark, tmp_path):
+    """Incremental mode (new batch probes the persisted signature
+    table) finds exactly the full-corpus LSH pairs that involve a new
+    document — without re-shingling or re-hashing the corpus."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates, minhash_near_dups,
+        write_signature_table)
+    from nvd2mysqlloader_spark.plans.sketch_queries import _shingled
+
+    sh = _shingled(spark, SF_ORACLE).cache()
+    old = sh.filter(F.col("doc_id") % 5 != 0)
+    new = sh.filter(F.col("doc_id") % 5 == 0)
+
+    sig_path = str(tmp_path / "sigs")
+    write_signature_table(old, sig_path, mode="overwrite")
+
+    got = {(r.new_id, r.old_id): r.est_jaccard
+           for r in incremental_minhash_candidates(
+               spark, sig_path, new).collect()}
+
+    full = minhash_near_dups(sh, threshold=0.5).collect()
+    want = {}
+    for r in full:
+        a_new, b_new = r.id_a % 5 == 0, r.id_b % 5 == 0
+        if a_new and not b_new:
+            want[(r.id_a, r.id_b)] = r.est_jaccard
+        elif b_new and not a_new:
+            want[(r.id_b, r.id_a)] = r.est_jaccard
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
