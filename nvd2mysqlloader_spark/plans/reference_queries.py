@@ -535,3 +535,50 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(promo).cast("double").alias("promo_revenue"),
                  F.sum(rev).cast("double").alias("total_revenue"),
                  F.count(F.lit(1)).alias("n_lines")))
+
+
+@query(
+    "full_outer_reconcile",
+    oracle="""
+    WITH h1 AS (
+      SELECT o_custkey, count(*) AS n1
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+    ), h2 AS (
+      SELECT o_custkey, count(*) AS n2
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(h1.o_custkey, h2.o_custkey) AS custkey,
+           CAST(COALESCE(n1, 0) AS BIGINT) AS n_early,
+           CAST(COALESCE(n2, 0) AS BIGINT) AS n_late,
+           CASE WHEN n1 IS NULL THEN 'late_only'
+                WHEN n2 IS NULL THEN 'early_only'
+                ELSE 'both' END AS presence
+    FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+    """,
+    doc=(
+        "FULL OUTER reconciliation (the CDC/set-diff shape): per-key "
+        "counts from two disjoint time slices joined full-outer with "
+        "zero-fill and a presence tag — how a pipeline diffs snapshots "
+        "or validates a migration. Both sides partial-aggregate before "
+        "the join, so the full-outer shuffle carries one row per key "
+        "per side; completes the join-type surface (inner/semi/anti/"
+        "left/right/cross/full) under the oracle."
+    ),
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    h1 = (orders.filter(F.col("o_orderdate") < cut)
+          .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n1")))
+    h2 = (orders.filter(F.col("o_orderdate") >= cut)
+          .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n2")))
+    j = h1.join(h2, "o_custkey", "full_outer")
+    return j.select(
+        F.col("o_custkey").alias("custkey"),
+        F.coalesce("n1", F.lit(0)).cast("bigint").alias("n_early"),
+        F.coalesce("n2", F.lit(0)).cast("bigint").alias("n_late"),
+        F.when(F.col("n1").isNull(), "late_only")
+         .when(F.col("n2").isNull(), "early_only")
+         .otherwise("both").alias("presence"))
