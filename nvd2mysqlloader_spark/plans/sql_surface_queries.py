@@ -307,3 +307,32 @@ def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
         F.ntile(10).over(w).alias("decile"))
+
+
+@query(
+    "map_roundtrip_counts",
+    oracle="""
+    SELECT o_custkey, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey, o_orderstatus
+    """,
+    doc=(
+        "MAP-type surface (§2 #46): per-customer status→count built "
+        "with map_from_entries over collected (status, n) structs, then "
+        "exploded back to rows. The map is internal state — the output "
+        "row-set equals the plain rollup regardless of collect order, "
+        "so the oracle is exact; demonstrates map build/explode staying "
+        "JVM-side (no UDF) with one extra exchange over the rollup."
+    ),
+)
+def map_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per = (orders.groupBy("o_custkey", "o_orderstatus")
+           .agg(F.count(F.lit(1)).alias("n")))
+    mapped = (per.groupBy("o_custkey")
+              .agg(F.map_from_entries(
+                  F.collect_list(F.struct("o_orderstatus", "n")))
+                  .alias("status_counts")))
+    return (mapped.select(
+        "o_custkey",
+        F.explode("status_counts").alias("status", "n")))
