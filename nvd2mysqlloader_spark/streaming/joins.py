@@ -45,3 +45,23 @@ def stream_error_click_interval_join(events: DataFrame,
     return (errors.join(clicks, cond, "inner")
             .select("error_id", "user_id", "error_ts",
                     "click_id", "click_ts"))
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         key: str = "event_type") -> DataFrame:
+    """Stream-static enrichment join: the unbounded side joins a
+    static dimension on ``key`` — Spark re-plans the static side per
+    micro-batch and broadcasts it, so NO streaming state is kept for
+    the join at all (unlike stream-stream joins, which must buffer
+    within the watermark). The canonical lookup-table pattern: at
+    100 TB of stream the dim is still a broadcast, and dim updates are
+    picked up on the next micro-batch when the static source is a
+    table/path re-read.
+
+    The reference's closest shape is its unpopulated FK star model
+    (nvd2mysqlloader.py:328-365) — this is that join surface in
+    streaming form.
+    """
+    return (events.join(F.broadcast(dim), key, "left")
+            .select(key, "event_id", "ts", "value",
+                    F.coalesce("weight", F.lit(0.0)).alias("weight")))

@@ -186,3 +186,21 @@ def test_tws_running_totals_exact(spark, events_parquet):
     truth_s = {r.user_id: r.s for r in batch}
     assert last_n == truth_n
     assert last_s == truth_s
+
+
+def test_stream_static_enrich_equals_batch(spark, events_parquet):
+    """Stream-static broadcast enrichment: the drained stream rows
+    equal the batch join row-for-row (no state, no watermark needed)."""
+    from nvd2mysqlloader_spark.streaming.joins import stream_static_enrich
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+         ("error", 0.0)], ["event_type", "weight"])  # 'login' missing → 0.0
+    schema = spark.read.parquet(events_parquet).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(events_parquet))
+    out = _run_stream(spark, stream_static_enrich(stream, dim),
+                      "enrich_out", mode="append")
+    batch = stream_static_enrich(spark.read.parquet(events_parquet), dim)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
