@@ -1,6 +1,11 @@
 from .registry import QUERIES, Query, query, spark_queries, oracle_map  # noqa: F401
 
-# importing the modules populates the registry
+# Importing the modules populates the registry. The registry order is
+# the natural registration (import) order — deliberately NOT curated:
+# the external correctness harness samples a window of entries, and a
+# hand-picked window would hide regressions in the unsampled queries.
+# Every oracle-backed query is additionally verified locally by
+# tests/test_oracle.py across the full registry, regardless of order.
 from . import reference_queries  # noqa: F401,E402
 from . import text_queries       # noqa: F401,E402
 from . import vector_queries     # noqa: F401,E402
@@ -20,54 +25,3 @@ from . import pipeline_queries   # noqa: F401,E402
 from . import retrieval_queries  # noqa: F401,E402
 from . import funnel_queries     # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
-
-# ---------------------------------------------------------------------------
-# Driver-facing order. The correctness harness samples the FIRST 50
-# registry entries (CORRECTNESS_r01/r02 both recorded exactly 50 of the
-# registered surface, in registration order), so lead with a curated,
-# family-diverse, oracle-backed slice; everything else keeps its
-# registration order after the curated block and is exercised by
-# tests/test_oracle.py instead.
-_DRIVER_PRIORITY = [
-    # reference parity: scans, filters, flatten, upsert, joins, windows
-    "pricing_summary", "tally_count_distinct", "point_lookup", "date_range",
-    "severity_filter", "like_search", "top1_per_key", "rank_window",
-    "upsert_last_writer_wins", "flatten_defaults", "explode_filter_reagg",
-    "star_join_revenue", "incremental_gate", "meta_parse", "json_extract",
-    "asof_join_events",
-    # extended SQL surface (grouping_sets_mix stays oracle-tested in
-    # the suite; its window slot goes to the skew-salting demo below)
-    "rollup_revenue", "cube_counts",
-    "pivot_status_revenue", "percentile_disc", "set_ops_customers",
-    "anti_semi_customers",
-    # physical-rewrite correctness: salted skew join == plain GROUP BY
-    "salted_skew_rollup",
-    # TPC-H analog analytic shapes
-    "shipping_priority", "shipmode_priority_classes", "promo_revenue_share",
-    "order_count_distribution", "product_type_profit", "min_cost_supplier",
-    # event-time analytics (incl. a REAL streaming drain under the oracle)
-    "tumbling_window", "sessionization", "error_window_event_rollup",
-    "funnel_conversion", "stream_tumbling_window",
-    # text analysis + dedup (LLM-pipeline north star)
-    "dedup_exact", "dedup_keep_best", "token_stats", "bpe_token_stats",
-    "text_quality", "lang_id", "ngram_jaccard_pairs",
-    "winnow_fingerprint_pairs", "bm25_search", "chunk_documents",
-    # vectors / similarity
-    "cosine_topk", "cosine_near_dup", "embedding_norms",
-    "embedding_centroids",
-    # multimodal plumbing: binary inventory + the frame-sample explode,
-    # both oracle-backed (the SGM1 container makes decode SQL-replayable)
-    "multimodal_inventory", "video_frame_sample",
-]
-
-
-def _reorder() -> None:
-    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
-    assert not missing, f"priority list names unknown queries: {missing}"
-    rest = [n for n in QUERIES if n not in _DRIVER_PRIORITY]
-    ordered = {n: QUERIES[n] for n in (*_DRIVER_PRIORITY, *rest)}
-    QUERIES.clear()
-    QUERIES.update(ordered)
-
-
-_reorder()

@@ -423,16 +423,16 @@ def test_oov_vocab_broadcast_anti(spark):
     assert ") TakeOrderedAndProject" in p
 
 
-def test_driver_window_is_curated_and_oracle_backed():
-    # the driver's correctness harness verifies only the FIRST 50
-    # registry entries; keep that window curated (plans/__init__.
-    # _DRIVER_PRIORITY) and oracle-backed except for the intended
-    # rows-only sketch representative
-    from nvd2mysqlloader_spark.plans import _DRIVER_PRIORITY
-    names = list(QUERIES)
-    assert names[:len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
-    missing = [n for n in names[:50] if QUERIES[n].oracle is None]
-    assert not missing, f"non-oracle queries in driver window: {missing}"
+def test_registry_oracle_coverage_stays_high():
+    # the registry is in natural registration order (no curated
+    # window — any external sample sees an unbiased slice). Keep the
+    # oracle-backed fraction high so whatever window a harness samples
+    # is mostly value-verifiable, and pin the known rows-only set so a
+    # lost oracle is caught.
+    rows_only = {n for n in QUERIES if QUERIES[n].oracle is None}
+    assert len(QUERIES) - len(rows_only) >= 105, (
+        f"oracle coverage dropped: {len(QUERIES) - len(rows_only)}"
+        f"/{len(QUERIES)}; rows-only: {sorted(rows_only)}")
 
 
 # queries whose plan legitimately contains a BroadcastNestedLoopJoin:
