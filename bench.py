@@ -13,8 +13,14 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+# Uniform repeat policy for every benchmark entry (queries and the
+# ingest pipeline alike): 1 untimed warmup execution, then REPEATS
+# timed executions, median recorded. No per-query tuning.
+REPEATS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -22,16 +28,17 @@ from nvd2mysqlloader_spark.plans import QUERIES            # noqa: E402
 from nvd2mysqlloader_spark.session import get_spark        # noqa: E402
 
 # Representative slice of the 100+ query surface, one-per-family plus
-# the heaviest ops. Kept to ~30 entries so the single stdout JSON line
+# the heaviest ops. Kept to ~40 entries so the single stdout JSON line
 # stays well under 2 KB: the round-1 driver recorded only the last ~2 KB
 # of output and failed to parse the full-surface (~3 KB) line
 # (BENCH_r01.json: tail begins mid-JSON, parsed=null).
-HEADLINE = [
-    # Arrow-UDF-heavy sketch/vector pipelines run FIRST, straight after
-    # warmup: they are the queries sensitive to accumulated JVM/GC state
-    # (measured: minhash 2.5s early in the suite vs 5-9s after ~20
-    # mixed queries), while the JVM-native plans below are insensitive
-    # to position
+#
+# Queries run in ALPHABETICAL order with ONE uniform timing policy
+# (see main): no per-query ordering, warmup, or repeat-count tuning —
+# the recorded numbers are steady-state medians of an uncurated
+# schedule, comparable round over round.
+HEADLINE = sorted([
+    # Arrow-UDF-heavy sketch/vector pipelines
     "minhash_near_dup",
     "simhash_near_dup",
     "ngram_jaccard_pairs",
@@ -74,14 +81,13 @@ HEADLINE = [
     # multimodal plumbing
     "multimodal_inventory",
     "video_frame_sample",
-    # round-3 additions: gap fill, skew tools, exact-moment stats,
-    # subsequence matching
+    # gap fill, skew tools, exact-moment stats, subsequence matching
     "gap_filled_hourly",
     "salted_skew_rollup",
     "heavy_hitter_keys",
     "corr_quantity_price",
     "pattern_match_topk",
-]
+])
 
 
 def synth_cve_feed(path: str, n: int, year: int = 2024) -> None:
@@ -145,18 +151,21 @@ def bench_ingest(spark, n: int = 20000) -> float:
         shards = 8
         for k in range(shards):
             synth_cve_feed(landing, n // shards, year=2017 + k)
-        # best of 2 like every other entry (fresh warehouse per round —
-        # a second run against the SAME warehouse would be gated to a
-        # no-op by the high-water mark): steady-state pipeline cost,
-        # not one-shot JSON-codegen/JIT warmup
-        best = None
-        for r in range(2):
+        # same uniform policy as every query: 1 untimed warmup + REPEATS
+        # timed runs, median recorded. Fresh warehouse per run — a rerun
+        # against the SAME warehouse would be gated to a no-op by the
+        # high-water mark.
+        times = []
+        for r in range(1 + REPEATS):
             t0 = time.perf_counter()
             stats = run_ingest(spark, landing, f"{tmp}/wh{r}")
             dt = time.perf_counter() - t0
             assert stats["cves"] == n, stats
-            best = dt if best is None or dt < best else best
-        return round(best, 4)
+            if r > 0:
+                times.append(dt)
+            # same untimed post-run cleanup every query gets (see main)
+            spark.sparkContext._jvm.System.gc()
+        return round(statistics.median(times), 4)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -165,48 +174,38 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
-    # warm up: JVM + parquet footers + Python/Arrow workers out of the
-    # timed path (several queries use pandas_udf / mapInPandas)
+    # session-level warmup, identical every run: JVM + parquet footers +
+    # Python/Arrow worker pool out of the timed path (several queries
+    # use pandas_udf / mapInPandas)
     spark.range(1000).selectExpr("sum(id)").collect()
     from nvd2mysqlloader_spark.functions.text import shingle3_udf
     spark.createDataFrame([("warm up the arrow workers",)], ["text"]) \
         .select(shingle3_udf()("text")).count()
-    # JIT the parquet-scan + agg codegen paths on the tiny sf before timing
-    QUERIES["pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
-    QUERIES["star_join_revenue"].fn(spark, "/root/testdata/sf0.001").count()
-    # warm the sketch path: its first run in a session pays ~6s of
-    # whole-pool Arrow worker spawn + localCheckpoint + codegen that no
-    # later run pays (measured 9.6s cold vs 2.6s steady at sf0.1)
-    QUERIES["minhash_near_dup"].fn(spark, "/root/testdata/sf0.001").count()
-    QUERIES["simhash_near_dup"].fn(spark, "/root/testdata/sf0.001").count()
-
-    # Arrow-UDF-heavy pipelines see occasional 2-4x outlier runs from
-    # full-GC pauses / Python-worker churn (measured: minhash bounces
-    # 2.3s-8.7s across sessions while its median holds) — give them a
-    # third run so the recorded best is the steady state
-    noisy = {"minhash_near_dup", "simhash_near_dup", "ngram_jaccard_pairs",
-             "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
-             "kmeans_clusters", "cosine_near_dup"}
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE:                       # alphabetical, fixed
         q = QUERIES[name]
-        # steady-state: best of 2 (3 for noisy) full executions —
-        # codegen/JIT warm after the first; plan is rebuilt each time,
-        # nothing is cached
-        best, n = None, 0
-        for _ in range(3 if name in noisy else 2):
+        # uniform policy for every query: 1 untimed warmup execution
+        # (codegen/JIT/worker spawn for this plan shape), then REPEATS
+        # timed full executions — plan rebuilt each time, nothing
+        # cached — and the MEDIAN recorded (robust to full-GC outliers
+        # without curating which queries "deserve" extra runs)
+        times, n = [], 0
+        for r in range(1 + REPEATS):
             t0 = time.perf_counter()
             n = q.fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 4)
+            if r > 0:
+                times.append(dt)
+        timings[name] = round(statistics.median(times), 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # outside the timed region: let the ContextCleaner drop shuffle
-        # files / broadcasts / localCheckpoint blocks the query left
-        # behind — without this, heap pressure accumulates across the
-        # suite and inflates later queries 2-3× vs their standalone
-        # steady-state (measured)
+        # outside the timed region, applied identically after every
+        # query: let the ContextCleaner drop shuffle files / broadcasts
+        # / localCheckpoint blocks the query left behind — without this,
+        # heap pressure accumulates across the suite and inflates later
+        # queries 2-3× vs their standalone steady-state (measured).
+        # Note: this makes the suite a steady-state measurement, not a
+        # cold-cache one.
         spark.sparkContext._jvm.System.gc()
 
     # the reference's own workload: 20k-CVE feed → flatten → upsert
