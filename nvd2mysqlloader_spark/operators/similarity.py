@@ -240,19 +240,40 @@ def pq_encode_udf(books: list[np.ndarray], splits: list[int]):
     return encode
 
 
+def pq_training_sample(corpus: DataFrame, emb_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       train_n: int = 100_000) -> np.ndarray:
+    """Bounded deterministic training sample: the ``train_n`` corpus
+    vectors with the smallest md5(id) (same reproducible-uniform-draw
+    pattern as operators.kmeans.init_centroids). TakeOrdered brings
+    exactly min(n, train_n) rows to the driver — the driver-side
+    matrix is bounded regardless of corpus size, which is all codebook
+    training needs (quality comes from a sample, not the corpus)."""
+    rows = (corpus
+            .select(emb_col, F.md5(F.col(id_col).cast("string")).alias("h"),
+                    id_col)
+            .orderBy("h", id_col).limit(train_n).collect())
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                         1e-12, None)
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             id_col: str = "vec_id", emb_col: str = "embedding",
             query_id_col: str = "query_id",
-            m: int = 8, ksub: int = 16, fetch_k: int | None = None) -> DataFrame:
+            m: int = 8, ksub: int = 16, fetch_k: int | None = None,
+            train_n: int = 100_000) -> DataFrame:
     """PQ/ADC approximate top-k with exact rescoring.
 
-    Plan shape: train codebooks (driver sample) → encode corpus (narrow
-    Arrow map, m small ints per vector) → ADC scan: every partition
-    scores its codes against per-query distance lookup tables
-    (m × ksub doubles per query, closure-broadcast) and emits only its
-    LOCAL top ``fetch_k`` per query — the shuffle carries
-    O(partitions · queries · fetch_k) id/score pairs, never vectors —
-    → global rank → exact-cosine rescore of candidates → top k.
+    Plan shape: train codebooks on a bounded driver-side sample
+    (``pq_training_sample``, ≤ ``train_n`` rows whatever the corpus
+    size) → encode corpus (narrow Arrow map, m small ints per vector)
+    → ADC scan: every partition scores its codes against per-query
+    distance lookup tables (m × ksub doubles per query,
+    closure-broadcast) and emits only its LOCAL top ``fetch_k`` per
+    query — the shuffle carries O(partitions · queries · fetch_k)
+    id/score pairs, never vectors — → global rank → exact-cosine
+    rescore of candidates → top k.
 
     On unit vectors ADC approximates L2² = 2 − 2·cos, so ascending ADC
     order is descending approximate cosine.
@@ -262,9 +283,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     bounds = np.cumsum([len(s) for s in np.array_split(np.arange(dim), m)])
     splits = bounds[:-1].tolist()
 
-    pdf = corpus.select(emb_col).toPandas()
-    mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    mat = pq_training_sample(corpus, emb_col, id_col, train_n)
     books = pq_train(mat, m, ksub)
 
     encoded = corpus.select(
@@ -322,38 +341,58 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+_PAIR_SCHEMA = T.StructType([T.StructField("id_a", T.LongType()),
+                             T.StructField("id_b", T.LongType())])
+
+
 def cosine_candidate_pairs(corpus: DataFrame, threshold: float,
                            id_col: str = "vec_id",
                            emb_col: str = "embedding",
-                           margin: float = 1e-6) -> DataFrame:
+                           margin: float = 1e-6,
+                           blocks: int | None = None,
+                           block_rows: int = 200_000) -> DataFrame:
     """Candidate (id_a, id_b) pairs with cosine >= threshold - margin,
     id_a < id_b — the vectorized prefilter for exact near-dup search.
 
-    One float64 numpy matmul per Arrow batch against the L2-normalized
-    corpus matrix (broadcast), instead of |corpus|² interpreted
-    ``aggregate`` folds: measured ~25× faster at 2k vectors. The margin
-    covers the (≈1e-15 relative) accumulation-order difference between
-    BLAS and the left-to-right fold, so no true pair can be lost;
-    callers MUST rescore candidates with the exact fold and re-apply
-    the threshold (see plans.vector_queries.cosine_near_dup).
+    Two physical strategies, same contract:
 
-    The corpus matrix is gathered and broadcast like any comparison
-    side — fine to ~10^6×d on executor memory. Past that, block rows
-    into B buckets and cross-join bucket pairs (b1 <= b2) so each task
-    multiplies one block-pair; the prefilter+exact-rescore contract is
-    unchanged.
+    * **broadcast** (n ≤ ``block_rows``, or ``blocks=1``): gather the
+      L2-normalized corpus matrix once, broadcast it, and run one
+      float64 numpy matmul per Arrow batch against it — measured ~25×
+      faster than |corpus|² interpreted ``aggregate`` folds at 2k
+      vectors. Fine to ~10^6×d of executor memory.
+    * **blocked** (larger corpora, or explicit ``blocks=B>1``): rows
+      are hashed into B buckets, each bucket packed into one block row
+      (ids + matrix), and the B·(B+1)/2 bucket pairs b1 ≤ b2 become
+      independent tasks — each multiplies ONE block pair, so driver
+      and task memory are bounded by ``block_rows``·d, never n·d.
+      Every unordered row pair lands in exactly one bucket pair, so
+      no distinct is needed. The shuffle moves each block B/2 times
+      (the unavoidable replication of all-pairs comparison); at 100 TB
+      the LSH/ANN paths prune first and this runs on the pruned set.
+
+    The margin covers the (≈1e-15 relative) accumulation-order
+    difference between BLAS and the left-to-right fold, so no true
+    pair can be lost; callers MUST rescore candidates with the exact
+    fold and re-apply the threshold (see
+    plans.vector_queries.cosine_near_dup).
     """
-    import pandas as pd  # noqa: F811 — module-global for UDF pickling
+    if blocks is None:
+        n = corpus.count()
+        blocks = max(1, -(-n // block_rows))
+    if blocks <= 1:
+        return _pairs_broadcast(corpus, threshold, id_col, emb_col, margin)
+    return _pairs_blocked(corpus, threshold, id_col, emb_col, margin, blocks)
 
+
+def _pairs_broadcast(corpus: DataFrame, threshold: float, id_col: str,
+                     emb_col: str, margin: float) -> DataFrame:
     pdf = corpus.select(id_col, emb_col).toPandas()
     ids_all = pdf[id_col].to_numpy()
     mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     bc = corpus.sparkSession.sparkContext.broadcast((ids_all, mat))
     cut = threshold - margin
-
-    schema = T.StructType([T.StructField("id_a", T.LongType()),
-                           T.StructField("id_b", T.LongType())])
 
     def gen(batches):
         ref_ids, ref = bc.value
@@ -367,4 +406,46 @@ def cosine_candidate_pairs(corpus: DataFrame, threshold: float,
             keep = ia < jb
             yield pd.DataFrame({"id_a": ia[keep], "id_b": jb[keep]})
 
-    return corpus.mapInPandas(gen, schema)
+    return corpus.mapInPandas(gen, _PAIR_SCHEMA)
+
+
+def _pairs_blocked(corpus: DataFrame, threshold: float, id_col: str,
+                   emb_col: str, margin: float, blocks: int) -> DataFrame:
+    """Block-pair matmul: bucket rows, pack each bucket into one block
+    row, cross-join bucket pairs b1 ≤ b2, one numpy multiply per task."""
+    cut = threshold - margin
+    bucketed = corpus.select(
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("_bkt"))
+    blk = (bucketed.groupBy("_bkt")
+           .agg(F.collect_list(F.struct("_id", "_emb")).alias("_rows")))
+    pairs = (blk.select(F.col("_bkt").alias("b1"), F.col("_rows").alias("r1"))
+             .join(blk.select(F.col("_bkt").alias("b2"),
+                              F.col("_rows").alias("r2")),
+                   F.col("b1") <= F.col("b2")))
+
+    def unpack(rows) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r["_emb"], dtype=np.float64)
+                        for r in rows])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return ids, mat
+
+    def gen(batches):
+        for b in batches:
+            for _, row in b.iterrows():
+                same = row["b1"] == row["b2"]
+                ids1, m1 = unpack(row["r1"])
+                ids2, m2 = (ids1, m1) if same else unpack(row["r2"])
+                ii, jj = np.nonzero(m1 @ m2.T >= cut)
+                ia, jb = ids1[ii], ids2[jj]
+                if same:
+                    keep = ia < jb          # each pair appears (i,j),(j,i)
+                    ia, jb = ia[keep], jb[keep]
+                else:                       # cross pair appears once
+                    mask = ia != jb
+                    ia, jb = ia[mask], jb[mask]
+                    ia, jb = np.minimum(ia, jb), np.maximum(ia, jb)
+                yield pd.DataFrame({"id_a": ia, "id_b": jb})
+
+    return pairs.mapInPandas(gen, _PAIR_SCHEMA)

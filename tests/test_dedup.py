@@ -236,3 +236,45 @@ def test_incremental_minhash_matches_full_corpus(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_cosine_candidate_pairs_blocked_matches_broadcast(spark):
+    """The blocked block-pair matmul (the 100 TB path: bounded task
+    memory, no full-corpus gather) finds exactly the broadcast path's
+    candidate set, pair for pair, at several block counts including
+    the auto-count branch."""
+    from nvd2mysqlloader_spark.operators.similarity import (
+        cosine_candidate_pairs)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = sorted(map(tuple,
+                      cosine_candidate_pairs(emb, 0.35, blocks=1).collect()))
+    assert base, "threshold produced no pairs — test is vacuous"
+    for B in (2, 5):
+        got = sorted(map(tuple,
+                         cosine_candidate_pairs(emb, 0.35, blocks=B).collect()))
+        assert got == base, f"blocks={B} diverged"
+    # auto path: tiny block_rows forces the blocked strategy via count()
+    auto = sorted(map(tuple,
+                      cosine_candidate_pairs(emb, 0.35,
+                                             block_rows=100).collect()))
+    assert auto == base
+
+
+def test_pq_training_sample_bounded(spark):
+    """Driver-side PQ training matrix is bounded by train_n regardless
+    of corpus size, and the pipeline still returns full top-k when
+    trained on a small sample."""
+    from nvd2mysqlloader_spark.operators.similarity import (
+        pq_topk, pq_training_sample)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    n = emb.count()
+    mat = pq_training_sample(emb, train_n=32)
+    assert mat.shape[0] == 32 < n
+    # deterministic: same sample both times
+    assert (mat == pq_training_sample(emb, train_n=32)).all()
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = {}
+    for r in pq_topk(emb, queries, k=5, train_n=32).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(got) == 3 and all(len(v) == 5 for v in got.values())
