@@ -9,17 +9,16 @@ memory for file listings). The reference has no notion of this — its
 parquet analog of OPTIMIZE/rewrite_data_files.
 
 Spark-first shape: one distributed read → ``repartition(n)`` sized so
-output files land near ``target_bytes`` → atomic swap via a temp dir.
-The rewrite is a single narrow+shuffle job regardless of input file
-count; partitioned tables compact per partition directory so partition
-pruning is untouched.
+output files land near ``target_bytes`` → atomic publish of a fresh
+version directory (``operators.table_io``). The rewrite is a single
+narrow+shuffle job regardless of input file count; partitioned tables
+compact per partition directory so partition pruning is untouched.
 """
 
 from __future__ import annotations
 
 import math
 import os
-import shutil
 
 from pyspark.sql import SparkSession
 
@@ -57,10 +56,32 @@ def plan_compaction(path: str, target_bytes: int = 128 * 1024 * 1024,
     }
 
 
+def _rewrite_into(spark: SparkSession, src: str, dst: str,
+                  n_target: int, sort_by: list[str] | None) -> None:
+    df = spark.read.parquet(src)
+    if sort_by:
+        df = df.repartition(n_target, *sort_by) \
+               .sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_target)
+    df.write.mode("overwrite").parquet(dst)
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_bytes: int = 128 * 1024 * 1024,
-                    sort_by: list[str] | None = None) -> dict:
-    """Rewrite ``path`` into ~``target_bytes`` files; atomic swap.
+                    sort_by: list[str] | None = None,
+                    force: bool = False) -> dict:
+    """Rewrite ``path`` into ~``target_bytes`` files; atomic publish.
+
+    Uses the versioned layout of ``operators.table_io``: the compacted
+    data is written to a fresh version directory and published with an
+    atomic pointer flip — readers see the old or the new file set,
+    never a mix and never a missing table, and a crashed run leaves
+    the current version untouched (its debris is cleaned on the next
+    attempt). Partitions whose ``plan_compaction`` says the rewrite is
+    not ``worth_it`` are carried into the new version as hardlinks
+    (no data read or written); an unpartitioned table that isn't
+    worth compacting is skipped entirely unless ``force``.
 
     ``sort_by``: optional columns to ``sortWithinPartitions`` during the
     rewrite — restores min/max-stat locality (the cheap cousin of the
@@ -68,39 +89,57 @@ def compact_parquet(spark: SparkSession, path: str,
     range predicates skip row groups again after many unordered
     appends.
 
-    Hive-partitioned tables (``col=val`` subdirectories) are compacted
-    per partition directory, so the layout — and partition pruning —
-    is preserved and each partition's rewrite is independent (at scale:
+    Hive-partitioned tables (``col=val`` subdirectories) compact per
+    partition directory, so the layout — and partition pruning — is
+    preserved and each partition's rewrite is independent (at scale:
     trivially parallel and restartable per partition).
     """
+    from . import table_io
+
+    path = path.rstrip("/")
+    table_io.ensure_versioned(path)
+    table_io.cleanup_stale(path)
+    cur = table_io.current_version(path)
+    assert cur is not None, f"no table at {path}"
+
     part_dirs = sorted(
-        os.path.join(path, d) for d in os.listdir(path)
-        if "=" in d and os.path.isdir(os.path.join(path, d)))
+        d for d in os.listdir(cur)
+        if "=" in d and os.path.isdir(os.path.join(cur, d)))
     if part_dirs:
-        before = after = 0
-        total = 0
-        for sub in part_dirs:
-            stats = compact_parquet(spark, sub, target_bytes, sort_by)
-            before += stats["before_files"]
-            after += stats["after_files"]
-            total += stats["bytes"]
+        plans = {d: plan_compaction(os.path.join(cur, d), target_bytes)
+                 for d in part_dirs}
+        if not force and not any(p["worth_it"] for p in plans.values()):
+            total = sum(p["total_bytes"] for p in plans.values())
+            n = sum(p["n_files"] for p in plans.values())
+            return {"before_files": n, "after_files": n, "bytes": total,
+                    "partitions": len(part_dirs), "skipped": True}
+        vdir = table_io.next_version_dir(path)
+        before = after = total = 0
+        for d in part_dirs:
+            plan = plans[d]
+            before += plan["n_files"]
+            if plan["worth_it"] or force:
+                _rewrite_into(spark, os.path.join(cur, d),
+                              os.path.join(vdir, d),
+                              plan["n_target"], sort_by)
+            else:
+                table_io.link_tree(os.path.join(cur, d),
+                                   os.path.join(vdir, d))
+            p_after = plan_compaction(os.path.join(vdir, d), target_bytes)
+            after += p_after["n_files"]
+            total += p_after["total_bytes"]
+        table_io.publish_version(path, vdir)
         return {"before_files": before, "after_files": after,
                 "bytes": total, "partitions": len(part_dirs)}
-    plan = plan_compaction(path, target_bytes)
-    df = spark.read.parquet(path)
-    if sort_by:
-        df = df.repartition(plan["n_target"], *sort_by) \
-               .sortWithinPartitions(*sort_by)
-    else:
-        df = df.repartition(plan["n_target"])
-    tmp = path.rstrip("/") + "._compact_tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    # local-FS swap; on an object store this is a manifest/metadata swap
-    # (table formats make it a transaction — same two-phase shape)
-    old = path.rstrip("/") + "._compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+
+    plan = plan_compaction(cur, target_bytes)
+    if not plan["worth_it"] and not force:
+        return {"before_files": plan["n_files"],
+                "after_files": plan["n_files"],
+                "bytes": plan["total_bytes"], "skipped": True}
+    vdir = table_io.next_version_dir(path)
+    _rewrite_into(spark, cur, vdir, plan["n_target"], sort_by)
+    table_io.publish_version(path, vdir)
     after = plan_compaction(path, target_bytes)
     return {"before_files": plan["n_files"], "after_files": after["n_files"],
             "bytes": after["total_bytes"]}

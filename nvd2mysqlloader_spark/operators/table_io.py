@@ -1,0 +1,148 @@
+"""Versioned parquet table directories with an atomic pointer swap.
+
+The reference's storage is MySQL, where REPLACE gives it row-level
+atomic visibility for free (nvd2mysqlloader.py:448-486). A parquet
+warehouse has no such luxury: overwriting the directory a reader is
+scanning exposes partial state, and the naive rename dance
+(``mv table table.old && mv tmp table``) has a crash window where the
+table does not exist at all.
+
+This module gives every managed table the shape real table formats
+(Delta/Iceberg) use, scaled down to a local filesystem:
+
+* data lives in immutable version directories ``<table>.__v<N>``;
+* ``<table>`` itself is a SYMLINK to the current version — the analog
+  of the manifest/metadata pointer;
+* publishing a new version is ``os.replace`` of a fresh symlink —
+  atomic on POSIX, so every reader that lists the table sees exactly
+  one complete version, never a mix and never a missing table;
+* the PREVIOUS version directory is retained until the next publish,
+  so a reader that resolved the old version mid-swap finishes its
+  scan; older versions are pruned;
+* unchanged partitions are carried across versions as hardlinks —
+  O(metadata) per file, no data copied — the local analog of a new
+  Iceberg snapshot reusing the manifests of untouched partitions.
+
+Crash safety: a writer that dies before ``publish_version`` leaves the
+current pointer untouched (readers never saw the partial version);
+``cleanup_stale`` removes the orphaned newer-than-current directories
+on the next write. Single concurrent writer per table is assumed
+(same as the reference's single loader process).
+
+On an object store the same protocol is a manifest write + pointer
+CAS; the directory/symlink form is the local[–] stand-in with
+identical visibility semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+_V_RE = re.compile(r"\.__v(\d+)$")
+_V_SUFFIX = ".__v"
+
+
+def versions(path: str) -> list[tuple[int, str]]:
+    """Sorted (N, absolute dir) for every version dir of ``path``."""
+    path = path.rstrip("/")
+    parent, base = os.path.dirname(path) or ".", os.path.basename(path)
+    out = []
+    for name in os.listdir(parent) if os.path.isdir(parent) else []:
+        if name.startswith(base + _V_SUFFIX):
+            m = _V_RE.search(name)
+            if m:
+                out.append((int(m.group(1)), os.path.join(parent, name)))
+    return sorted(out)
+
+
+def current_version(path: str) -> str | None:
+    """Absolute dir of the published version, or None if unpublished."""
+    path = path.rstrip("/")
+    if os.path.islink(path):
+        return os.path.realpath(path)
+    if os.path.isdir(path):
+        return path                      # legacy plain directory
+    return None
+
+
+def ensure_versioned(path: str) -> None:
+    """One-time migration of a legacy plain-directory table into the
+    versioned layout (rename to ``.__v0`` + symlink). The rename→link
+    gap is the only non-atomic window and exists once per table's
+    lifetime; tables created through this module never pass through it.
+    """
+    path = path.rstrip("/")
+    if os.path.islink(path) or not os.path.exists(path):
+        return
+    v0 = path + _V_SUFFIX + "0"
+    os.rename(path, v0)
+    os.symlink(os.path.basename(v0), path)
+
+
+def cleanup_stale(path: str) -> None:
+    """Remove crash debris: version dirs NEWER than the published one
+    (a writer died before publishing them — no reader ever saw them)
+    and any leftover swap symlink."""
+    path = path.rstrip("/")
+    swap = path + ".__swap"
+    if os.path.lexists(swap):
+        os.remove(swap)
+    cur = current_version(path)
+    if cur is None:
+        for _, d in versions(path):
+            shutil.rmtree(d, ignore_errors=True)
+        return
+    m = _V_RE.search(cur)
+    cur_n = int(m.group(1)) if m else -1
+    for n, d in versions(path):
+        if n > cur_n:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def next_version_dir(path: str) -> str:
+    """Path of the next (unpublished) version directory."""
+    path = path.rstrip("/")
+    vs = versions(path)
+    n = vs[-1][0] + 1 if vs else 1
+    return path + _V_SUFFIX + str(n)
+
+
+def publish_version(path: str, vdir: str, keep: int = 2) -> None:
+    """Atomically point ``path`` at ``vdir``; prune all but the newest
+    ``keep`` versions (current + previous by default, so in-flight
+    readers of the just-replaced version finish their scan)."""
+    path = path.rstrip("/")
+    ensure_versioned(path)
+    swap = path + ".__swap"
+    if os.path.lexists(swap):
+        os.remove(swap)
+    os.symlink(os.path.basename(vdir), swap)
+    os.replace(swap, path)               # atomic pointer flip
+    vs = versions(path)
+    for _n, d in vs[:-keep] if len(vs) > keep else []:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` into ``dst`` with hardlinks (no data copied)."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(root, f), os.path.join(out, f))
+
+
+def leaf_partition_dirs(root: str) -> list[str]:
+    """Relative paths of Hive-style leaf partition dirs under ``root``
+    (every component ``col=val``, contains at least one data file)."""
+    out = set()
+    for r, _dirs, files in os.walk(root):
+        rel = os.path.relpath(r, root)
+        if rel == "." or not all("=" in c for c in rel.split(os.sep)):
+            continue
+        if any(not f.startswith("_") and not f.startswith(".") for f in files):
+            out.add(rel)
+    return sorted(out)

@@ -54,34 +54,48 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
 def write_upsert_parquet(target_path: str, updates: DataFrame,
                          keys: Sequence[str],
                          partition_by: Sequence[str] | None = None) -> None:
-    """Apply ``merge_upsert`` against a parquet table on disk.
+    """Apply ``merge_upsert`` against a parquet table on disk, with
+    atomic visibility.
 
-    One atomic overwrite per batch replaces the reference's per-row
-    commits (nvd2mysqlloader.py:460-482). On a real deployment this is a
-    Delta/Iceberg MERGE; the emulation keeps identical semantics.
+    One atomic publish per batch replaces the reference's per-row
+    commits (nvd2mysqlloader.py:460-482). The table uses the versioned
+    layout of ``operators.table_io``: the merge is written to a FRESH
+    version directory while readers keep scanning the current one,
+    then a single atomic pointer flip publishes it — a concurrent
+    reader sees the complete old table or the complete new one, never
+    a partially-overwritten directory, and a crashed writer leaves the
+    current version untouched. On a real deployment this whole
+    function is a Delta/Iceberg MERGE; the protocol here is the same
+    shape (immutable data files + pointer swap) on a local FS.
 
     ``partition_by`` lays the table out for partition pruning (the
     silver warehouse partitions by published year — the replacement for
     the reference's ``dates`` index, nvd2mysqlloader.py:400) AND makes
     the merge **partition-selective**: the affected partition values
     are collected from the update batch (tiny distinct), only those
-    partitions of the target are read (partition-pruned scan), and the
-    write uses dynamic partition overwrite so untouched partitions are
-    neither read nor rewritten. At 100 TB this is the difference
-    between rewriting the table and rewriting this year's slice — the
-    parquet-level equivalent of a Delta/Iceberg MERGE touching only
-    matching files. Assumes the partition column derives from an
-    immutable attribute of the key (published year of a CVE), so an
-    updated key cannot migrate between partitions.
+    partitions of the target are read (partition-pruned scan), the new
+    version gets fresh files only for those partitions, and untouched
+    partitions are carried over as hardlinks — no data read, copied,
+    or rewritten for them. At 100 TB this is the difference between
+    rewriting the table and rewriting this year's slice. Assumes the
+    partition column derives from an immutable attribute of the key
+    (published year of a CVE), so an updated key cannot migrate
+    between partitions.
     """
     import os
 
+    from . import table_io
+
     spark = updates.sparkSession
+    target_path = target_path.rstrip("/")
+    table_io.ensure_versioned(target_path)
+    table_io.cleanup_stale(target_path)
+    cur = table_io.current_version(target_path)
+    vdir = table_io.next_version_dir(target_path)
+
     if partition_by:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        merged = None
-        if os.path.exists(target_path):  # skip partition census on first load
+        merged, affected = None, []
+        if cur is not None:
             affected = [tuple(r) for r in
                         updates.select(*partition_by).distinct().collect()]
             pred = None
@@ -97,26 +111,34 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
                 merged = None
         if merged is None:
             merged = updates
-        # materialize before overwrite (read and write same path)
-        merged.cache()
-        merged.count()
         # cluster rows by the partition key before the partitioned
         # write: one file per partition instead of (shuffle-partitions
         # × partitions) tiny files — the small-file explosion is a real
-        # cost locally and a catastrophic one on a 100 TB object store
+        # cost locally and a catastrophic one on a 100 TB object store.
+        # The job reads the CURRENT version (through the table symlink)
+        # and writes the NEXT — no self-overwrite, no materialization
+        # barrier needed.
         out = merged.repartition(*[F.col(c) for c in partition_by])
-        out.write.mode("overwrite").partitionBy(*partition_by) \
-            .parquet(target_path)
-        merged.unpersist()
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(vdir)
+        if cur is not None:
+            # carry untouched partitions into the new version by
+            # hardlink: same inodes, zero data movement
+            touched = {os.sep.join(f"{c}={v}" for c, v in
+                                   zip(partition_by, vals))
+                       for vals in affected}
+            for rel in table_io.leaf_partition_dirs(cur):
+                if rel not in touched:
+                    table_io.link_tree(os.path.join(cur, rel),
+                                       os.path.join(vdir, rel))
+        table_io.publish_version(target_path, vdir)
         return
+
     merged = updates
-    if os.path.exists(target_path):  # avoid noisy first-load read probe
+    if cur is not None:
         try:
             target = spark.read.parquet(target_path)
             merged = merge_upsert(target, updates, keys)
         except Exception:  # unreadable/empty target dir
             merged = updates
-    merged.cache()
-    merged.count()
-    merged.write.mode("overwrite").parquet(target_path)
-    merged.unpersist()
+    merged.write.mode("overwrite").parquet(vdir)
+    table_io.publish_version(target_path, vdir)

@@ -64,3 +64,78 @@ def test_partitioned_compaction_preserves_layout(spark, tmp_path):
     assert post.count() == pre_rows
     assert post.agg(F.sum("id")).first()[0] == pre_sum
     assert post.filter(F.col("year") == 1).count() == pre_y1
+
+
+def test_compaction_skipped_when_not_worth_it(spark, tmp_path):
+    """A table already at target file sizes is not rewritten (the plan
+    says not worth_it) — no new version published, files untouched."""
+    import os
+    path = str(tmp_path / "fine")
+    (spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS p")
+     .coalesce(1).write.parquet(path))
+    before = {p: os.path.getmtime(p) for p, _ in list_data_files(path)}
+    stats = compact_parquet(spark, path, target_bytes=128 * 1024 * 1024)
+    assert stats.get("skipped") is True
+    assert stats["before_files"] == stats["after_files"]
+    assert {p: os.path.getmtime(p) for p, _ in list_data_files(path)} == before
+    # force overrides the plan
+    forced = compact_parquet(spark, path, target_bytes=128 * 1024 * 1024,
+                             force=True)
+    assert "skipped" not in forced
+
+
+def test_compaction_recovers_from_stale_debris(spark, tmp_path):
+    """Leftover unpublished version dirs / swap links from a crashed
+    run are cleaned on the next attempt instead of failing it."""
+    import os
+
+    from nvd2mysqlloader_spark.operators import table_io
+    path = str(tmp_path / "debris")
+    for i in range(10):
+        (spark.range(i * 10, (i + 1) * 10).selectExpr("id")
+         .coalesce(1).write.mode("append").parquet(path))
+    # simulate a crashed prior run: migrate + fabricate an unpublished
+    # newer version dir and a dangling swap symlink
+    table_io.ensure_versioned(path)
+    stale = table_io.next_version_dir(path)
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-garbage.parquet"), "w").write("junk")
+    os.symlink("nowhere", path + ".__swap")
+
+    stats = compact_parquet(spark, path, target_bytes=1024 * 1024)
+    assert stats["after_files"] < stats["before_files"]
+    # the fabricated junk never leaks into the published table (the
+    # stale dir was removed; its NAME may be reused by the new version)
+    assert not os.path.exists(os.path.join(stale, "part-garbage.parquet"))
+    assert not os.path.lexists(path + ".__swap")
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_partitioned_compaction_links_not_worth_it_partitions(spark,
+                                                              tmp_path):
+    """Mixed table: fragmented partitions are rewritten, healthy ones
+    are carried into the new version as hardlinks (same inodes)."""
+    import glob
+    import os
+    path = str(tmp_path / "mixed")
+    # year=0: one healthy file; year=1: 20 fragments
+    (spark.range(1000).selectExpr("id", "CAST(0 AS INT) AS year")
+     .coalesce(1).write.partitionBy("year").parquet(path))
+    for i in range(20):
+        (spark.range(i * 10, (i + 1) * 10)
+         .selectExpr("id", "CAST(1 AS INT) AS year")
+         .coalesce(1).write.mode("append").partitionBy("year").parquet(path))
+    healthy_inodes = {os.stat(p).st_ino
+                      for p in glob.glob(f"{path}/year=0/*.parquet")}
+    n_frag = len(glob.glob(f"{path}/year=1/*.parquet"))
+    assert n_frag == 20
+
+    stats = compact_parquet(spark, path, target_bytes=1024 * 1024)
+    assert stats["partitions"] == 2
+    # healthy partition: same inodes (hardlinked, not rewritten)
+    assert {os.stat(p).st_ino
+            for p in glob.glob(f"{path}/year=0/*.parquet")} == healthy_inodes
+    # fragmented partition: fewer files now
+    assert len(glob.glob(f"{path}/year=1/*.parquet")) < n_frag
+    post = spark.read.parquet(path)
+    assert post.count() == 1000 + 200
