@@ -40,3 +40,92 @@ def test_mirror_raises_cleanly_without_server(spark):
     df = spark.createDataFrame([("CVE-1", "s")], ["cve_id", "summary"])
     with pytest.raises(RuntimeError, match="MySQL mirror unavailable"):
         mirror_to_mysql(df, "jdbc:mysql://127.0.0.1:1/x", "nvd")
+
+
+def _mysql_to_duckdb_upsert(sql: str, key: str) -> str:
+    """Mechanical dialect translation of the generated statement:
+    MySQL `ON DUPLICATE KEY UPDATE c=VALUES(c)` → DuckDB/PostgreSQL
+    `ON CONFLICT (key) DO UPDATE SET c=EXCLUDED.c`. Nothing else in
+    the statement changes, so what runs is the builder's own output."""
+    import re
+    head, updates = sql.split(" ON DUPLICATE KEY UPDATE ")
+    updates = re.sub(r"(\w+)=VALUES\(\1\)", r"\1=EXCLUDED.\1", updates)
+    return f"{head} ON CONFLICT ({key}) DO UPDATE SET {updates}"
+
+
+def test_upsert_from_staging_replayed_in_duckdb(spark):
+    """End-to-end semantics of the mirror upsert without a MySQL
+    server: load target+staging into DuckDB, execute the (dialect-
+    translated) output of upsert_from_staging_sql, and assert the
+    result matches merge_upsert + to_mysql_boundary row-for-row —
+    including the reference's reason for ON DUPLICATE KEY UPDATE over
+    REPLACE: surrogate auto-increment ids survive updates
+    (nvd2mysqlloader.py:449-464)."""
+    import duckdb
+
+    from nvd2mysqlloader_spark.operators.flatten import to_mysql_boundary
+    from nvd2mysqlloader_spark.operators.upsert import (last_writer_wins,
+                                                        merge_upsert)
+
+    cols = ["cve_id", "summary", "urls", "vulnerable_software_list"]
+    target_rows = [
+        ("CVE-2020-0001", "old summary 1", ["http://a"], ["cpe:a", "cpe:b"]),
+        ("CVE-2020-0002", "old summary 2", [], ["cpe:c"]),
+        ("CVE-2021-0003", "keeps as-is", ["http://b", "http://c"], []),
+    ]
+    # raw batch has an intra-batch duplicate key: last writer (by
+    # last_modified) must win before the set-based upsert, mirroring
+    # ingest's dedup step
+    batch_rows = [
+        ("CVE-2020-0001", "STALE update", ["http://x"], ["cpe:z"], "2024-01-01"),
+        ("CVE-2020-0001", "new summary 1", ["http://n"], ["cpe:n1", "cpe:n2"],
+         "2024-06-01"),
+        ("CVE-2024-0009", "brand new", [], ["cpe:q"], "2024-06-02"),
+    ]
+    target = spark.createDataFrame(target_rows, cols)
+    batch = last_writer_wins(
+        spark.createDataFrame(batch_rows, cols + ["last_modified"]),
+        ["cve_id"], ["last_modified"]).drop("last_modified")
+
+    # Spark-side truth: MERGE semantics at the sink boundary
+    expect = {tuple(r) for r in
+              to_mysql_boundary(merge_upsert(target, batch, ["cve_id"]))
+              .collect()}
+
+    # DuckDB replay of the server-side statement
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE nvd (
+        id INTEGER PRIMARY KEY,
+        cve_id VARCHAR UNIQUE, summary VARCHAR,
+        urls VARCHAR, vulnerable_software_list VARCHAR)""")
+    con.execute("CREATE TABLE nvd_stage (cve_id VARCHAR, summary VARCHAR,"
+                " urls VARCHAR, vulnerable_software_list VARCHAR)")
+    for i, r in enumerate(to_mysql_boundary(target).collect(), start=1):
+        con.execute("INSERT INTO nvd VALUES (?,?,?,?,?)", [i, *r])
+    for r in to_mysql_boundary(batch).collect():
+        con.execute("INSERT INTO nvd_stage VALUES (?,?,?,?)", list(r))
+    ids_before = dict(con.execute("SELECT cve_id, id FROM nvd").fetchall())
+
+    mysql_sql = upsert_from_staging_sql("nvd", "nvd_stage", cols)
+    duck_sql = _mysql_to_duckdb_upsert(mysql_sql, "cve_id")
+    # MySQL's INSERT..SELECT omits the auto-increment id; DuckDB needs
+    # an explicit DEFAULT-less id for new rows — emulate AUTO_INCREMENT
+    duck_sql = duck_sql.replace(
+        "INSERT INTO nvd (cve_id",
+        "INSERT INTO nvd (id, cve_id").replace(
+        "SELECT cve_id",
+        "SELECT (SELECT COALESCE(MAX(id),0) FROM nvd)"
+        " + row_number() OVER (), cve_id")
+    con.execute(duck_sql)
+
+    got = {tuple(r) for r in con.execute(
+        "SELECT cve_id, summary, urls, vulnerable_software_list "
+        "FROM nvd").fetchall()}
+    assert got == expect
+    # surrogate ids preserved across updates (the whole point of
+    # ON DUPLICATE KEY UPDATE vs REPLACE), new keys got fresh ids
+    ids_after = dict(con.execute("SELECT cve_id, id FROM nvd").fetchall())
+    for k, i in ids_before.items():
+        assert ids_after[k] == i, f"{k} lost its surrogate id"
+    assert ids_after["CVE-2024-0009"] > max(ids_before.values())
+    con.close()
