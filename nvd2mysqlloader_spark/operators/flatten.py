@@ -29,28 +29,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def cpe_uris(cve: str = "cve") -> Column:
+_EMPTY_STR_ARRAY = "array()"
+
+
+def _vulnerable_uris(matches) -> Column:
+    """cpe_match array → vulnerable cpe23Uri array (order-preserving,
+    null-safe: a missing cpe_match yields [])."""
+    return F.coalesce(
+        F.transform(
+            F.filter(matches,
+                     lambda c: F.coalesce(c["vulnerable"], F.lit(False))),
+            lambda c: c["cpe23Uri"]),
+        F.expr(_EMPTY_STR_ARRAY).cast("array<string>"))
+
+
+def cpe_uris(cve: str = "cve", include_children: bool = False) -> Column:
     """Vulnerable CPE URIs — the reference's
     ``get_vulnerable_software_list`` (nvd2mysqlloader.py:168-190):
     walk ``configurations.nodes[*].cpe_match[*]``, keep entries with
     ``vulnerable = true``, project ``cpe23Uri``.
 
     Parity notes: node ``operator`` AND/OR logic deliberately ignored
-    ("just going to use the 'or' logic", :170); ``children`` sub-nodes
-    NOT recursed (reference reads top-level ``cpe_match`` only, :180-185).
+    ("just going to use the 'or' logic", :170); by default ``children``
+    sub-nodes are NOT recursed — matching the reference exactly, which
+    reads top-level ``cpe_match`` only (:180-185).
+
+    ``include_children=True`` is the match-and-exceed extension
+    (SURVEY §7.4.4): real NVD data nests vulnerable CPEs under AND
+    nodes' ``children[*].cpe_match`` (depth 2, the feed schema's
+    maximum), which the reference silently drops. Per node, top-level
+    URIs come first, then each child's, preserving feed order.
+
     Order-preserving (array HOFs, not explode+collect — SURVEY §7.4.1).
     """
     nodes = F.col(f"{cve}.configurations.nodes")
-    per_node = F.transform(
-        nodes,
-        lambda n: F.transform(
-            F.filter(F.coalesce(n["cpe_match"],
-                                F.expr("array()").cast(
-                                    "array<struct<vulnerable:boolean,cpe23Uri:string,"
-                                    "versionStartIncluding:string,versionEndExcluding:string>>")),
-                     lambda c: F.coalesce(c["vulnerable"], F.lit(False))),
-            lambda c: c["cpe23Uri"]))
-    return F.coalesce(F.flatten(per_node), F.expr("array()").cast("array<string>"))
+
+    def per_node(n):
+        top = _vulnerable_uris(n["cpe_match"])
+        if not include_children:
+            return top
+        child = F.coalesce(
+            F.flatten(F.transform(
+                n["children"], lambda ch: _vulnerable_uris(ch["cpe_match"]))),
+            F.expr(_EMPTY_STR_ARRAY).cast("array<string>"))
+        return F.concat(top, child)
+
+    return F.coalesce(F.flatten(F.transform(nodes, per_node)),
+                      F.expr(_EMPTY_STR_ARRAY).cast("array<string>"))
 
 
 def _cvss2(field: str, cve: str = "cve") -> Column:
@@ -58,12 +83,15 @@ def _cvss2(field: str, cve: str = "cve") -> Column:
         F.col(f"{cve}.impact.baseMetricV2.cvssV2.{field}"), F.lit(""))
 
 
-def flatten_cve(items: DataFrame, cve: str = "cve") -> DataFrame:
+def flatten_cve(items: DataFrame, cve: str = "cve",
+                include_children_cpes: bool = False) -> DataFrame:
     """Exploded CVE items → silver ``nvd`` rows (NVD_SILVER_SCHEMA).
 
     Multi-valued columns stay ArrayType internally;
     ``to_mysql_boundary`` comma-joins them for byte-parity with the
-    reference's mediumtext columns.
+    reference's mediumtext columns. ``include_children_cpes`` opts
+    into depth-2 CPE extraction (see ``cpe_uris``); the default is
+    reference parity.
     """
     c = cve
     return items.select(
@@ -91,7 +119,7 @@ def flatten_cve(items: DataFrame, cve: str = "cve") -> DataFrame:
             F.transform(F.col(f"{c}.cve.references.reference_data"),
                         lambda x: x["url"]),
             F.expr("array()").cast("array<string>")).alias("urls"),               # :238-244
-        cpe_uris(c).alias("vulnerable_software_list"),                            # :226-232
+        cpe_uris(c, include_children_cpes).alias("vulnerable_software_list"),     # :226-232
         # CVSS v3 extension — present in NVD 1.1 feeds but unread by the
         # reference (nvd.sql:34-38 documents the v2-only gap; SURVEY §1.4
         # directs carrying v3): nullable, no defaults — absence is data

@@ -144,3 +144,29 @@ def test_cvss_v3_extension(silver):
     assert r.scope_v3 == "UNCHANGED"
     r2 = row(silver, "CVE-2024-0002")           # no impact at all
     assert r2.score_v3 is None and r2.severity_v3 is None
+
+
+def test_children_cpe_extraction_opt_in(spark):
+    """Depth-2 extension (SURVEY §7.4.4): include_children_cpes walks
+    nodes[*].children[*].cpe_match too — real NVD data nests
+    vulnerable CPEs under AND nodes, which the reference drops
+    (nvd2mysqlloader.py:180-185). Per-node order: top-level URIs then
+    children's. The default stays reference-parity (see
+    test_cpe_filter_and_no_child_recursion)."""
+    items = explode_items(read_feed(spark, f"{DATA}/nvdcve-1.1-2024.json"))
+    deep = flatten_cve(items, include_children_cpes=True)
+    r1 = deep.filter(F.col("cve_id") == "CVE-2024-0001").first()
+    assert r1.vulnerable_software_list == [
+        "cpe:2.3:a:acme:engine:1.0:*:*:*:*:*:*:*",
+        "cpe:2.3:o:acme:os:2.0:*:*:*:*:*:*:*",
+        "cpe:2.3:a:child:ignored:9.9:*:*:*:*:*:*:*",
+    ]
+    # children-only node: empty in parity mode, populated at depth 2
+    r4 = deep.filter(F.col("cve_id") == "CVE-2024-0004").first()
+    assert r4.vulnerable_software_list == [
+        "cpe:2.3:a:nested:only:1.0:*:*:*:*:*:*:*"]
+    # every other column identical between the two modes
+    base = flatten_cve(items).drop("vulnerable_software_list")
+    ext = deep.drop("vulnerable_software_list")
+    assert base.exceptAll(ext).count() == 0
+    assert ext.exceptAll(base).count() == 0
