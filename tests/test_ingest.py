@@ -56,3 +56,66 @@ def test_gate_admits_newer_meta(spark, warehouse, tmp_path):
     stats = run_ingest(spark, str(landing2), warehouse)
     assert stats["feeds"] == 1
     assert stats["added"] == 0           # same CVEs, upsert replaces
+
+
+def test_download_feed_recorded_responses(tmp_path):
+    """Exercise the real fetch edge against a local HTTP fixture (no
+    external network): zip + .meta served from disk. Asserts the
+    meta-once behavior — the reference fetches each .meta twice, once
+    for the gate and again for the audit row (nvd2mysqlloader.py:71,
+    :440); download_feed must hit it exactly once — plus zip extract
+    and cleanup (ref :113-123)."""
+    import http.server
+    import io
+    import json
+    import threading
+    import zipfile
+    from collections import Counter
+
+    from nvd2mysqlloader_spark.sources.fetch import download_feed
+
+    docroot = tmp_path / "www"
+    docroot.mkdir()
+    feed = {"CVE_data_numberOfCVEs": "1", "CVE_Items": [
+        {"cve": {"CVE_data_meta": {"ID": "CVE-2024-9999"}}}]}
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("nvdcve-1.1-2024.json", json.dumps(feed))
+    (docroot / "nvdcve-1.1-2024.json.zip").write_bytes(buf.getvalue())
+    meta_bytes = (b"lastModifiedDate:2024-06-01T03:00:00-04:00\r\n"
+                  b"size:100\r\nzipSize:10\r\ngzSize:10\r\nsha256:ab\r\n")
+    (docroot / "nvdcve-1.1-2024.meta").write_bytes(meta_bytes)
+
+    hits: Counter = Counter()
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(docroot), **kw)
+
+        def do_GET(self):
+            hits[self.path] += 1
+            super().do_GET()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/"
+        landing = tmp_path / "landing"
+        out = download_feed("2024", str(landing), base_url=base)
+        assert out.name == "nvdcve-1.1-2024.json"
+        got = json.loads(out.read_text())
+        assert got["CVE_Items"][0]["cve"]["CVE_data_meta"]["ID"] == \
+            "CVE-2024-9999"
+        # .meta landed verbatim beside it; the zip was cleaned up
+        assert (landing / "nvdcve-1.1-2024.meta").read_bytes() == meta_bytes
+        assert not (landing / "nvdcve-1.1-2024.json.zip").exists()
+        # exactly one request per artifact — meta fetched ONCE
+        assert hits == {"/nvdcve-1.1-2024.meta": 1,
+                        "/nvdcve-1.1-2024.json.zip": 1}
+    finally:
+        srv.shutdown()
+        srv.server_close()
