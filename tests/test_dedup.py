@@ -92,9 +92,10 @@ def test_ann_recall_vs_bruteforce(spark):
 
 
 def test_approx_tally_close(spark):
-    # rsd=0.02 → 3σ bound 6%
+    # rsd=0.02 → 3σ bound 6%; the query carries the verdict so the
+    # DuckDB oracle can pin it (the sketch value itself is engine-specific)
     r = QUERIES["approx_tally"].fn(spark, SF_ORACLE).first()
-    assert abs(r.approx_keys - r.exact_keys) <= max(1, 0.06 * r.exact_keys)
+    assert r.exact_keys > 0 and r.within_3sigma is True
 
 
 def test_minhash_exact_verify_matches_allpairs(spark, shingled, exact_pairs):
@@ -196,13 +197,11 @@ def test_pq_codes_deterministic(spark):
 
 
 def test_approx_quantiles_bounded(spark):
+    # GK with accuracy=10000: rank error <= n/10000, translated to a
+    # generous value tolerance inside the query (oracle pins the flags)
     r = QUERIES["approx_quantiles"].fn(spark, SF_ORACLE).first()
-    for approx, exact in zip(r.approx, (r.exact_p50, r.exact_p90,
-                                        r.exact_p99)):
-        # GK with accuracy=10000: rank error <= n/10000; translate to a
-        # generous value tolerance on this distribution
-        assert abs(approx - exact) <= max(0.5, 0.02 * abs(exact)), \
-            (approx, exact)
+    assert (r.approx_ok_p50, r.approx_ok_p90, r.approx_ok_p99) == \
+        (True, True, True)
 
 
 def test_incremental_minhash_matches_full_corpus(spark, tmp_path):

@@ -430,7 +430,7 @@ def test_registry_oracle_coverage_stays_high():
     # is mostly value-verifiable, and pin the known rows-only set so a
     # lost oracle is caught.
     rows_only = {n for n in QUERIES if QUERIES[n].oracle is None}
-    assert len(QUERIES) - len(rows_only) >= 105, (
+    assert len(QUERIES) - len(rows_only) >= 107, (
         f"oracle coverage dropped: {len(QUERIES) - len(rows_only)}"
         f"/{len(QUERIES)}; rows-only: {sorted(rows_only)}")
 
