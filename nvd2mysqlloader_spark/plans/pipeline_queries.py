@@ -109,3 +109,49 @@ def user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.unix_micros("ts").alias("t"))
     return src.groupBy("user_id").applyInPandas(_user_features,
                                                 schema=_FEAT_SCHEMA)
+
+
+@query(
+    "udtf_word_trigrams",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '')
+                        AS toks
+               FROM documents WHERE doc_id < 5),
+    e AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - 2, 0))) AS pos
+          FROM t)
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           array_to_string(toks[pos + 1:pos + 3], ' ') AS ngram
+    FROM e
+    """,
+    doc=(
+        "native Python UDTF (Spark 4 table function, §2 row 51): a "
+        "word-trigram generator invoked as a LATERAL table function in "
+        "SQL — one input row expands to N output rows inside the Python "
+        "worker, per partition, no shuffle (the UDTF analog of "
+        "posexplode for logic a builtin can't express). The same "
+        "expansion is SQL-expressible here by construction so the "
+        "DuckDB oracle can hash-verify the full output; in production "
+        "the UDTF body is where non-relational row-expanding logic "
+        "(parsers, tokenizers, samplers) lives"
+    ),
+)
+def udtf_word_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class WordTrigrams:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i:i + 3])
+
+    spark.udtf.register("word_trigrams", WordTrigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, t.pos, t.ngram
+        FROM __udtf_docs d, LATERAL word_trigrams(d.text) t
+        WHERE d.doc_id < 5
+    """)
