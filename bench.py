@@ -200,12 +200,15 @@ def main() -> None:
         timings[name] = round(statistics.median(times), 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         # outside the timed region, applied identically after every
-        # query: let the ContextCleaner drop shuffle files / broadcasts
-        # / localCheckpoint blocks the query left behind — without this,
-        # heap pressure accumulates across the suite and inflates later
-        # queries 2-3× vs their standalone steady-state (measured).
-        # Note: this makes the suite a steady-state measurement, not a
-        # cold-cache one.
+        # query: release the query's DataFrame refs Python-side first
+        # (py4j frees the JVM objects only after Python GC), then let
+        # the ContextCleaner drop shuffle files / broadcasts /
+        # localCheckpoint blocks — without this, heap pressure
+        # accumulates across the suite and inflates later queries 2-3×
+        # vs their standalone steady-state (measured). Note: this makes
+        # the suite a steady-state measurement, not a cold-cache one.
+        import gc
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
 
     # the reference's own workload: 20k-CVE feed → flatten → upsert
