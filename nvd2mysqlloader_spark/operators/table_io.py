@@ -125,6 +125,38 @@ def publish_version(path: str, vdir: str, keep: int = 2) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def read_version(spark, path: str, n: int | None = None):
+    """Time-travel read: DataFrame over version ``n`` of the table
+    (default: the published current). Retained versions only — by
+    default current and previous (see ``publish_version``/``vacuum``);
+    the Delta/Iceberg analog is VERSION AS OF over unexpired
+    snapshots."""
+    path = path.rstrip("/")
+    if n is None:
+        return spark.read.parquet(path)
+    found = dict(versions(path))
+    if n not in found:
+        raise ValueError(
+            f"version {n} of {path} not retained; available: "
+            f"{sorted(found)}")
+    return spark.read.parquet(found[n])
+
+
+def vacuum(path: str, keep: int = 1) -> list[int]:
+    """Drop retained historical versions beyond the newest ``keep``
+    (the published one is always kept). Returns the dropped version
+    numbers. The explicit form of the retention `publish_version`
+    applies automatically; run after in-flight readers of old
+    versions are known to be done."""
+    path = path.rstrip("/")
+    keep = max(1, keep)
+    vs = versions(path)
+    drop = vs[:-keep] if len(vs) > keep else []
+    for _n, d in drop:
+        shutil.rmtree(d, ignore_errors=True)
+    return [n for n, _d in drop]
+
+
 def link_tree(src: str, dst: str) -> None:
     """Mirror ``src`` into ``dst`` with hardlinks (no data copied)."""
     for root, _dirs, files in os.walk(src):

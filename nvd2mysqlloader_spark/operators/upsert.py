@@ -40,20 +40,29 @@ def last_writer_wins(df: DataFrame, keys: Sequence[str],
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame,
-                 keys: Sequence[str]) -> DataFrame:
+                 keys: Sequence[str],
+                 evolve_schema: bool = False) -> DataFrame:
     """MERGE emulation: matched → take update row, not-matched → keep
     target row; updates themselves deduped upstream.
 
     Equivalent to ``MERGE INTO target USING updates ON keys WHEN MATCHED
     THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` (SURVEY.md §2 #10).
+
+    ``evolve_schema=True`` is the ADD-COLUMN evolution path (Delta's
+    mergeSchema): columns present on only one side survive the merge
+    and backfill NULL on the other — a new feature column added to the
+    update batch appears on carried-over target rows as NULL, and a
+    column the batch dropped keeps its target values. Default is
+    strict: mismatched schemas fail fast.
     """
     keep = target.join(updates.select(*keys), on=list(keys), how="left_anti")
-    return keep.unionByName(updates)
+    return keep.unionByName(updates, allowMissingColumns=evolve_schema)
 
 
 def write_upsert_parquet(target_path: str, updates: DataFrame,
                          keys: Sequence[str],
-                         partition_by: Sequence[str] | None = None) -> None:
+                         partition_by: Sequence[str] | None = None,
+                         evolve_schema: bool = False) -> None:
     """Apply ``merge_upsert`` against a parquet table on disk, with
     atomic visibility.
 
@@ -81,6 +90,15 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     partition column derives from an immutable attribute of the key
     (published year of a CVE), so an updated key cannot migrate
     between partitions.
+
+    ``evolve_schema=True`` allows the batch to add/drop columns (see
+    ``merge_upsert``). When the schema actually changes, the merge
+    reads the WHOLE target and rewrites every partition into the new
+    version — partition-selective hardlink carryover would leave old
+    partitions' files without the new column, forcing every reader
+    through mergeSchema. Evolution is rare; paying one full rewrite
+    keeps every version self-consistent (what a table format's
+    metadata would otherwise track per-file).
     """
     import os
 
@@ -95,20 +113,32 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
 
     if partition_by:
         merged, affected = None, []
+        full_rewrite = False
+        target_all = None
         if cur is not None:
-            affected = [tuple(r) for r in
-                        updates.select(*partition_by).distinct().collect()]
-            pred = None
-            for vals in affected:
-                clause = F.lit(True)
-                for c, v in zip(partition_by, vals):
-                    clause = clause & (F.col(c) == F.lit(v))
-                pred = clause if pred is None else (pred | clause)
             try:
-                target = spark.read.parquet(target_path).filter(pred)
-                merged = merge_upsert(target, updates, keys)
-            except Exception:  # unreadable/empty target dir
-                merged = None
+                target_all = spark.read.parquet(target_path)
+            except Exception:  # unreadable/empty target dir ONLY —
+                target_all = None  # merge errors must propagate, never
+                #                    silently degrade to updates-only
+        if target_all is not None:
+            full_rewrite = (evolve_schema and
+                            set(target_all.columns) != set(updates.columns))
+            if full_rewrite:
+                merged = merge_upsert(target_all, updates, keys,
+                                      evolve_schema=True)
+            else:
+                affected = [tuple(r) for r in
+                            updates.select(*partition_by)
+                            .distinct().collect()]
+                pred = None
+                for vals in affected:
+                    clause = F.lit(True)
+                    for c, v in zip(partition_by, vals):
+                        clause = clause & (F.col(c) == F.lit(v))
+                    pred = clause if pred is None else (pred | clause)
+                merged = merge_upsert(target_all.filter(pred), updates,
+                                      keys)
         if merged is None:
             merged = updates
         # cluster rows by the partition key before the partitioned
@@ -120,7 +150,7 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
         # barrier needed.
         out = merged.repartition(*[F.col(c) for c in partition_by])
         out.write.mode("overwrite").partitionBy(*partition_by).parquet(vdir)
-        if cur is not None:
+        if cur is not None and not full_rewrite:
             # carry untouched partitions into the new version by
             # hardlink: same inodes, zero data movement
             touched = {os.sep.join(f"{c}={v}" for c, v in
@@ -137,8 +167,9 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     if cur is not None:
         try:
             target = spark.read.parquet(target_path)
-            merged = merge_upsert(target, updates, keys)
-        except Exception:  # unreadable/empty target dir
-            merged = updates
+        except Exception:  # unreadable/empty target dir ONLY
+            target = None
+        if target is not None:
+            merged = merge_upsert(target, updates, keys, evolve_schema)
     merged.write.mode("overwrite").parquet(vdir)
     table_io.publish_version(target_path, vdir)

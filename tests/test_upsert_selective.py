@@ -168,3 +168,64 @@ def test_upsert_does_not_mutate_session_conf(spark, tmp_path):
     write_upsert_parquet(path, df, ["cve_id"],
                          partition_by=["published_year"])
     assert spark.conf.get(key) == before
+
+
+def test_time_travel_reads_previous_version(spark, tmp_path):
+    """Versioned tables give Delta-style VERSION AS OF for retained
+    versions: after an upsert, the previous version is still readable
+    by number until pruned/vacuumed."""
+    from nvd2mysqlloader_spark.operators import table_io
+
+    path = str(tmp_path / "tt")
+    v1 = spark.createDataFrame([("CVE-2020-1", 2020, "first")],
+                               ["cve_id", "published_year", "summary"])
+    write_upsert_parquet(path, v1, ["cve_id"],
+                         partition_by=["published_year"])
+    v2 = spark.createDataFrame([("CVE-2020-1", 2020, "second")],
+                               ["cve_id", "published_year", "summary"])
+    write_upsert_parquet(path, v2, ["cve_id"],
+                         partition_by=["published_year"])
+
+    assert table_io.read_version(spark, path).first().summary == "second"
+    ns = [n for n, _ in table_io.versions(path)]
+    old, cur = min(ns), max(ns)
+    assert table_io.read_version(spark, path, old).first().summary == "first"
+    assert table_io.read_version(spark, path, cur).first().summary == "second"
+    # vacuum drops history, keeps current; expired version read fails
+    dropped = table_io.vacuum(path)
+    assert dropped == [old]
+    assert table_io.read_version(spark, path).first().summary == "second"
+    try:
+        table_io.read_version(spark, path, old)
+        raise AssertionError("expected expired-version error")
+    except ValueError as e:
+        assert "not retained" in str(e)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """evolve_schema: an update batch carrying a NEW column merges in;
+    carried-over rows backfill NULL; every file of the new version has
+    the evolved schema (no mergeSchema needed at read time)."""
+    path = str(tmp_path / "evo")
+    base = spark.createDataFrame(
+        [("CVE-2020-1", 2020, "a"), ("CVE-2021-1", 2021, "b")],
+        ["cve_id", "published_year", "summary"])
+    write_upsert_parquet(path, base, ["cve_id"],
+                         partition_by=["published_year"])
+    upd = spark.createDataFrame(
+        [("CVE-2021-1", 2021, "b2", 9.8)],
+        ["cve_id", "published_year", "summary", "score_v4"])
+    write_upsert_parquet(path, upd, ["cve_id"],
+                         partition_by=["published_year"],
+                         evolve_schema=True)
+    out = spark.read.parquet(path)
+    assert set(out.columns) == {"cve_id", "published_year", "summary",
+                                "score_v4"}
+    got = {r.cve_id: (r.summary, r.score_v4) for r in out.collect()}
+    assert got == {"CVE-2020-1": ("a", None), "CVE-2021-1": ("b2", 9.8)}
+    # strict default still fails fast on mismatched schemas
+    import pytest
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        write_upsert_parquet(path, base, ["cve_id"],
+                             partition_by=["published_year"])
