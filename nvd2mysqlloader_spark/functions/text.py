@@ -140,3 +140,39 @@ def winnow_fingerprints_udf():
         return pd.Series(out)
 
     return winnow
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — training-corpus redaction. Patterns are restricted to
+# the Java-regex ∩ RE2 common subset (no lookarounds, no backrefs) so
+# the exact same pattern strings run under Spark (Java) and any
+# RE2-based engine (DuckDB oracle, Go/Rust tooling) with identical
+# semantics — which is what makes the scrub hash-verifiable.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers.
+
+    Pure JVM-side regexp_replace chain (no UDF); applied in PATTERN
+    ORDER, which matters: emails are scrubbed before IPs so a
+    dotted-quad local-part can't be half-eaten. At 100 TB this is a
+    narrow map over the text column — no shuffle, fully pipelined with
+    whatever scan feeds it.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-category match counts (audit metric for the scrub)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _rep in PII_PATTERNS]

@@ -230,3 +230,70 @@ def oov_rate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_toks").alias("total_tokens"),
                  F.round(F.sum("n_oov").cast("double")
                          / F.sum("n_toks"), 6).alias("oov_rate")))
+
+
+# PII patterns shared verbatim with the oracle (Java ∩ RE2 subset)
+from ..functions.text import PII_PATTERNS as _PII  # noqa: E402
+
+_EM, _IP, _PH = (p[1] for p in _PII)
+
+_PII_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@corp' || CAST(doc_id % 7 AS VARCHAR) || '.org ip 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 100 AS VARCHAR) || ' call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+               AS full_text
+      FROM documents WHERE doc_id < 5)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             full_text, '{_EM}', '<EMAIL>', 'g'),
+             '{_IP}', '<IP>', 'g'),
+             '{_PH}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(full_text, '{_EM}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(full_text, '{_IP}')) AS INT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(full_text, '{_PH}')) AS INT)
+             AS n_phone
+    FROM t
+    """
+
+
+@query(
+    "pii_scrub",
+    oracle=_PII_ORACLE,
+    doc=(
+        "PII redaction (training-corpus curation): emails, IPv4s, and "
+        "phone numbers replaced by typed placeholders, plus per-"
+        "category audit counts. Pure JVM regexp_replace/regexp_count "
+        "chain — a narrow map, no shuffle, pipelined with the scan. "
+        "The pattern strings are restricted to the Java-regex ∩ RE2 "
+        "common subset and shared VERBATIM with the DuckDB oracle, so "
+        "the hash match proves cross-engine regex semantics, not just "
+        "row counts. The synthetic corpus carries no natural PII, so "
+        "both engines append the same deterministic contact-info "
+        "suffix per doc before scrubbing (scrub order matters and is "
+        "pinned: emails before IPs so a dotted-quad local-part isn't "
+        "half-eaten)"
+    ),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    d = F.col("doc_id")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@corp"), (d % 7).cast("string"), F.lit(".org ip 10."),
+        (d % 256).cast("string"), F.lit(".0."), (d % 100).cast("string"),
+        F.lit(" call 555-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((d % 9000 + 1000).cast("string"), 4, "0"))
+    base = docs.select("doc_id", full.alias("full_text"))
+    return base.select(
+        "doc_id", scrub_pii("full_text").alias("scrubbed"),
+        *pii_counts("full_text"))

@@ -71,3 +71,23 @@ def test_decimal_sum_order_insensitive(spark, rows):
     b = (df.repartition(7).agg(
         F.sum(F.col("x").cast("decimal(18,2)")).cast("double")).first()[0])
     assert a == b
+
+
+def test_scrub_pii_unit(spark):
+    """Pattern order pinned: an email whose local part looks like a
+    dotted quad is scrubbed as ONE email, not a half-eaten IP; mixed
+    text keeps non-PII content byte-identical."""
+    from nvd2mysqlloader_spark.functions.text import scrub_pii
+    rows = [
+        ("a", "mail 10.0.0.1@corp.example.org now"),
+        ("b", "server at 192.168.001.255, call 555-123-4567."),
+        ("c", "no pii here, 1.2 + 3.4 = 4.6, v1.2.3"),
+        ("d", "x@y.io and 8.8.8.8 and 555-000-1111"),
+    ]
+    out = {r[0]: r[1] for r in
+           spark.createDataFrame(rows, ["k", "t"])
+           .select("k", scrub_pii("t")).collect()}
+    assert out["a"] == "mail <EMAIL> now"
+    assert out["b"] == "server at <IP>, call <PHONE>."
+    assert out["c"] == "no pii here, 1.2 + 3.4 = 4.6, v1.2.3"
+    assert out["d"] == "<EMAIL> and <IP> and <PHONE>"
