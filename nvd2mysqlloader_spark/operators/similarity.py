@@ -418,7 +418,11 @@ def _pairs_blocked(corpus: DataFrame, threshold: float, id_col: str,
         F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("_bkt"))
     blk = (bucketed.groupBy("_bkt")
-           .agg(F.collect_list(F.struct("_id", "_emb")).alias("_rows")))
+           .agg(F.collect_list(F.struct("_id", "_emb")).alias("_rows"))
+           # one pack for BOTH join sides: without the lineage cut the
+           # corpus scan + shuffle into blocks executes twice (measured
+           # — same ReuseExchange defeat operators/dedup.py documents)
+           .localCheckpoint(eager=False))
     pairs = (blk.select(F.col("_bkt").alias("b1"), F.col("_rows").alias("r1"))
              .join(blk.select(F.col("_bkt").alias("b2"),
                               F.col("_rows").alias("r2")),
