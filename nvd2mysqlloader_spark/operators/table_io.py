@@ -142,6 +142,37 @@ def read_version(spark, path: str, n: int | None = None):
     return spark.read.parquet(found[n])
 
 
+def table_changes(spark, path: str, keys: list[str]):
+    """Change feed between the previous retained version and the
+    current one: (keys..., change ∈ insert|delete|update) — the
+    versioned layout's analog of Delta's CDF, derived rather than
+    stored. Rows are compared on the columns common to both versions
+    (an evolve_schema rewrite adds/drops columns; value changes in
+    shared columns still surface as updates). Plan shape: two
+    anti-joins + one exceptAll/semi-join, all hash-partitioned on the
+    key — three key-shuffles over exactly two table scans, no
+    driver-side diffing.
+    """
+    from pyspark.sql import functions as F
+
+    vs = versions(path.rstrip("/"))
+    cur = read_version(spark, path)
+    k = list(keys)
+    if len(vs) < 2:
+        return cur.select(*k).withColumn("change", F.lit("insert"))
+    prev = spark.read.parquet(vs[-2][1])
+    common = [c for c in cur.columns if c in set(prev.columns)]
+    cur_c, prev_c = cur.select(*common), prev.select(*common)
+    ins = (cur_c.join(prev_c.select(*k), k, "left_anti")
+           .select(*k).withColumn("change", F.lit("insert")))
+    dele = (prev_c.join(cur_c.select(*k), k, "left_anti")
+            .select(*k).withColumn("change", F.lit("delete")))
+    upd = (cur_c.exceptAll(prev_c)
+           .join(prev_c.select(*k), k, "left_semi")
+           .select(*k).distinct().withColumn("change", F.lit("update")))
+    return ins.unionByName(dele).unionByName(upd)
+
+
 def vacuum(path: str, keep: int = 1) -> list[int]:
     """Drop retained historical versions beyond the newest ``keep``
     (the published one is always kept). Returns the dropped version

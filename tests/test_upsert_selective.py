@@ -229,3 +229,35 @@ def test_schema_evolution_add_column(spark, tmp_path):
     with pytest.raises(AnalysisException):
         write_upsert_parquet(path, base, ["cve_id"],
                              partition_by=["published_year"])
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    """Derived change feed (CDF analog): inserts/updates/deletes
+    between the previous and current retained versions."""
+    from nvd2mysqlloader_spark.operators import table_io
+
+    path = str(tmp_path / "cdf")
+    base = spark.createDataFrame(
+        [("CVE-2020-1", 2020, "a"), ("CVE-2020-2", 2020, "b"),
+         ("CVE-2021-1", 2021, "c")],
+        ["cve_id", "published_year", "summary"])
+    write_upsert_parquet(path, base, ["cve_id"],
+                         partition_by=["published_year"])
+    first = {(r.cve_id, r.change)
+             for r in table_io.table_changes(spark, path, ["cve_id"])
+             .collect()}
+    assert first == {("CVE-2020-1", "insert"), ("CVE-2020-2", "insert"),
+                     ("CVE-2021-1", "insert")}
+
+    upd = spark.createDataFrame(
+        [("CVE-2021-1", 2021, "c2"),      # changed value -> update
+         ("CVE-2021-9", 2021, "new"),     # new key       -> insert
+         ("CVE-2020-1", 2020, "a")],      # identical     -> no change
+        ["cve_id", "published_year", "summary"])
+    write_upsert_parquet(path, upd, ["cve_id"],
+                         partition_by=["published_year"])
+    got = {(r.cve_id, r.change)
+           for r in table_io.table_changes(spark, path, ["cve_id"])
+           .collect()}
+    # upserts never delete, so: one update, one insert, nothing else
+    assert got == {("CVE-2021-1", "update"), ("CVE-2021-9", "insert")}
