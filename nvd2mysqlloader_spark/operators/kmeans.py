@@ -86,8 +86,23 @@ def update_centroids(assigned: DataFrame, cents: np.ndarray) -> np.ndarray:
 
 
 def kmeans(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
-    """Run ``iters`` Lloyd iterations; return (vec_id, cluster)."""
-    cents = init_centroids(emb, k)
-    for _ in range(iters):
-        cents = update_centroids(lloyd_assignments(emb, cents), cents)
-    return lloyd_assignments(emb, cents).select("vec_id", "cluster")
+    """Run ``iters`` Lloyd iterations; return (vec_id, cluster).
+
+    The working set is persisted for the duration: every iteration
+    (and the final assignment) re-reads the same (id, vector) rows, so
+    caching replaces ``iters + 1`` source scans + decodes with one —
+    the canonical Spark iterative-algorithm pattern. MEMORY_AND_DISK
+    so a 100 TB corpus degrades to spill, not recompute."""
+    from pyspark import StorageLevel
+
+    emb = emb.select("vec_id", "embedding") \
+             .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents = init_centroids(emb, k)
+        for _ in range(iters):
+            cents = update_centroids(lloyd_assignments(emb, cents), cents)
+        out = lloyd_assignments(emb, cents).select("vec_id", "cluster")
+        out = out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        emb.unpersist()
+    return out
