@@ -1,0 +1,66 @@
+"""Training-corpus export sink — sharded JSONL with a manifest.
+
+The last stage of a curation pipeline hands the corpus to a training
+job, which almost universally consumes newline-delimited JSON shards
+with a manifest (row counts per shard for planning/verification).
+The reference's only sink is MySQL; this is the engine-side export
+surface, designed for the 100 TB case:
+
+* **Deterministic sharding** — shard = xxhash64(key) mod shards, a
+  pure column expression: membership is a function of the key alone,
+  so re-running the export (or exporting from a re-partitioned copy
+  of the table) produces identical shard contents. No RoundRobin, no
+  dependence on input split order.
+* **Deterministic order within a shard** — rows sort by key inside
+  each shard file, so shard bytes are reproducible end-to-end and
+  diffs between two exports are meaningful.
+* **One distributed write** — repartition on the shard column +
+  sortWithinPartitions + partitionBy(shard): each shard is one
+  directory of line-JSON, written in parallel, no driver involvement.
+* **Manifest** — per-shard row counts + total, computed from the same
+  plan (one extra aggregation, no second corpus scan at export time)
+  and written as a single JSON file the trainer can verify against.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHARD_COL = "shard"
+
+
+def export_jsonl(df: DataFrame, path: str, key: str,
+                 shards: int = 8, compression: str | None = "gzip") -> dict:
+    """Write ``df`` as ``shards`` deterministic JSONL shards under
+    ``path`` (dirs ``shard=N/``), plus a ``_manifest.json``.
+
+    Returns the manifest dict: {"shards": {shard: rows}, "total": n,
+    "columns": [...]}. ``key`` must be a unique column — it defines
+    both shard membership (hash) and within-shard order (sort).
+    """
+    sharded = df.withColumn(
+        SHARD_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(shards)))
+    (sharded
+     .repartition(shards, F.col(SHARD_COL))
+     .sortWithinPartitions(SHARD_COL, key)
+     .write.mode("overwrite")
+     .partitionBy(SHARD_COL)
+     .option("compression", compression or "none")
+     .json(path))
+
+    counts = {int(r[SHARD_COL]): r["n"] for r in
+              sharded.groupBy(SHARD_COL).agg(F.count("*").alias("n"))
+              .collect()}
+    manifest = {
+        "shards": {str(s): counts.get(s, 0) for s in range(shards)},
+        "total": sum(counts.values()),
+        "columns": df.columns,
+        "key": key,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
