@@ -59,9 +59,16 @@ def fresh_feeds(spark: SparkSession, landing: str, warehouse: str) -> DataFrame:
         return meta
 
 
-def run_ingest(spark: SparkSession, landing: str, warehouse: str) -> dict:
+def run_ingest(spark: SparkSession, landing: str, warehouse: str,
+               maintain: bool = False) -> dict:
     """One incremental batch. Returns counts (the reference's tally
-    delta report, nvd2mysqlloader.py:562-573)."""
+    delta report, nvd2mysqlloader.py:562-573).
+
+    ``maintain=True`` runs the table-maintenance pass after the load:
+    small-file compaction of both warehouse tables (each incremental
+    batch adds a file per touched partition; compaction is a no-op
+    until `plan_compaction` says the rewrite pays — the OPTIMIZE-after-
+    ingest pattern every streaming/micro-batch warehouse needs)."""
     def tally(path: str) -> int:            # count(distinct cve_id), ref :494
         import os
         if not os.path.exists(path):        # avoid noisy first-load probes
@@ -126,20 +133,30 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str) -> dict:
     fresh.unpersist()
     items.unpersist()
 
-    after = tally(silver_path)
-    return {"feeds": len(names), "cves": n_cves, "tally_before": before,
-            "tally_after": after, "added": after - before}
+    stats = {"feeds": len(names), "cves": n_cves, "tally_before": before,
+             "tally_after": tally(silver_path)}
+    stats["added"] = stats["tally_after"] - before
+    if maintain:
+        from .operators.compaction import compact_parquet
+        stats["compaction"] = {
+            "nvd": compact_parquet(spark, silver_path),
+            "nvd_json": compact_parquet(spark, bronze_path),
+        }
+    return stats
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="NVD feed → parquet warehouse ingest")
     ap.add_argument("--landing", required=True, help="dir of feed .json + .meta files")
     ap.add_argument("--warehouse", required=True, help="output parquet warehouse dir")
+    ap.add_argument("--maintain", action="store_true",
+                    help="run small-file compaction after the load")
     args = ap.parse_args(argv)
 
     from .session import get_spark
     spark = get_spark("nvd_ingest")
-    stats = run_ingest(spark, args.landing, args.warehouse)
+    stats = run_ingest(spark, args.landing, args.warehouse,
+                       maintain=args.maintain)
     print(f"feeds loaded: {stats['feeds']}  cves in batch: {stats['cves']}")
     print(f"tally before: {stats['tally_before']}  after: {stats['tally_after']}"
           f"  added: {stats['added']}")

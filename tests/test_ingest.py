@@ -119,3 +119,41 @@ def test_download_feed_recorded_responses(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_ingest_maintain_compacts_accreted_files(spark, tmp_path):
+    """Many incremental batches accrete one file per touched partition;
+    the maintain pass compacts them (or no-ops when not worth it) and
+    preserves the tally."""
+    import glob
+    import json
+    import os
+
+    from nvd2mysqlloader_spark.ingest import run_ingest
+
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "wh")
+    os.makedirs(landing)
+    # 6 batches into the same year-partition: fresh .meta each round
+    for b in range(6):
+        items = [{
+            "cve": {"CVE_data_meta": {"ID": f"CVE-2024-{b}{i:04d}"},
+                    "description": {"description_data": [
+                        {"lang": "en", "value": f"batch {b} cve {i}"}]}},
+            "publishedDate": "2024-01-01T00:00Z",
+            "lastModifiedDate": f"2024-01-0{b + 1}T00:00Z",
+        } for i in range(50)]
+        feed = {"CVE_data_numberOfCVEs": "50", "CVE_Items": items}
+        with open(f"{landing}/nvdcve-1.1-2024.json", "w") as f:
+            json.dump(feed, f)
+        with open(f"{landing}/nvdcve-1.1-2024.meta", "w") as f:
+            f.write(f"lastModifiedDate:2024-01-0{b + 1}T00:00:00-04:00\r\n")
+        stats = run_ingest(spark, landing, wh,
+                           maintain=(b == 5))   # maintain on the last batch
+    assert "compaction" in stats
+    assert stats["tally_after"] == 300
+    n_files = len(glob.glob(f"{wh}/nvd/published_year=2024/*.parquet"))
+    comp = stats["compaction"]["nvd"]
+    assert comp.get("skipped") or comp["after_files"] <= comp["before_files"]
+    assert spark.read.parquet(f"{wh}/nvd").count() == 300
+    assert n_files >= 1
