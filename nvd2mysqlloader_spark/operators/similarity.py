@@ -110,6 +110,67 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# Incremental ANN maintenance — the 100 TB operating mode (mirror of
+# operators.dedup's persisted MinHash signature table): hyperplane
+# signatures are computed ONCE per corpus vector and persisted; every
+# query batch probes the table — no per-query re-encoding of the
+# corpus, and new corpus batches append their own signatures.
+
+
+def write_ann_signature_table(corpus: DataFrame, path: str,
+                              id_col: str = "vec_id",
+                              emb_col: str = "embedding",
+                              n_bits: int = 64, seed: int = 11,
+                              mode: str = "append") -> None:
+    """Persist (id, sig) hyperplane signatures for a corpus batch.
+
+    Banding happens at probe time so (bands × bits_per_band) can be
+    retuned without rebuilding; ``seed`` must match between build and
+    probe (same hyperplanes)."""
+    dim = len(corpus.select(emb_col).first()[0])
+    bits = hyperplane_bits_udf(dim, n_bits, seed)
+    corpus.select(id_col, bits(emb_col).alias("sig")) \
+          .write.mode(mode).parquet(path)
+
+
+def ann_topk_from_signatures(corpus: DataFrame, sig_path: str,
+                             queries: DataFrame, k: int = 10,
+                             id_col: str = "vec_id",
+                             emb_col: str = "embedding",
+                             query_id_col: str = "query_id",
+                             bands: int = 16, bits_per_band: int = 4,
+                             seed: int = 11) -> DataFrame:
+    """``ann_topk`` against a PERSISTED signature table: identical
+    results (same hyperplanes → same bands → same candidates → same
+    exact-cosine ranking), but the corpus-side encode is a parquet
+    scan of k-longs-per-doc instead of an Arrow matmul over raw
+    vectors. ``corpus`` supplies vectors only for the exact rescore of
+    candidates (broadcast-joined — the corpus is scanned, never
+    shuffled)."""
+    spark = corpus.sparkSession
+    c_sig = spark.read.parquet(sig_path)
+    dim = len(queries.select(emb_col).first()[0])
+    bits = hyperplane_bits_udf(dim, bands * bits_per_band, seed)
+    q_sig = queries.select(query_id_col, F.col(emb_col).alias("q_emb"),
+                           bits(emb_col).alias("sig"))
+    cb = _banded(c_sig, id_col, "sig", bands, bits_per_band)
+    qb = _banded(q_sig, query_id_col, "sig", bands, bits_per_band)
+    cand = (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
+            .select(query_id_col, id_col).distinct())
+    scored = (corpus.select(id_col, emb_col)
+              .join(F.broadcast(cand), id_col)
+              .join(F.broadcast(q_sig.select(query_id_col, "q_emb")),
+                    query_id_col)
+              .filter(F.col(id_col) != F.col(query_id_col))
+              .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                      cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"),
+                                                 F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the scale path for corpora where hyperplane
 # LSH degenerates (weak similarity structure → near-uniform sign bits).
 

@@ -277,3 +277,30 @@ def test_pq_training_sample_bounded(spark):
     for r in pq_topk(emb, queries, k=5, train_n=32).collect():
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert len(got) == 3 and all(len(v) == 5 for v in got.values())
+
+
+def test_ann_signature_table_probe_matches_direct(spark, tmp_path):
+    """Persisted-signature ANN (incremental operating mode: corpus
+    encoded once, query batches probe) returns EXACTLY the direct
+    ann_topk results — same hyperplanes, same bands, same candidates,
+    same exact-cosine ranking — including for signatures appended in
+    a second batch."""
+    from pyspark.sql import functions as F
+
+    from nvd2mysqlloader_spark.operators.similarity import (
+        ann_topk, ann_topk_from_signatures, write_ann_signature_table)
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    sig_path = str(tmp_path / "ann_sigs")
+    # build in two batches — append is the incremental contract
+    write_ann_signature_table(emb.filter(F.col("vec_id") % 2 == 0),
+                              sig_path)
+    write_ann_signature_table(emb.filter(F.col("vec_id") % 2 == 1),
+                              sig_path)
+
+    direct = sorted(map(tuple, ann_topk(emb, queries, k=10).collect()))
+    probed = sorted(map(tuple, ann_topk_from_signatures(
+        emb, sig_path, queries, k=10).collect()))
+    assert probed == direct and len(direct) > 0
