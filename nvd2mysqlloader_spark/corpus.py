@@ -1,0 +1,118 @@
+"""End-to-end corpus curation — the pipeline a training-data team
+actually runs, composed from this engine's individually-verified
+stages (each stage's operator is oracle- or twin-tested on its own;
+this module wires them in the canonical order and accounts for every
+dropped row).
+
+    raw documents
+      1. quality gate        (token-count bounds + stopword ratio)
+      2. language filter     (optional allow-list on claimed lang)
+      3. exact dedup         (normalized fingerprint, keep longest)
+      4. near-dup dedup      (MinHash+LSH candidates → connected
+                              components → keep min-id per cluster)
+      5. decontamination     (drop docs sharing 5-grams with the
+                              md5-prefix holdout — eval-set hygiene)
+      6. PII scrub           (emails / IPv4s / phone numbers)
+      7. export              (deterministic JSONL shards + manifest)
+
+Scale notes: every stage is a narrow map or an already-audited
+shuffle (hash groupBy, banded LSH self-join, label propagation,
+broadcast semi-probe); text never rides through a sketch shuffle; the
+only full-width materialization is the final export. Stage row counts
+are collected as the pipeline's audit trail — at 100 TB these counts
+are the difference between "the corpus shrank 40%" and knowing WHICH
+gate ate it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (fingerprint, scrub_pii, shingle3_udf,
+                             stopword_hits, tokens)
+from .operators.dedup import minhash_near_dups
+from .operators.graph import connected_components
+from .sources.export import export_jsonl
+
+
+def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
+                  min_tokens: int = 5, max_tokens: int = 100_000,
+                  min_stopword_ratio: float = 0.0,
+                  langs: list[str] | None = None,
+                  near_dup_threshold: float = 0.5,
+                  holdout_prefix: str = "10",
+                  ngram: int = 5,
+                  shards: int = 8) -> dict:
+    """Run the full curation pipeline over ``docs`` (needs doc_id,
+    text, lang); export survivors to ``out_dir``; return per-stage row
+    counts plus the export manifest."""
+    stats: dict = {"input": docs.count()}
+
+    # 1. quality gate — cheap column predicates first (prune early so
+    # every later stage touches less data)
+    t = docs.withColumn("__toks", tokens("text"))
+    n_tok = F.size("__toks")
+    stop_ratio = stopword_hits(F.col("__toks"), "en") / \
+        F.greatest(n_tok, F.lit(1))
+    quality = (t.filter((n_tok >= min_tokens) & (n_tok <= max_tokens)
+                        & (stop_ratio >= min_stopword_ratio))
+               .drop("__toks"))
+    stats["after_quality"] = quality.count()
+
+    # 2. language allow-list (claimed lang; swap in lang_id evidence
+    # argmax when labels are untrusted)
+    if langs:
+        quality = quality.filter(F.col("lang").isin(list(langs)))
+    stats["after_lang"] = quality.count()
+
+    # 3. exact dedup — normalized fingerprint, keep the longest copy
+    # (one window serves rank; text itself never shuffles wide: the
+    # hash does)
+    from pyspark.sql import Window
+    w = Window.partitionBy(fingerprint("text")) \
+              .orderBy(F.desc(F.length("text")), "doc_id")
+    exact = (quality.withColumn("__rk", F.row_number().over(w))
+             .filter(F.col("__rk") == 1).drop("__rk"))
+    stats["after_exact_dedup"] = exact.count()
+
+    # 4. near-dup dedup — LSH candidates only (never all-pairs), then
+    # transitive closure so A~B~C collapses to one keeper
+    shingled = exact.select("doc_id", shingle3_udf()("text").alias("s"))
+    pairs = minhash_near_dups(shingled, threshold=near_dup_threshold) \
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(exact.select(F.col("doc_id").alias("id")),
+                                pairs, id_col="id")
+    keepers = comp.filter(F.col("id") == F.col("component")) \
+                  .select(F.col("id").alias("doc_id"))
+    near = exact.join(F.broadcast(keepers), "doc_id", "left_semi")
+    stats["after_near_dedup"] = near.count()
+
+    # 5. decontamination — md5-prefix holdout is the eval set; drop
+    # training docs sharing any word n-gram with it (broadcast
+    # semi-probe: training grams are never join-shuffled)
+    ws = near.withColumn("__ws", F.split("text", " "))
+    grams = ws.filter(F.size("__ws") >= ngram).select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(__ws) - {ngram}),"
+            f" i -> md5(array_join(slice(__ws, i + 1, {ngram}), ' ')))"
+        )).alias("g"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+         < holdout_prefix).alias("is_holdout"))
+    hold_grams = grams.filter("is_holdout").select("g").distinct()
+    dirty = (grams.filter(~F.col("is_holdout"))
+             .join(F.broadcast(hold_grams), "g", "left_semi")
+             .select("doc_id").distinct())
+    is_holdout_doc = (F.substring(F.md5(F.col("doc_id").cast("string")),
+                                  1, 2) < holdout_prefix)
+    clean = (near.filter(~is_holdout_doc)
+             .join(F.broadcast(dirty), "doc_id", "left_anti"))
+    stats["after_decontaminate"] = clean.count()
+
+    # 6 + 7. scrub and export in one pass
+    final = clean.withColumn("text", scrub_pii("text"))
+    stats["manifest"] = export_jsonl(final, out_dir, key="doc_id",
+                                     shards=shards)
+    stats["exported"] = stats["manifest"]["total"]
+    return stats

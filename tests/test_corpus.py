@@ -1,0 +1,61 @@
+"""End-to-end curation pipeline: every stage accounted for, known
+duplicates collapsed, holdout and contaminated docs dropped, output
+readable and scrubbed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nvd2mysqlloader_spark.corpus import curate_corpus
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(spark, docs, out, shards=4)
+
+    # monotone shrinkage with full accounting
+    seq = [stats["input"], stats["after_quality"], stats["after_lang"],
+           stats["after_exact_dedup"], stats["after_near_dedup"],
+           stats["after_decontaminate"], stats["exported"]]
+    assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+    assert stats["exported"] == stats["after_decontaminate"]
+    assert stats["exported"] > 0
+
+    # exact dedup must collapse the corpus's known exact duplicates:
+    # distinct normalized fingerprints >= survivors after stage 3
+    from nvd2mysqlloader_spark.functions.text import fingerprint
+    n_fp = docs.select(fingerprint("text").alias("f")).distinct().count()
+    assert stats["after_exact_dedup"] <= n_fp
+
+    # output: readable, unique ids, no unscrubbed emails
+    back = spark.read.json(out)
+    assert back.count() == stats["exported"]
+    assert back.select("doc_id").distinct().count() == stats["exported"]
+    assert back.filter(
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).count() == 0
+
+    # decontamination dropped the holdout docs themselves
+    held = back.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "10")
+    assert held.count() == 0
+
+
+def test_curate_corpus_near_dup_collapses_clusters(spark, tmp_path):
+    """Planted near-identical docs collapse to one survivor even when
+    only chained pairwise (A~B, B~C)."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the quiet green forest tonight without any fear")
+    rows = [(1, base, "en"), (2, base + " extra", "en"),
+            (3, base + " extra words", "en"),
+            (4, "completely unrelated text about databases and shuffle "
+                "partitions inside a distributed query engine cluster",
+             "en")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = str(tmp_path / "mini")
+    stats = curate_corpus(spark, docs, out, min_tokens=3,
+                          holdout_prefix="00",   # no holdout: tiny corpus
+                          shards=1)
+    assert stats["after_near_dedup"] == 2        # {1,2,3} -> 1, plus 4
+    back = spark.read.json(out)
+    assert sorted(r.doc_id for r in back.collect()) == [1, 4]
