@@ -57,15 +57,31 @@ def pack_media(kind_idx: int, width: int, height: int, payload: bytes) -> bytes:
 
 
 def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
-    """Parse one media blob. Real formats (PNG/JPEG/WAV/MP4 magics) are
-    stubbed: the container image has no codec libraries."""
+    """Parse one media blob into (kind, width, height, payload bytes).
+
+    REAL decoders for the formats that need no codec library: PNG
+    (zlib + filters, ``codecs.decode_png``) and WAV-PCM
+    (``codecs.decode_wav`` — width carries sample-rate/1000, height
+    channels, matching the SGM1 convention). The SGM1 fake container
+    remains the bulk-test format, and formats whose decode genuinely
+    requires a codec (JPEG's DCT entropy coding, MP4) still raise —
+    swapping in PIL/ffmpeg there changes no plan shape."""
+    from . import codecs
+
     if content[:4] == MAGIC:
         kind_idx, width, height = struct.unpack(">BHH", content[4:9])
         return KINDS[kind_idx], width, height, content[9:]
-    if content[:8] == b"\x89PNG\r\n\x1a\n" or content[:3] == b"\xff\xd8\xff":
+    if content[:8] == codecs.PNG_MAGIC:
+        img = codecs.decode_png(content)
+        h, w, _ch = img.shape
+        return "image", w, h, img.tobytes()
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        rate, ch, samples = codecs.decode_wav(content)
+        return "audio", rate // 1000, ch, samples.tobytes()
+    if content[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "real image decode requires PIL/opencv — not in this container; "
-            "swap _decode_payload for a codec-backed version in production")
+            "JPEG decode requires a real codec (PIL/opencv) — not in this "
+            "container; swap _decode_payload's branch in production")
     raise ValueError(f"unknown media container: {content[:4]!r}")
 
 
