@@ -46,73 +46,98 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                   shards: int = 8) -> dict:
     """Run the full curation pipeline over ``docs`` (needs doc_id,
     text, lang); export survivors to ``out_dir``; return per-stage row
-    counts plus the export manifest."""
-    stats: dict = {"input": docs.count()}
+    counts plus the export manifest.
 
-    # 1. quality gate — cheap column predicates first (prune early so
-    # every later stage touches less data)
-    t = docs.withColumn("__toks", tokens("text"))
-    n_tok = F.size("__toks")
-    stop_ratio = stopword_hits(F.col("__toks"), "en") / \
-        F.greatest(n_tok, F.lit(1))
-    quality = (t.filter((n_tok >= min_tokens) & (n_tok <= max_tokens)
-                        & (stop_ratio >= min_stopword_ratio))
-               .drop("__toks"))
-    stats["after_quality"] = quality.count()
+    Stage outputs that later stages (and the audit counts) re-read are
+    persisted MEMORY_AND_DISK for the duration, so the expensive
+    middle (LSH self-join, label propagation, gram joins) executes
+    once, not once per downstream action."""
+    from pyspark import StorageLevel
 
-    # 2. language allow-list (claimed lang; swap in lang_id evidence
-    # argmax when labels are untrusted)
-    if langs:
-        quality = quality.filter(F.col("lang").isin(list(langs)))
-    stats["after_lang"] = quality.count()
+    persisted = []
 
-    # 3. exact dedup — normalized fingerprint, keep the longest copy
-    # (one window serves rank; text itself never shuffles wide: the
-    # hash does)
-    from pyspark.sql import Window
-    w = Window.partitionBy(fingerprint("text")) \
-              .orderBy(F.desc(F.length("text")), "doc_id")
-    exact = (quality.withColumn("__rk", F.row_number().over(w))
-             .filter(F.col("__rk") == 1).drop("__rk"))
-    stats["after_exact_dedup"] = exact.count()
+    def _stage(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(df)
+        return df
 
-    # 4. near-dup dedup — LSH candidates only (never all-pairs), then
-    # transitive closure so A~B~C collapses to one keeper
-    shingled = exact.select("doc_id", shingle3_udf()("text").alias("s"))
-    pairs = minhash_near_dups(shingled, threshold=near_dup_threshold) \
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = connected_components(exact.select(F.col("doc_id").alias("id")),
-                                pairs, id_col="id")
-    keepers = comp.filter(F.col("id") == F.col("component")) \
-                  .select(F.col("id").alias("doc_id"))
-    near = exact.join(F.broadcast(keepers), "doc_id", "left_semi")
-    stats["after_near_dedup"] = near.count()
+    try:
+        stats: dict = {"input": docs.count()}
 
-    # 5. decontamination — md5-prefix holdout is the eval set; drop
-    # training docs sharing any word n-gram with it (broadcast
-    # semi-probe: training grams are never join-shuffled)
-    ws = near.withColumn("__ws", F.split("text", " "))
-    grams = ws.filter(F.size("__ws") >= ngram).select(
-        "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(0, size(__ws) - {ngram}),"
-            f" i -> md5(array_join(slice(__ws, i + 1, {ngram}), ' ')))"
-        )).alias("g"),
-        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-         < holdout_prefix).alias("is_holdout"))
-    hold_grams = grams.filter("is_holdout").select("g").distinct()
-    dirty = (grams.filter(~F.col("is_holdout"))
-             .join(F.broadcast(hold_grams), "g", "left_semi")
-             .select("doc_id").distinct())
-    is_holdout_doc = (F.substring(F.md5(F.col("doc_id").cast("string")),
-                                  1, 2) < holdout_prefix)
-    clean = (near.filter(~is_holdout_doc)
-             .join(F.broadcast(dirty), "doc_id", "left_anti"))
-    stats["after_decontaminate"] = clean.count()
+        # 1. quality gate — cheap column predicates first (prune early
+        # so every later stage touches less data)
+        t = docs.withColumn("__toks", tokens("text"))
+        n_tok = F.size("__toks")
+        stop_ratio = stopword_hits(F.col("__toks"), "en") / \
+            F.greatest(n_tok, F.lit(1))
+        quality = (t.filter((n_tok >= min_tokens) & (n_tok <= max_tokens)
+                            & (stop_ratio >= min_stopword_ratio))
+                   .drop("__toks"))
+        stats["after_quality"] = quality.count()
 
-    # 6 + 7. scrub and export in one pass
-    final = clean.withColumn("text", scrub_pii("text"))
-    stats["manifest"] = export_jsonl(final, out_dir, key="doc_id",
-                                     shards=shards)
-    stats["exported"] = stats["manifest"]["total"]
-    return stats
+        # 2. language allow-list (claimed lang; swap in lang_id
+        # evidence argmax when labels are untrusted)
+        if langs:
+            quality = quality.filter(F.col("lang").isin(list(langs)))
+        quality = _stage(quality)
+        stats["after_lang"] = quality.count()
+
+        # 3. exact dedup — normalized fingerprint, keep the longest
+        # copy (one window serves rank; text itself never shuffles
+        # wide: the hash does)
+        from pyspark.sql import Window
+        w = Window.partitionBy(fingerprint("text")) \
+                  .orderBy(F.desc(F.length("text")), "doc_id")
+        exact = _stage(quality.withColumn("__rk", F.row_number().over(w))
+                       .filter(F.col("__rk") == 1).drop("__rk"))
+        stats["after_exact_dedup"] = exact.count()
+
+        # 4. near-dup dedup — LSH candidates only (never all-pairs),
+        # then transitive closure so A~B~C collapses to one keeper.
+        # The DROP side (docs inside a dup cluster that lost) is the
+        # small set — anti-join against it; the keeper set is
+        # corpus-sized and must never be broadcast/collected.
+        shingled = exact.select("doc_id", shingle3_udf()("text").alias("s"))
+        pairs = minhash_near_dups(shingled, threshold=near_dup_threshold) \
+            .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        comp = connected_components(exact.select(F.col("doc_id")
+                                                 .alias("id")),
+                                    pairs, id_col="id")
+        losers = comp.filter(F.col("id") != F.col("component")) \
+                     .select(F.col("id").alias("doc_id"))
+        near = _stage(exact.join(losers, "doc_id", "left_anti"))
+        stats["after_near_dedup"] = near.count()
+
+        # 5. decontamination — md5-prefix holdout is the eval set;
+        # drop training docs sharing any word n-gram with it. Semi-
+        # probe against holdout grams: its size scales with the
+        # holdout, so the join strategy is left to AQE (broadcast when
+        # it fits, shuffle join when it doesn't) rather than forced.
+        ws = near.withColumn("__ws", F.split("text", " "))
+        grams = ws.filter(F.size("__ws") >= ngram).select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(0, size(__ws) - {ngram}),"
+                f" i -> md5(array_join(slice(__ws, i + 1, {ngram}), ' ')))"
+            )).alias("g"),
+            (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+             < holdout_prefix).alias("is_holdout"))
+        hold_grams = grams.filter("is_holdout").select("g").distinct()
+        dirty = (grams.filter(~F.col("is_holdout"))
+                 .join(hold_grams, "g", "left_semi")
+                 .select("doc_id").distinct())
+        is_holdout_doc = (F.substring(F.md5(F.col("doc_id").cast("string")),
+                                      1, 2) < holdout_prefix)
+        clean = _stage(near.filter(~is_holdout_doc)
+                       .join(dirty, "doc_id", "left_anti"))
+        stats["after_decontaminate"] = clean.count()
+
+        # 6 + 7. scrub and export in one pass
+        final = clean.withColumn("text", scrub_pii("text"))
+        stats["manifest"] = export_jsonl(final, out_dir, key="doc_id",
+                                         shards=shards)
+        stats["exported"] = stats["manifest"]["total"]
+        return stats
+    finally:
+        for df in persisted:
+            df.unpersist()

@@ -100,11 +100,11 @@ def compact_parquet(spark: SparkSession, path: str,
     table_io.ensure_versioned(path)
     table_io.cleanup_stale(path)
     cur = table_io.current_version(path)
-    assert cur is not None, f"no table at {path}"
+    if cur is None:
+        raise ValueError(f"no table at {path}")
 
-    part_dirs = sorted(
-        d for d in os.listdir(cur)
-        if "=" in d and os.path.isdir(os.path.join(cur, d)))
+    # leaf partition dirs handle any partitioning depth (year=/month=…)
+    part_dirs = table_io.leaf_partition_dirs(cur)
     if part_dirs:
         plans = {d: plan_compaction(os.path.join(cur, d), target_bytes)
                  for d in part_dirs}

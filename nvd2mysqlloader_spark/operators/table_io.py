@@ -17,8 +17,10 @@ This module gives every managed table the shape real table formats
   atomic on POSIX, so every reader that lists the table sees exactly
   one complete version, never a mix and never a missing table;
 * the PREVIOUS version directory is retained until the next publish,
-  so a reader that resolved the old version mid-swap finishes its
-  scan; older versions are pruned;
+  so a VERSION-PINNED reader (``read_version`` — file paths resolved
+  into the version dir) finishes its scan across a publish; a reader
+  that listed through the symlink must complete before the next
+  publish (its recorded paths re-resolve). Older versions are pruned;
 * unchanged partitions are carried across versions as hardlinks —
   O(metadata) per file, no data copied — the local analog of a new
   Iceberg snapshot reusing the manifests of untouched partitions.
@@ -130,10 +132,21 @@ def read_version(spark, path: str, n: int | None = None):
     (default: the published current). Retained versions only — by
     default current and previous (see ``publish_version``/``vacuum``);
     the Delta/Iceberg analog is VERSION AS OF over unexpired
-    snapshots."""
+    snapshots.
+
+    The returned DataFrame is VERSION-PINNED: it reads the resolved
+    version directory, not the symlink, so its recorded file paths
+    stay valid across a concurrent publish (for as long as the version
+    is retained). A plain ``spark.read.parquet(table)`` through the
+    symlink is re-resolved at execution time and is only safe for
+    reads that complete before the next publish — use this function
+    for any handle held across writes."""
     path = path.rstrip("/")
     if n is None:
-        return spark.read.parquet(path)
+        cur = current_version(path)
+        if cur is None:
+            raise ValueError(f"no table at {path}")
+        return spark.read.parquet(cur)
     found = dict(versions(path))
     if n not in found:
         raise ValueError(

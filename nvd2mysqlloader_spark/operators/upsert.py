@@ -117,7 +117,10 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
         target_all = None
         if cur is not None:
             try:
-                target_all = spark.read.parquet(target_path)
+                # version-pinned read: the merge job executes while a
+                # publish may land; reading `cur` (not the symlink)
+                # keeps the file list valid for this version's lifetime
+                target_all = spark.read.parquet(cur)
             except Exception:  # unreadable/empty target dir ONLY —
                 target_all = None  # merge errors must propagate, never
                 #                    silently degrade to updates-only
@@ -131,11 +134,15 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
                 affected = [tuple(r) for r in
                             updates.select(*partition_by)
                             .distinct().collect()]
+                if not affected:        # empty batch against an existing
+                    return              # table: nothing to merge or publish
                 pred = None
                 for vals in affected:
                     clause = F.lit(True)
                     for c, v in zip(partition_by, vals):
-                        clause = clause & (F.col(c) == F.lit(v))
+                        # eqNullSafe: a null partition value must still
+                        # select its (__HIVE_DEFAULT_PARTITION__) slice
+                        clause = clause & F.col(c).eqNullSafe(F.lit(v))
                     pred = clause if pred is None else (pred | clause)
                 merged = merge_upsert(target_all.filter(pred), updates,
                                       keys)
@@ -145,19 +152,20 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
         # write: one file per partition instead of (shuffle-partitions
         # × partitions) tiny files — the small-file explosion is a real
         # cost locally and a catastrophic one on a 100 TB object store.
-        # The job reads the CURRENT version (through the table symlink)
+        # The job reads the pinned CURRENT version directory
         # and writes the NEXT — no self-overwrite, no materialization
         # barrier needed.
         out = merged.repartition(*[F.col(c) for c in partition_by])
         out.write.mode("overwrite").partitionBy(*partition_by).parquet(vdir)
         if cur is not None and not full_rewrite:
             # carry untouched partitions into the new version by
-            # hardlink: same inodes, zero data movement
-            touched = {os.sep.join(f"{c}={v}" for c, v in
-                                   zip(partition_by, vals))
-                       for vals in affected}
+            # hardlink: same inodes, zero data movement. "Touched" is
+            # whatever directories the write itself produced — reusing
+            # Spark's own partition-path escaping (nulls, special
+            # chars) instead of reconstructing dir names by hand.
+            written = set(table_io.leaf_partition_dirs(vdir))
             for rel in table_io.leaf_partition_dirs(cur):
-                if rel not in touched:
+                if rel not in written:
                     table_io.link_tree(os.path.join(cur, rel),
                                        os.path.join(vdir, rel))
         table_io.publish_version(target_path, vdir)
@@ -166,7 +174,7 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     merged = updates
     if cur is not None:
         try:
-            target = spark.read.parquet(target_path)
+            target = spark.read.parquet(cur)   # version-pinned (see above)
         except Exception:  # unreadable/empty target dir ONLY
             target = None
         if target is not None:

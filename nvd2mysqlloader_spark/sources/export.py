@@ -17,9 +17,11 @@ surface, designed for the 100 TB case:
 * **One distributed write** — repartition on the shard column +
   sortWithinPartitions + partitionBy(shard): each shard is one
   directory of line-JSON, written in parallel, no driver involvement.
-* **Manifest** — per-shard row counts + total, computed from the same
-  plan (one extra aggregation, no second corpus scan at export time)
-  and written as a single JSON file the trainer can verify against.
+* **Manifest** — per-shard row counts + total, counted from the
+  WRITTEN shards (one cheap scan of the output, never a re-execution
+  of the input lineage — which for a curation pipeline would mean
+  re-running every upstream stage) and written as a single JSON file
+  the trainer can verify against.
 """
 
 from __future__ import annotations
@@ -52,9 +54,13 @@ def export_jsonl(df: DataFrame, path: str, key: str,
      .option("compression", compression or "none")
      .json(path))
 
-    counts = {int(r[SHARD_COL]): r["n"] for r in
-              sharded.groupBy(SHARD_COL).agg(F.count("*").alias("n"))
-              .collect()}
+    try:
+        counts = {int(r[SHARD_COL]): r["n"] for r in
+                  df.sparkSession.read.json(path)
+                  .groupBy(SHARD_COL).agg(F.count("*").alias("n"))
+                  .collect()}
+    except Exception:      # empty export: no shard dirs to infer from
+        counts = {}
     manifest = {
         "shards": {str(s): counts.get(s, 0) for s in range(shards)},
         "total": sum(counts.values()),

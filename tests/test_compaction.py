@@ -139,3 +139,33 @@ def test_partitioned_compaction_links_not_worth_it_partitions(spark,
     assert len(glob.glob(f"{path}/year=1/*.parquet")) < n_frag
     post = spark.read.parquet(path)
     assert post.count() == 1000 + 200
+
+
+def test_multilevel_partitioned_compaction(spark, tmp_path):
+    """year=/month= nesting: leaf partitions compact independently,
+    the nested layout (and pruning) survives, data identical
+    (regression — one-level listing used to flatten the hierarchy)."""
+    import glob
+    path = str(tmp_path / "nested")
+    for i in range(10):
+        (spark.range(i * 20, (i + 1) * 20)
+         .selectExpr("id", "CAST(id % 2 AS INT) AS year",
+                     "CAST(id % 3 AS INT) AS month")
+         .coalesce(1).write.mode("append")
+         .partitionBy("year", "month").parquet(path))
+    pre = spark.read.parquet(path)
+    # materialize BEFORE compaction: a symlink-listed DataFrame is
+    # only valid until the next publish (see table_io.read_version)
+    pre_rows, pre_sum = pre.count(), pre.agg(F.sum("id")).first()[0]
+    pre_y1m2 = pre.filter("year = 1 AND month = 2").count()
+    n_leaves = len(glob.glob(f"{path}/year=*/month=*/"))
+    assert n_leaves == 6
+
+    stats = compact_parquet(spark, path, target_bytes=1024 * 1024)
+    assert stats["partitions"] == 6
+    assert stats["after_files"] < stats["before_files"]
+    assert len(glob.glob(f"{path}/year=*/month=*/")) == 6
+    post = spark.read.parquet(path)
+    assert post.count() == pre_rows
+    assert post.agg(F.sum("id")).first()[0] == pre_sum
+    assert post.filter("year = 1 AND month = 2").count() == pre_y1m2

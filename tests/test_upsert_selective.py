@@ -261,3 +261,21 @@ def test_table_changes_between_versions(spark, tmp_path):
            .collect()}
     # upserts never delete, so: one update, one insert, nothing else
     assert got == {("CVE-2021-1", "update"), ("CVE-2021-9", "insert")}
+
+
+def test_empty_update_batch_is_a_noop(spark, tmp_path):
+    """A 0-row batch against an existing partitioned table publishes
+    nothing: same version, same files (regression — used to raise on
+    a None partition predicate)."""
+    from nvd2mysqlloader_spark.operators import table_io
+
+    path = str(tmp_path / "emptyb")
+    base = spark.createDataFrame([("CVE-2020-1", 2020, "a")],
+                                 ["cve_id", "published_year", "summary"])
+    write_upsert_parquet(path, base, ["cve_id"],
+                         partition_by=["published_year"])
+    before = table_io.versions(path)
+    write_upsert_parquet(path, base.limit(0), ["cve_id"],
+                         partition_by=["published_year"])
+    assert table_io.versions(path) == before
+    assert spark.read.parquet(path).count() == 1
