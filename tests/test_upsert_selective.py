@@ -279,3 +279,46 @@ def test_empty_update_batch_is_a_noop(spark, tmp_path):
                          partition_by=["published_year"])
     assert table_io.versions(path) == before
     assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_null_partition_value(spark, tmp_path):
+    """A null partition value lands in __HIVE_DEFAULT_PARTITION__ and
+    merges correctly: eqNullSafe selects the null slice for the pruned
+    read, and the written-dirs hardlink set treats it as touched."""
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [("CVE-2020-1", 2020, "a"), ("CVE-0000-9", None, "undated")],
+        "cve_id string, published_year int, summary string")
+    write_upsert_parquet(path, base, ["cve_id"],
+                         partition_by=["published_year"])
+    upd = spark.createDataFrame(
+        [("CVE-0000-9", None, "undated-v2")],
+        "cve_id string, published_year int, summary string")
+    write_upsert_parquet(path, upd, ["cve_id"],
+                         partition_by=["published_year"])
+    got = {r.cve_id: (r.published_year, r.summary)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {"CVE-2020-1": (2020, "a"),
+                   "CVE-0000-9": (None, "undated-v2")}
+
+
+def test_upsert_multilevel_partitioning(spark, tmp_path):
+    """Two-level partition_by: only the touched (year, month) leaf is
+    rewritten; sibling leaves carry over by hardlink."""
+    import glob
+    import os
+    path = str(tmp_path / "ml")
+    base = spark.createDataFrame(
+        [("k1", 2020, 1, "a"), ("k2", 2020, 2, "b"), ("k3", 2021, 1, "c")],
+        ["k", "y", "m", "v"])
+    write_upsert_parquet(path, base, ["k"], partition_by=["y", "m"])
+    before = {p: os.stat(p).st_ino
+              for p in glob.glob(f"{path}/y=2020/m=2/*.parquet")}
+    upd = spark.createDataFrame([("k1", 2020, 1, "a2")],
+                                ["k", "y", "m", "v"])
+    write_upsert_parquet(path, upd, ["k"], partition_by=["y", "m"])
+    # untouched sibling leaf inode-identical; touched leaf rewritten
+    assert {p: os.stat(p).st_ino
+            for p in glob.glob(f"{path}/y=2020/m=2/*.parquet")} == before
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"k1": "a2", "k2": "b", "k3": "c"}
