@@ -37,8 +37,13 @@ def get_spark(app_name: str = "nvd2mysqlloader_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # local mode: all memory lives in the driver JVM
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: all memory lives in the driver JVM. Size it to
+        # the machine (128 GiB here): at 8g the Arrow-heavy pipelines
+        # (shingling, matmuls, localCheckpoint blocks) ran the heap hot
+        # and full-GC pauses made their timings bounce 2-4x run to run;
+        # headroom turns those into minor collections. On a cluster
+        # this knob is per-executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
