@@ -493,3 +493,18 @@ def test_pq_scan_shape(spark):
     assert "MapInPandas" in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p      # candidate + query join-backs
+
+
+def test_pii_scrub_is_narrow(spark):
+    # pure projection over the scan: no exchange, no join, no python
+    p = plan_of(spark, "pii_scrub")
+    assert "Exchange" not in p and "Join" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_udtf_runs_in_python_worker_no_shuffle(spark):
+    # the lateral table function expands rows inside the Python worker
+    # per partition — a Generate-like node, no exchange
+    p = plan_of(spark, "udtf_word_trigrams")
+    assert "PythonUDTF" in p or "Generate" in p
+    assert "Exchange" not in p
