@@ -25,7 +25,18 @@ def salted_join(skewed: DataFrame, small: DataFrame, key: str,
 
     Deterministic (no rand()): task retries produce identical salt
     assignments, so the join is exactly-once-safe.
+
+    Only ``inner`` and ``left`` (outer on the SKEWED side) are valid:
+    for right/full outer, the replicated small side would surface one
+    null-padded row per unmatched (key, salt) replica — up to
+    ``salt_buckets`` spurious copies. Use a plain join (or AQE skew
+    handling) for those shapes.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the salt-replicated small side makes right/full outer "
+            "emit one spurious row per unmatched replica")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]),
                   F.lit(salt_buckets)).cast("int")
     left = skewed.withColumn("__salt", salt)

@@ -62,11 +62,36 @@ def _banded(df: DataFrame, id_col: str, sig_col: str, bands: int,
         .alias("band_idx", "band_val"))
 
 
+
+def _rescore_topk(corpus: DataFrame, cand: DataFrame, q_sig: DataFrame,
+                  k: int, id_col: str, emb_col: str, query_id_col: str,
+                  exclude_self: bool) -> DataFrame:
+    """Shared tail of every ANN path: broadcast the candidate ids and
+    query vectors into the corpus scan, exact-cosine score, window-rank
+    to top k. ``exclude_self`` drops neighbor_id == query_id — correct
+    when queries are drawn FROM the corpus (shared id namespace); pass
+    False when query ids are an independent namespace, or a legitimate
+    neighbor that happens to share the id number would be lost."""
+    scored = (corpus.select(id_col, emb_col)
+              .join(F.broadcast(cand), id_col)
+              .join(F.broadcast(q_sig.select(query_id_col, "q_emb")),
+                    query_id_col))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
+        query_id_col, F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"),
+                                                 F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",
              query_id_col: str = "query_id",
              bands: int = 16, bits_per_band: int = 4,
-             seed: int = 11) -> DataFrame:
+             seed: int = 11, exclude_self: bool = True) -> DataFrame:
     """LSH-bucketed approximate top-k: (query_id, neighbor_id, cos_sim,
     rank) for each query, neighbors drawn from corpus rows sharing ≥1
     signature band with the query.
@@ -95,18 +120,8 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     qb = _banded(q_sig, query_id_col, "sig", bands, bits_per_band)
     cand = (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
             .select(query_id_col, id_col).distinct())
-
-    scored = (c_sig.select(id_col, emb_col)
-              .join(F.broadcast(cand), id_col)
-              .join(F.broadcast(q_sig.select(query_id_col, "q_emb")),
-                    query_id_col)
-              .filter(F.col(id_col) != F.col(query_id_col))
-              .select(query_id_col, F.col(id_col).alias("neighbor_id"),
-                      cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim")))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"),
-                                                 F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _rescore_topk(c_sig, cand, q_sig, k, id_col, emb_col,
+                         query_id_col, exclude_self)
 
 
 # ---------------------------------------------------------------------------
@@ -139,7 +154,8 @@ def ann_topk_from_signatures(corpus: DataFrame, sig_path: str,
                              emb_col: str = "embedding",
                              query_id_col: str = "query_id",
                              bands: int = 16, bits_per_band: int = 4,
-                             seed: int = 11) -> DataFrame:
+                             seed: int = 11,
+                             exclude_self: bool = True) -> DataFrame:
     """``ann_topk`` against a PERSISTED signature table: identical
     results (same hyperplanes → same bands → same candidates → same
     exact-cosine ranking), but the corpus-side encode is a parquet
@@ -157,17 +173,8 @@ def ann_topk_from_signatures(corpus: DataFrame, sig_path: str,
     qb = _banded(q_sig, query_id_col, "sig", bands, bits_per_band)
     cand = (cb.join(F.broadcast(qb), ["band_idx", "band_val"])
             .select(query_id_col, id_col).distinct())
-    scored = (corpus.select(id_col, emb_col)
-              .join(F.broadcast(cand), id_col)
-              .join(F.broadcast(q_sig.select(query_id_col, "q_emb")),
-                    query_id_col)
-              .filter(F.col(id_col) != F.col(query_id_col))
-              .select(query_id_col, F.col(id_col).alias("neighbor_id"),
-                      cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim")))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"),
-                                                 F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _rescore_topk(corpus, cand, q_sig, k, id_col, emb_col,
+                         query_id_col, exclude_self)
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +216,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",
              query_id_col: str = "query_id",
              nlist: int = 16, nprobe: int = 4,
-             centroids: "np.ndarray | None" = None) -> DataFrame:
+             centroids: "np.ndarray | None" = None,
+             exclude_self: bool = True) -> DataFrame:
     """IVF approximate top-k: corpus vectors assigned to their nearest
     centroid (inverted lists); each query probes its ``nprobe`` nearest
     lists; exact cosine over ~nprobe/nlist of the corpus.
@@ -237,10 +245,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q_probe = (queries.select(query_id_col, F.col(emb_col).alias("q_emb"),
                               F.explode(_assign_udf(cents, nprobe)(emb_col))
                               .alias("list_id")))
-    scored = (c_list.join(F.broadcast(q_probe), "list_id")
-              .filter(F.col(id_col) != F.col(query_id_col))
-              .select(query_id_col, F.col(id_col).alias("neighbor_id"),
-                      cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim")))
+    scored = c_list.join(F.broadcast(q_probe), "list_id")
+    if exclude_self:        # queries drawn from the corpus (shared ids)
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
+        query_id_col, F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"),
                                                  F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -323,7 +333,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             id_col: str = "vec_id", emb_col: str = "embedding",
             query_id_col: str = "query_id",
             m: int = 8, ksub: int = 16, fetch_k: int | None = None,
-            train_n: int = 100_000) -> DataFrame:
+            train_n: int = 100_000, exclude_self: bool = True) -> DataFrame:
     """PQ/ADC approximate top-k with exact rescoring.
 
     Plan shape: train codebooks on a bounded driver-side sample
@@ -382,8 +392,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                     "neighbor_id": ids[top],
                                     "adc_d2": d2[top]})
 
-    cand = (encoded.mapInPandas(scan, out_schema)
-            .filter(F.col("neighbor_id") != F.col("query_id")))
+    cand = encoded.mapInPandas(scan, out_schema)
+    if exclude_self:        # queries drawn from the corpus (shared ids)
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     wq = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"),
                                                F.asc("neighbor_id"))
     cand = (cand.withColumn("r", F.row_number().over(wq))
@@ -451,7 +462,7 @@ def _pairs_broadcast(corpus: DataFrame, threshold: float, id_col: str,
     pdf = corpus.select(id_col, emb_col).toPandas()
     ids_all = pdf[id_col].to_numpy()
     mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
     bc = corpus.sparkSession.sparkContext.broadcast((ids_all, mat))
     cut = threshold - margin
 
@@ -461,7 +472,8 @@ def _pairs_broadcast(corpus: DataFrame, threshold: float, id_col: str,
             if len(b) == 0:
                 continue
             x = np.stack(b[emb_col].to_numpy()).astype(np.float64)
-            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            x /= np.clip(np.linalg.norm(x, axis=1, keepdims=True),
+                         1e-12, None)
             ii, jj = np.nonzero(x @ ref.T >= cut)
             ia, jb = b[id_col].to_numpy()[ii], ref_ids[jj]
             keep = ia < jb
@@ -493,7 +505,8 @@ def _pairs_blocked(corpus: DataFrame, threshold: float, id_col: str,
         ids = np.array([r["_id"] for r in rows], dtype=np.int64)
         mat = np.stack([np.asarray(r["_emb"], dtype=np.float64)
                         for r in rows])
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                       1e-12, None)
         return ids, mat
 
     def gen(batches):

@@ -191,11 +191,18 @@ def vacuum(path: str, keep: int = 1) -> list[int]:
     (the published one is always kept). Returns the dropped version
     numbers. The explicit form of the retention `publish_version`
     applies automatically; run after in-flight readers of old
-    versions are known to be done."""
+    versions are known to be done.
+
+    Crash debris (unpublished versions NEWER than the pointer) is
+    cleaned first — otherwise it would count toward ``keep`` and the
+    newest-N window could swallow the published version itself."""
     path = path.rstrip("/")
     keep = max(1, keep)
+    cleanup_stale(path)
+    cur = current_version(path)
     vs = versions(path)
-    drop = vs[:-keep] if len(vs) > keep else []
+    drop = [(n, d) for n, d in (vs[:-keep] if len(vs) > keep else [])
+            if d != cur]                  # never the published version
     for _n, d in drop:
         shutil.rmtree(d, ignore_errors=True)
     return [n for n, _d in drop]

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,7 +42,8 @@ def last_writer_wins(df: DataFrame, keys: Sequence[str],
 
 def merge_upsert(target: DataFrame, updates: DataFrame,
                  keys: Sequence[str],
-                 evolve_schema: bool = False) -> DataFrame:
+                 evolve_schema: bool = False,
+                 order_col: str | None = None) -> DataFrame:
     """MERGE emulation: matched → take update row, not-matched → keep
     target row; updates themselves deduped upstream.
 
@@ -54,7 +56,20 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
     update batch appears on carried-over target rows as NULL, and a
     column the batch dropped keeps its target values. Default is
     strict: mismatched schemas fail fast.
+
+    ``order_col``: CONDITIONAL update — on a key match, keep whichever
+    row has the greater ``order_col`` (the update wins ties). Needed
+    whenever batches can arrive out of order (a split streaming drain,
+    a replayed backfill): unconditional take-the-update would let a
+    stale batch overwrite a fresher row. Plan shape stays one
+    key-partitioned exchange (ranking window instead of anti-join).
     """
+    if order_col is not None:
+        tagged = (target.withColumn("__src", F.lit(0))
+                  .unionByName(updates.withColumn("__src", F.lit(1)),
+                               allowMissingColumns=evolve_schema))
+        return last_writer_wins(tagged, keys,
+                                [order_col, "__src"]).drop("__src")
     keep = target.join(updates.select(*keys), on=list(keys), how="left_anti")
     return keep.unionByName(updates, allowMissingColumns=evolve_schema)
 
@@ -62,7 +77,8 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
 def write_upsert_parquet(target_path: str, updates: DataFrame,
                          keys: Sequence[str],
                          partition_by: Sequence[str] | None = None,
-                         evolve_schema: bool = False) -> None:
+                         evolve_schema: bool = False,
+                         order_col: str | None = None) -> None:
     """Apply ``merge_upsert`` against a parquet table on disk, with
     atomic visibility.
 
@@ -121,15 +137,19 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
                 # publish may land; reading `cur` (not the symlink)
                 # keeps the file list valid for this version's lifetime
                 target_all = spark.read.parquet(cur)
-            except Exception:  # unreadable/empty target dir ONLY —
-                target_all = None  # merge errors must propagate, never
-                #                    silently degrade to updates-only
+            except AnalysisException:  # missing/empty target dir ONLY —
+                target_all = None  # any other error must propagate: a
+                #                    transient read failure silently
+                #                    degrading to updates-only would
+                #                    publish a table missing all prior
+                #                    rows
         if target_all is not None:
             full_rewrite = (evolve_schema and
                             set(target_all.columns) != set(updates.columns))
             if full_rewrite:
                 merged = merge_upsert(target_all, updates, keys,
-                                      evolve_schema=True)
+                                      evolve_schema=True,
+                                      order_col=order_col)
             else:
                 affected = [tuple(r) for r in
                             updates.select(*partition_by)
@@ -145,7 +165,7 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
                         clause = clause & F.col(c).eqNullSafe(F.lit(v))
                     pred = clause if pred is None else (pred | clause)
                 merged = merge_upsert(target_all.filter(pred), updates,
-                                      keys)
+                                      keys, order_col=order_col)
         if merged is None:
             merged = updates
         # cluster rows by the partition key before the partitioned
@@ -175,9 +195,10 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     if cur is not None:
         try:
             target = spark.read.parquet(cur)   # version-pinned (see above)
-        except Exception:  # unreadable/empty target dir ONLY
+        except AnalysisException:  # missing/empty target dir ONLY
             target = None
         if target is not None:
-            merged = merge_upsert(target, updates, keys, evolve_schema)
+            merged = merge_upsert(target, updates, keys, evolve_schema,
+                                  order_col=order_col)
     merged.write.mode("overwrite").parquet(vdir)
     table_io.publish_version(target_path, vdir)

@@ -39,11 +39,15 @@ def download_feed(modifier: str, landing: str, base_url: str = BASE_URL) -> Path
     zip_url = base_url + zip_name
     meta_url = zip_url.replace("json.zip", "meta")   # ref :56
 
+    meta_resp = requests.get(meta_url, timeout=60)
+    meta_resp.raise_for_status()   # a 404/503 body is NOT a .meta file
     meta_path = landing_p / zip_name.replace("json.zip", "meta")
-    meta_path.write_bytes(requests.get(meta_url, timeout=60).content)
+    meta_path.write_bytes(meta_resp.content)
 
+    zip_resp = requests.get(zip_url, timeout=120)
+    zip_resp.raise_for_status()
     zip_path = landing_p / zip_name
-    zip_path.write_bytes(requests.get(zip_url, timeout=120).content)
+    zip_path.write_bytes(zip_resp.content)
     with zipfile.ZipFile(zip_path) as zf:            # ref :113-123
         zf.extractall(landing_p)
     zip_path.unlink()

@@ -34,6 +34,26 @@ DEFAULT_JDBC_OPTS = {
 }
 
 
+def staging_column_types(df: DataFrame, key: str = "cve_id") -> str:
+    """``createTableColumnTypes`` DDL for the staging table's STRING
+    columns: Spark's MySQL dialect maps StringType to TEXT (64 KB),
+    which would truncate the MEDIUMTEXT columns the target schema
+    deliberately uses (config/vulnerable_software_list routinely
+    exceed 64 KB — the reason the reference picked MEDIUMTEXT,
+    nvd2mysqlloader.py:282-300). The key keeps its VARCHAR(20) to stay
+    index-compatible with the target's UNIQUE key; non-string columns
+    keep the dialect's default mapping."""
+    from pyspark.sql import types as T
+
+    parts = []
+    for f in df.schema.fields:
+        if f.name == key:
+            parts.append(f"{f.name} VARCHAR(20)")
+        elif isinstance(f.dataType, T.StringType):
+            parts.append(f"{f.name} MEDIUMTEXT")
+    return ", ".join(parts)
+
+
 def upsert_from_staging_sql(target: str, staging: str,
                             columns: Sequence[str],
                             key: str = "cve_id") -> str:
@@ -90,6 +110,8 @@ def mirror_to_mysql(df: DataFrame, url: str, target: str, key: str = "cve_id",
     try:
         (df.write.mode("overwrite")
          .options(**opts)
+         .option("createTableColumnTypes",
+                 staging_column_types(df, key))
          .jdbc(url, staging, properties=props))
         spark = df.sparkSession
         # server-side set-based upsert through the JVM driver connection

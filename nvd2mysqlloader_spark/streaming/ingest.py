@@ -40,8 +40,14 @@ def stream_ingest_available_now(spark: SparkSession, landing: str,
             "published_year",
             F.coalesce(F.substring("published_datetime", 1, 4).cast("int"),
                        F.lit(0)))
+        # conditional merge on last_modified: maxFilesPerTrigger can
+        # split one drain into several ordered micro-batches, and a
+        # later batch may carry an OLDER record of a key (re-downloaded
+        # yearly file after modified/recent) — take-the-update would
+        # let it overwrite the fresher row
         write_upsert_parquet(f"{warehouse}/nvd", silver, ["cve_id"],
-                             partition_by=["published_year"])
+                             partition_by=["published_year"],
+                             order_col="last_modified_datetime")
 
     q = (feed.writeStream
          .foreachBatch(upsert_batch)

@@ -33,28 +33,37 @@ STATE_SCHEMA = T.StructType([
 ])
 
 _ALPHA = 0.1
-# module-level switch: ProcessingTimeTimeout keeps re-triggering batches
-# under Trigger.AvailableNow (the drain never terminates), so bounded
-# drains run with NoTimeout and long-lived streams opt into expiry
-_TIMEOUT_MS = [0]
 
 
-def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
-            state: GroupState) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, ewm = state.get if state.exists else (0, None)
-    batch_n = 0
-    for pdf in pdfs:
-        # deterministic state evolution: fold in event order
-        for v in pdf.sort_values(["ts", "event_id"])["value"]:
-            ewm = float(v) if ewm is None else (1 - _ALPHA) * ewm + _ALPHA * float(v)
-            n += 1
-            batch_n += 1
-    state.update((n, ewm))
-    if _TIMEOUT_MS[0]:
-        state.setTimeoutDuration(_TIMEOUT_MS[0])  # quiet keys expire
-    yield pd.DataFrame([{"user_id": user_id, "n_events": n,
-                         "batch_events": batch_n, "ewm_value": ewm}])
+def _make_update(timeout_ms: int):
+    """Build the state-update function with the timeout captured BY
+    VALUE in the closure: the function is cloudpickled to executor
+    Python workers, so a module-global flag mutated on the driver
+    would never reach them (workers re-import the module and see the
+    default) — the timeout would silently never be registered."""
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if timeout_ms and state.hasTimedOut:
+            state.remove()              # quiet key: drop its state,
+            return                      # emit nothing
+        (user_id,) = key
+        n, ewm = state.get if state.exists else (0, None)
+        batch_n = 0
+        for pdf in pdfs:
+            # deterministic state evolution: fold in event order
+            for v in pdf.sort_values(["ts", "event_id"])["value"]:
+                ewm = (float(v) if ewm is None
+                       else (1 - _ALPHA) * ewm + _ALPHA * float(v))
+                n += 1
+                batch_n += 1
+        state.update((n, ewm))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)   # quiet keys expire
+        yield pd.DataFrame([{"user_id": user_id, "n_events": n,
+                             "batch_events": batch_n, "ewm_value": ewm}])
+
+    return update
 
 
 def stream_user_running_stats(events: DataFrame,
@@ -66,14 +75,13 @@ def stream_user_running_stats(events: DataFrame,
     0 = NoTimeout, required for bounded ``Trigger.AvailableNow`` drains
     — a processing-time timer re-triggers batches forever there.
     """
-    _TIMEOUT_MS[0] = state_timeout_ms
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if state_timeout_ms > 0 else GroupStateTimeout.NoTimeout)
     return (events
             .select("user_id", "ts", "event_id", "value")
             .groupBy("user_id")
             .applyInPandasWithState(
-                _update,
+                _make_update(state_timeout_ms),
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",

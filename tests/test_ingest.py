@@ -157,3 +157,36 @@ def test_ingest_maintain_compacts_accreted_files(spark, tmp_path):
     assert comp.get("skipped") or comp["after_files"] <= comp["before_files"]
     assert spark.read.parquet(f"{wh}/nvd").count() == 300
     assert n_files >= 1
+
+
+def test_download_feed_raises_on_http_error(tmp_path):
+    """A 404/503 body must never be persisted as a .meta/.zip file."""
+    import http.server
+    import threading
+
+    import pytest
+    import requests
+
+    from nvd2mysqlloader_spark.sources.fetch import download_feed
+
+    docroot = tmp_path / "www"
+    docroot.mkdir()         # empty: every request 404s
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(docroot), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}/"
+        landing = tmp_path / "landing"
+        with pytest.raises(requests.HTTPError):
+            download_feed("2024", str(landing), base_url=base)
+        assert not (landing / "nvdcve-1.1-2024.meta").exists()
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -129,3 +129,17 @@ def test_upsert_from_staging_replayed_in_duckdb(spark):
         assert ids_after[k] == i, f"{k} lost its surrogate id"
     assert ids_after["CVE-2024-0009"] > max(ids_before.values())
     con.close()
+
+
+def test_staging_column_types_mediumtext(spark):
+    """String columns map to MEDIUMTEXT (Spark's MySQL default TEXT is
+    64 KB and truncates config/vulnerable_software_list); the key stays
+    VARCHAR(20); non-string columns keep the dialect default."""
+    from nvd2mysqlloader_spark.sources.jdbc import staging_column_types
+    df = spark.createDataFrame(
+        [("CVE-1", "s", "c", 7.5)],
+        "cve_id string, summary string, config string, score double")
+    ddl = staging_column_types(df)
+    assert "cve_id VARCHAR(20)" in ddl
+    assert "summary MEDIUMTEXT" in ddl and "config MEDIUMTEXT" in ddl
+    assert "score" not in ddl

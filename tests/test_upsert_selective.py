@@ -322,3 +322,54 @@ def test_upsert_multilevel_partitioning(spark, tmp_path):
             for p in glob.glob(f"{path}/y=2020/m=2/*.parquet")} == before
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {"k1": "a2", "k2": "b", "k3": "c"}
+
+
+def test_conditional_merge_rejects_stale_batch(spark, tmp_path):
+    """order_col merge: a later batch carrying an OLDER record of a
+    key must not overwrite the fresher row (split-drain / replayed-
+    backfill ordering hazard); newer records and new keys still land."""
+    path = str(tmp_path / "cond")
+    cols = ["cve_id", "published_year", "summary", "last_modified"]
+    fresh = spark.createDataFrame(
+        [("CVE-2020-1", 2020, "fresh", "2024-06-01T00:00Z")], cols)
+    write_upsert_parquet(path, fresh, ["cve_id"],
+                         partition_by=["published_year"],
+                         order_col="last_modified")
+    stale_batch = spark.createDataFrame(
+        [("CVE-2020-1", 2020, "STALE", "2024-01-01T00:00Z"),
+         ("CVE-2020-2", 2020, "new key", "2024-01-01T00:00Z")], cols)
+    write_upsert_parquet(path, stale_batch, ["cve_id"],
+                         partition_by=["published_year"],
+                         order_col="last_modified")
+    got = {r.cve_id: r.summary for r in spark.read.parquet(path).collect()}
+    assert got == {"CVE-2020-1": "fresh", "CVE-2020-2": "new key"}
+    # equal order value: the update wins the tie (REPLACE semantics)
+    tie = spark.createDataFrame(
+        [("CVE-2020-1", 2020, "tie-update", "2024-06-01T00:00Z")], cols)
+    write_upsert_parquet(path, tie, ["cve_id"],
+                         partition_by=["published_year"],
+                         order_col="last_modified")
+    assert spark.read.parquet(path).filter(
+        "cve_id = 'CVE-2020-1'").first().summary == "tie-update"
+
+
+def test_vacuum_never_deletes_published_version(spark, tmp_path):
+    """vacuum with unpublished crash debris present must clean the
+    debris and keep the published version (regression: the newest-N
+    window could swallow the live table)."""
+    import os
+
+    from nvd2mysqlloader_spark.operators import table_io
+
+    path = str(tmp_path / "vk")
+    df = spark.createDataFrame([("CVE-2020-1", 2020, "a")],
+                               ["cve_id", "published_year", "summary"])
+    write_upsert_parquet(path, df, ["cve_id"],
+                         partition_by=["published_year"])
+    # fabricate crash debris NEWER than the published version
+    stale = table_io.next_version_dir(path)
+    os.makedirs(stale)
+    table_io.vacuum(path)
+    assert spark.read.parquet(path).first().summary == "a"
+    cur = os.path.realpath(path)
+    assert [d for _n, d in table_io.versions(path)] == [cur]
