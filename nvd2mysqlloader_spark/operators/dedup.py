@@ -75,6 +75,21 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
                       .alias("sig"))
 
 
+def _band_explode(bands: int):
+    """(band_idx, band_hash) posexplode expression over a ``sig``
+    column — THE banding definition, shared by the batch self-join and
+    the incremental probe so the persisted signature table can never
+    drift out of band-compatibility with fresh queries. The band hash
+    is xxhash64 over the band's slice of the signature."""
+    sig_len = F.size("sig")
+    r = F.floor(sig_len / bands)
+    return F.posexplode(
+        F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"),
+                                                 b * r + 1, r)))))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = 16) -> DataFrame:
     """Band the signatures and self-join the buckets → distinct
@@ -86,16 +101,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     dups) are AQE-split at scale.
     """
     # build (id, band_idx, band_hash) rows
-    sig_len = F.size("sig")
-    r = F.floor(sig_len / bands)
-    banded = (sigs.select(
-        id_col,
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-                        lambda b: F.xxhash64(
-                            F.concat_ws(",", F.slice(F.col("sig"),
-                                                     b * r + 1, r)))))
-        .alias("band_idx", "band_hash")))
+    banded = sigs.select(
+        id_col, _band_explode(bands).alias("band_idx", "band_hash"))
     # materialize once: both self-join sides read the same blocks
     # instead of re-running the explode (+ everything upstream of
     # ``sigs`` that isn't already cut). The join itself is a plain
@@ -270,17 +277,10 @@ def incremental_minhash_candidates(spark, sig_path: str,
         minhash_signatures(new_shingled, id_col, shingles_col, num_perm))
 
     def banded(sigs: DataFrame, label: str) -> DataFrame:
-        sig_len = F.size("sig")
-        r = F.floor(sig_len / bands)
         return sigs.select(
             F.col(id_col).alias(label),
             F.col("sig").alias(f"sig_{label}"),
-            F.posexplode(
-                F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-                            lambda b: F.xxhash64(
-                                F.concat_ws(",", F.slice(F.col("sig"),
-                                                         b * r + 1, r)))))
-            .alias("band_idx", "band_hash"))
+            _band_explode(bands).alias("band_idx", "band_hash"))
 
     probe = (banded(corpus_sigs, "old_id")
              .join(F.broadcast(banded(new_sigs, "new_id")),
