@@ -33,13 +33,17 @@ def _materialize(df: DataFrame) -> DataFrame:
     self-join defeats ReuseExchange and the whole upstream pipeline —
     including the Arrow shingling UDF — re-executes per consumer
     (measured 4× ArrowEvalPython in the candidate plan, ~5s of the
-    ~6s candidate step at sf0.1). ``localCheckpoint`` materializes to
-    executor-local blocks on first use; on a cluster the same role is
+    ~6s candidate step at sf0.1). ``localCheckpoint(eager=True)``
+    materializes to executor-local blocks immediately: with a LAZY
+    checkpoint the concurrent AQE subplans of the downstream join race
+    to be "first use" and each recomputes the upstream pipeline before
+    the blocks land (measured 2.3× the whole minhash_near_dup query:
+    5.6s lazy vs 2.4s eager at sf0.1). On a cluster the same role is
     played by persisting the signature table (it is tiny: k longs per
     doc, independent of document size), which is also the natural
     incremental artifact at 100 TB — signatures are computed once per
     new document, not per query."""
-    return df.localCheckpoint(eager=False)
+    return df.localCheckpoint(eager=True)
 
 
 def _perm_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:

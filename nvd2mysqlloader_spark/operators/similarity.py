@@ -495,7 +495,7 @@ def _pairs_blocked(corpus: DataFrame, threshold: float, id_col: str,
            # one pack for BOTH join sides: without the lineage cut the
            # corpus scan + shuffle into blocks executes twice (measured
            # — same ReuseExchange defeat operators/dedup.py documents)
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     pairs = (blk.select(F.col("_bkt").alias("b1"), F.col("_rows").alias("r1"))
              .join(blk.select(F.col("_bkt").alias("b2"),
                               F.col("_rows").alias("r2")),

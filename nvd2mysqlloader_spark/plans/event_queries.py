@@ -203,7 +203,7 @@ def gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
            .agg(F.count(F.lit(1)).alias("n_events"),
                 dsum("value", 4).alias("sum_value"))
-           .localCheckpoint(eager=False))   # one scan feeds bounds + join
+           .localCheckpoint(eager=True))   # one scan feeds bounds + join
     cal = (agg.agg(F.min("hour_start").alias("lo"),
                    F.max("hour_start").alias("hi"))
            .select(F.explode(F.sequence(
