@@ -61,16 +61,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
 
+    label_type = labels.schema["label"].dataType.simpleString()
     for _ in range(max_iter):
         prop = (sym.join(labels, sym["src"] == labels["node"])
-                .select(F.col("dst").alias("node"), F.col("label")))
-        new = (labels.select("node", "label").union(prop)
-               .groupBy("node").agg(F.min("label").alias("label"))
+                .select(F.col("dst").alias("node"), F.col("label"),
+                        F.lit(None).cast(label_type).alias("old")))
+        # carry each node's previous label through the same aggregate
+        # (exactly one non-null `old` per node — the self row), so
+        # convergence detection needs NO second join over the label
+        # table: one join + one agg per round, then a count over the
+        # checkpointed (node, label, old) blocks.
+        new = (labels.select("node", "label",
+                             F.col("label").alias("old")).union(prop)
+               .groupBy("node").agg(F.min("label").alias("label"),
+                                    F.max("old").alias("old"))
                .localCheckpoint(eager=True))
-        changed = (new.join(labels.withColumnRenamed("label", "old"), "node")
-                   .filter(F.col("label") != F.col("old"))
-                   .count())
-        labels = new
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        labels = new.select("node", "label")
         if changed == 0:
             break
 
