@@ -20,10 +20,12 @@ Scale notes (100 TB):
   * Dedup graphs are star-heavy (bucket member → bucket min), so the
     diameter — and the round count — stays small (single digits) even
     at billions of nodes; each round is linear in |E|.
-  * For adversarial long-chain graphs, swap the propagation body for
-    alternating large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) — same
-    join/agg primitives, O(log n) rounds. Not needed for dedup buckets.
+  * For adversarial long-chain graphs, use
+    :func:`connected_components_alternating` — large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14), same join/agg primitives, O(log n) rounds
+    regardless of diameter. Propagation stays the default for dedup
+    buckets, whose diameter is small.
   * ``localCheckpoint`` truncates the per-round lineage; without it the
     plan doubles every iteration and the driver OOMs planning round ~20.
     On a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
@@ -84,3 +86,80 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     sym.unpersist()
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("component"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-LARGER
+    neighbors to its minimum neighborhood label m(u) = min(N(u) ∪ {u}).
+    Emits (v, m) for v ∈ N(u), v > u."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    mins = (sym.groupBy("src")
+            .agg(F.min("dst").alias("min_nbr")))
+    m = F.least(F.col("min_nbr"), F.col("src"))
+    return (sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge (larger → smaller); each
+    node links itself and all its smaller neighbors to
+    m(u) = min(N≤(u) ∪ {u})."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst")).filter(
+        F.col("src") != F.col("dst"))
+    mins = (oriented.groupBy("src")
+            .agg(F.min("dst").alias("m")))
+    linked = oriented.join(mins, "src")
+    return (linked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(linked.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def connected_components_alternating(nodes: DataFrame, edges: DataFrame,
+                                     id_col: str = "id",
+                                     max_iter: int = 40) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log n) rounds on ANY graph shape, including
+    the adversarial long chains where plain min-label propagation needs
+    diameter rounds.
+
+    Same contract as :func:`connected_components`: returns
+    DataFrame[id_col, component] with component = reachable-min id.
+    Use this variant when the edge relation may chain deeply (e.g.
+    transitive record-linkage graphs); the propagation variant stays
+    the default for dedup-bucket stars whose diameter is small.
+
+    Per round: two groupBy(min) aggregates + two equi-joins, all keyed
+    on node ids; ``localCheckpoint`` cuts the doubling lineage exactly
+    as the propagation loop does. Convergence = the small-star output
+    reaching its fixed point (pure (node → component-min) stars), which
+    the paper proves happens in O(log n) alternations."""
+    work = (edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(work)).localCheckpoint(eager=True)
+        # fixed point (pure component-min stars) = consecutive iterates
+        # equal; both sides are checkpointed so the compare is cheap.
+        if nxt.count() == work.count() \
+                and nxt.exceptAll(work).count() == 0:
+            work = nxt
+            break
+        work = nxt
+    # converged edge set is (member → component-min) stars; add the
+    # roots themselves and every isolated vertex back via the node set.
+    return (nodes.select(F.col(id_col).alias("node")).distinct()
+            .join(work.select(F.col("src").alias("node"),
+                              F.col("dst").alias("label")),
+                  "node", "left")
+            .groupBy("node")
+            .agg(F.min(F.coalesce("label", "node")).alias("component"))
+            .select(F.col("node").alias(id_col), "component"))

@@ -48,3 +48,68 @@ def test_two_stars_merged_by_bridge(spark):
 def test_self_loops_and_duplicate_edges_tolerated(spark):
     got = _cc(spark, [1, 2], [(1, 1), (2, 1), (1, 2), (2, 1)])
     assert got == {1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# Alternating large-star/small-star variant (Kiveris et al., SoCC'14)
+
+from hypothesis import HealthCheck, given, settings          # noqa: E402
+from hypothesis import strategies as st                      # noqa: E402
+
+from nvd2mysqlloader_spark.operators.graph import (          # noqa: E402
+    connected_components_alternating)
+
+
+def _cc_alt(spark, nodes, edges):
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["id"])
+    edf = (spark.createDataFrame([(s, d) for s, d in edges], ["src", "dst"])
+           if edges else
+           spark.createDataFrame([], "src BIGINT, dst BIGINT"))
+    out = connected_components_alternating(ndf, edf).collect()
+    return {r["id"]: r["component"] for r in out}
+
+
+def _union_find(nodes, edges):
+    """Pure-Python twin: reachable-min per node."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {n: find(n) for n in nodes}
+
+
+def test_alternating_matches_propagation_on_chain(spark):
+    nodes, edges = list(range(1, 12)), [(i, i + 1) for i in range(1, 11)]
+    assert _cc_alt(spark, nodes, edges) == _cc(spark, nodes, edges)
+
+
+def test_alternating_isolated_and_multi_component(spark):
+    got = _cc_alt(spark, [1, 2, 3, 10, 11, 99], [(2, 1), (3, 2), (11, 10)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_alternating_self_loops_and_duplicates(spark):
+    got = _cc_alt(spark, [1, 2], [(1, 1), (2, 1), (1, 2), (2, 1)])
+    assert got == {1: 1, 2: 1}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=24),
+              st.integers(min_value=0, max_value=24)),
+    max_size=40))
+def test_both_variants_match_union_find(spark, edges):
+    nodes = sorted({0, 24} | {v for e in edges for v in e})
+    want = _union_find(nodes, edges)
+    assert _cc(spark, nodes, edges) == want
+    assert _cc_alt(spark, nodes, edges) == want
