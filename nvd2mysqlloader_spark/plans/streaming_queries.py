@@ -1,8 +1,8 @@
 """Structured-Streaming queries under the DuckDB-oracle gate.
 
 Everything else in ``streaming/`` is verified by stream==batch tests;
-these two entries go further and put an actual streaming drain —
-``readStream`` → watermark → event-time window → ``availableNow``
+these entries go further and put an actual streaming drain —
+``readStream`` → watermark → event-time window/join → ``availableNow``
 micro-batches → memory sink — behind the same value-hash oracle as the
 batch queries. The streamed result must match ANSI SQL run by another
 engine, not just our own batch plan.
@@ -50,12 +50,14 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain(spark: SparkSession, stream_df: DataFrame) -> DataFrame:
+def _drain(spark: SparkSession, stream_df: DataFrame,
+           mode: str = "complete") -> DataFrame:
     """Run the stream to exhaustion (availableNow) into a memory sink;
     return the final table. Unique sink name per run — the driver and
-    bench may invoke one query several times in a session."""
+    bench may invoke one query several times in a session.
+    ``mode="append"`` for unaggregated/join topologies."""
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    q = (stream_df.writeStream.outputMode("complete")
+    q = (stream_df.writeStream.outputMode(mode)
          .format("memory").queryName(name)
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -131,3 +133,34 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("user_id", "session_start", "session_last",
                    "n_events", "sum_value"))
     return _drain(spark, agg)
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+    doc=(
+        "STREAMING stream-stream interval join under the value-hash "
+        "oracle: errors and clicks both watermarked, joined on user + "
+        "a 1-hour time-range condition (streaming/joins.py), drained "
+        "availableNow in APPEND mode; must hash-equal DuckDB's batch "
+        "theta join over the same rows. The drain watermark exceeds "
+        "the dataset's time span so no row is dropped mid-drain; in "
+        "production the watermark+bound is exactly what caps per-key "
+        "join state (a click older than error_ts-bound-watermark can "
+        "never match and its state is evicted)."
+    ),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import stream_error_click_interval_join
+    joined = stream_error_click_interval_join(
+        _stream_events(spark, sf_dir), bound="1 hour",
+        watermark="87600 hours")
+    return _drain(spark, joined, mode="append")
