@@ -204,3 +204,33 @@ def test_stream_static_enrich_equals_batch(spark, events_parquet):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_tumbling_under_rocksdb_state_store(spark, events_parquet):
+    """The 100 TB state backend (conf/spark-defaults-100tb.conf):
+    the same watermarked tumbling-window topology must produce the
+    same result when the state store is RocksDB instead of the default
+    in-memory HDFS-backed provider — proving the production state
+    backend is a config flip, not a code change."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    try:
+        schema = spark.read.parquet(events_parquet).schema
+        stream = spark.readStream.schema(schema).parquet(events_parquet)
+        out = _run_stream(spark, stream_tumbling_counts(stream),
+                          "tumbling_rocksdb_out")
+        got = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+               for r in out.collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = (QUERIES["tumbling_window"].fn(spark, SF_ORACLE)
+             .select("window_start", "event_type", "n_events", "sum_value"))
+    want = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in batch.collect()}
+    assert got == want
