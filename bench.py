@@ -43,6 +43,7 @@ HEADLINE = sorted([
     "simhash_near_dup",
     "ngram_jaccard_pairs",
     "dedup_cluster_sizes",
+    "dedup_cluster_sizes_logn",
     "cosine_topk",
     "cosine_near_dup",
     "ann_topk_lsh",
@@ -72,6 +73,7 @@ HEADLINE = sorted([
     "error_window_event_rollup",
     "funnel_conversion",
     "stream_tumbling_window",
+    "stream_interval_join",
     # text analysis + dedup (LLM-pipeline ops)
     "token_stats",
     "text_quality",
