@@ -26,16 +26,21 @@ Scale notes (100 TB):
     and Beyond", SoCC'14), same join/agg primitives, O(log n) rounds
     regardless of diameter. Propagation stays the default for dedup
     buckets, whose diameter is small.
-  * ``localCheckpoint`` truncates the per-round lineage; without it the
-    plan doubles every iteration and the driver OOMs planning round ~20.
-    On a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
-    ``checkpoint()`` so state survives executor loss.
+  * ``_lineage.cut_lineage`` truncates the per-round lineage; without
+    it the plan doubles every iteration and the driver OOMs planning
+    round ~20. In local mode it is an eager ``localCheckpoint``; when
+    the context has a checkpoint dir configured (``spark.checkpoint.
+    dir``, set by conf/spark-defaults-100tb.conf) the SAME loops use
+    reliable ``checkpoint()`` so iteration state survives executor
+    loss.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ._lineage import cut_lineage
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
@@ -46,7 +51,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     ``nodes``: one column (``id_col``), the full vertex set (must cover
     isolated vertices — edges only carry connected ones).
     ``edges``: columns ``src``/``dst``; treated as undirected, either
-    orientation, self-loops and duplicates tolerated.
+    orientation, self-loops and duplicates tolerated. Endpoints absent
+    from ``nodes`` are tolerated too: they join the label table the
+    round they first appear (never converging early on their account)
+    and are included in the output — identical behavior across both
+    CC variants.
 
     Returns DataFrame[id_col, component] where ``component`` is the
     component-wide min id — the canonical "keeper" in dedup terms.
@@ -59,9 +68,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
            .persist())
     sym.count()
 
-    labels = (nodes.select(F.col(id_col).alias("node")).distinct()
-              .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+    labels = cut_lineage(
+        nodes.select(F.col(id_col).alias("node")).distinct()
+        .withColumn("label", F.col("node")))
 
     label_type = labels.schema["label"].dataType.simpleString()
     for _ in range(max_iter):
@@ -73,12 +82,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         # convergence detection needs NO second join over the label
         # table: one join + one agg per round, then a count over the
         # checkpointed (node, label, old) blocks.
-        new = (labels.select("node", "label",
-                             F.col("label").alias("old")).union(prop)
-               .groupBy("node").agg(F.min("label").alias("label"),
-                                    F.max("old").alias("old"))
-               .localCheckpoint(eager=True))
-        changed = new.filter(F.col("label") != F.col("old")).count()
+        new = cut_lineage(
+            labels.select("node", "label",
+                          F.col("label").alias("old")).union(prop)
+            .groupBy("node").agg(F.min("label").alias("label"),
+                                 F.max("old").alias("old")))
+        # NULL old = a node seen for the first time this round (an edge
+        # endpoint missing from `nodes`) — always counts as changed, or
+        # the loop could break before its neighbors saw its label.
+        changed = new.filter(
+            F.coalesce(F.col("label") != F.col("old"),
+                       F.lit(True))).count()
         labels = new.select("node", "label")
         if changed == 0:
             break
@@ -137,16 +151,15 @@ def connected_components_alternating(nodes: DataFrame, edges: DataFrame,
     the default for dedup-bucket stars whose diameter is small.
 
     Per round: two groupBy(min) aggregates + two equi-joins, all keyed
-    on node ids; ``localCheckpoint`` cuts the doubling lineage exactly
+    on node ids; :func:`cut_lineage` cuts the doubling lineage exactly
     as the propagation loop does. Convergence = the small-star output
     reaching its fixed point (pure (node → component-min) stars), which
     the paper proves happens in O(log n) alternations."""
-    work = (edges.select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint(eager=True))
+    work = cut_lineage(edges.select("src", "dst")
+                       .filter(F.col("src") != F.col("dst"))
+                       .distinct())
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(work)).localCheckpoint(eager=True)
+        nxt = cut_lineage(_small_star(_large_star(work)))
         # fixed point (pure component-min stars) = consecutive iterates
         # equal; both sides are checkpointed so the compare is cheap.
         if nxt.count() == work.count() \
@@ -155,8 +168,15 @@ def connected_components_alternating(nodes: DataFrame, edges: DataFrame,
             break
         work = nxt
     # converged edge set is (member → component-min) stars; add the
-    # roots themselves and every isolated vertex back via the node set.
-    return (nodes.select(F.col(id_col).alias("node")).distinct()
+    # roots themselves and every isolated vertex back via the node set,
+    # plus any edge endpoint absent from `nodes` (tolerated, matching
+    # the propagation variant — for in-contract inputs the union adds
+    # nothing beyond the distinct).
+    all_nodes = (nodes.select(F.col(id_col).alias("node"))
+                 .union(edges.select(F.col("src").alias("node")))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+    return (all_nodes
             .join(work.select(F.col("src").alias("node"),
                               F.col("dst").alias("label")),
                   "node", "left")

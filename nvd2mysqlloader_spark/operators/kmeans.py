@@ -102,7 +102,8 @@ def kmeans(emb: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
         for _ in range(iters):
             cents = update_centroids(lloyd_assignments(emb, cents), cents)
         out = lloyd_assignments(emb, cents).select("vec_id", "cluster")
-        out = out.localCheckpoint(eager=True)  # materialize before unpersist
+        from ._lineage import cut_lineage
+        out = cut_lineage(out)  # materialize before unpersist
     finally:
         emb.unpersist()
     return out

@@ -109,9 +109,7 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").alias("sum_chars")))
 
 
-@query(
-    "dedup_cluster_sizes",
-    oracle="""
+CLUSTER_SIZE_ORACLE = """
     WITH RECURSIVE
     k1 AS (SELECT doc_id,
                   min(doc_id) OVER (PARTITION BY md5(text)) AS root
@@ -136,7 +134,39 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cluster_size, count(*) AS n_clusters,
            min(cluster_id) AS min_cluster_id
     FROM sizes GROUP BY cluster_size
-    """,
+    """
+
+
+def cluster_size_rollup(spark: SparkSession, sf_dir: str,
+                        cc_fn) -> DataFrame:
+    """Shared body for the dedup-clustering queries: build the
+    exact-content + 64-char-prefix edge relations over ``documents``,
+    collapse them with the given connected-components function, and
+    roll up the cluster-size histogram. ONE definition so the
+    propagation and alternating variants can never drift apart (they
+    share CLUSTER_SIZE_ORACLE too)."""
+    docs = load_table(spark, sf_dir, "documents")
+    k1 = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("root"))
+    k2 = docs.select(
+        "doc_id",
+        F.min("doc_id").over(
+            Window.partitionBy(F.md5(F.substring("text", 1, 64)))).alias("root"))
+    edges = (k1.union(k2)
+             .filter(F.col("doc_id") != F.col("root"))
+             .select(F.col("doc_id").alias("src"), F.col("root").alias("dst")))
+    assign = cc_fn(docs.select("doc_id"), edges, id_col="doc_id")
+    sizes = (assign.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.min("component").alias("min_cluster_id")))
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=CLUSTER_SIZE_ORACLE,
     doc=(
         "near-dup clustering: docs sharing exact content (md5(text)) OR "
         "a 64-char prefix fingerprint are edges; connected components "
@@ -149,21 +179,4 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    k1 = docs.select(
-        "doc_id",
-        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("root"))
-    k2 = docs.select(
-        "doc_id",
-        F.min("doc_id").over(
-            Window.partitionBy(F.md5(F.substring("text", 1, 64)))).alias("root"))
-    edges = (k1.union(k2)
-             .filter(F.col("doc_id") != F.col("root"))
-             .select(F.col("doc_id").alias("src"), F.col("root").alias("dst")))
-    assign = connected_components(docs.select("doc_id"), edges,
-                                  id_col="doc_id")
-    sizes = (assign.groupBy("component")
-             .agg(F.count(F.lit(1)).alias("cluster_size")))
-    return (sizes.groupBy("cluster_size")
-            .agg(F.count(F.lit(1)).alias("n_clusters"),
-                 F.min("component").alias("min_cluster_id")))
+    return cluster_size_rollup(spark, sf_dir, connected_components)

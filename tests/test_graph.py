@@ -113,3 +113,46 @@ def test_both_variants_match_union_find(spark, edges):
     want = _union_find(nodes, edges)
     assert _cc(spark, nodes, edges) == want
     assert _cc_alt(spark, nodes, edges) == want
+
+
+def test_phantom_edge_endpoints_tolerated_by_both_variants(spark):
+    """An edge endpoint missing from the node set must still conduct
+    connectivity (1-2-3 with 2 unlisted: 3 must land in component 1,
+    not converge early into its own) and appears in the output of BOTH
+    variants identically."""
+    want = {1: 1, 2: 1, 3: 1}
+    assert _cc(spark, [1, 3], [(1, 2), (2, 3)]) == want
+    assert _cc_alt(spark, [1, 3], [(1, 2), (2, 3)]) == want
+
+
+def test_reliable_checkpoint_path(tmp_path):
+    """With spark.checkpoint.dir configured, the SAME iterative loops
+    run on reliable checkpoint() (the 100 TB conf's executor-loss
+    story) and produce identical results. Isolated in a subprocess:
+    a checkpoint dir cannot be unset on a live SparkContext and must
+    not leak into the rest of the suite."""
+    import subprocess
+    import sys
+    code = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from nvd2mysqlloader_spark.session import get_spark
+spark = get_spark("reliable-cp-test", shuffle_partitions=4)
+spark.sparkContext.setCheckpointDir("{tmp_path}/cp")
+from nvd2mysqlloader_spark.operators.graph import (
+    connected_components, connected_components_alternating)
+ndf = spark.createDataFrame([(n,) for n in range(1, 8)], ["id"])
+edf = spark.createDataFrame([(i, i + 1) for i in range(1, 7)],
+                            ["src", "dst"])
+for fn in (connected_components, connected_components_alternating):
+    got = {{r["id"]: r["component"] for r in fn(ndf, edf).collect()}}
+    assert got == {{i: 1 for i in range(1, 8)}}, got
+import os
+found = any(fns for _, _, fns in os.walk("{tmp_path}/cp"))
+assert found, "no reliable checkpoint files were written"
+print("RELIABLE_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=300)
+    assert "RELIABLE_OK" in out.stdout, (out.stdout[-2000:],
+                                         out.stderr[-2000:])
