@@ -77,6 +77,7 @@ HEADLINE = sorted([
     # text analysis + dedup (LLM-pipeline ops)
     "token_stats",
     "text_quality",
+    "bpe_learned_tokens",
     "bm25_search",
     "decontaminate_ngrams",
     "chunk_documents",

@@ -26,3 +26,4 @@ from . import retrieval_queries  # noqa: F401,E402
 from . import funnel_queries     # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
 from . import graph_queries      # noqa: F401,E402
+from . import bpe_queries        # noqa: F401,E402
