@@ -24,27 +24,56 @@ from .registry import query
 
 @query(
     "bpe_learned_tokens",
-    oracle=None,
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                AS BIGINT) AS total_words,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                    END) AS BIGINT) AS total_word_chars,
+           TRUE AS subs_ge_words,
+           TRUE AS subs_le_chars,
+           TRUE AS concat_preserved
+    FROM documents GROUP BY source
+    """,
     doc=(
         "learned-BPE tokenization: distributed word count -> driver "
         "merge induction over the bounded frequency table (64 merges, "
         "the PQ-codebook scale pattern) -> Arrow-batched greedy encode "
-        "of the corpus -> per-source subword stats. Deterministic "
-        "(frequency/lexicographic tie-breaks), verified against a "
-        "naive reference trainer in tests/test_bpe.py."
+        "of the corpus. The merge list itself is engine-specific, so "
+        "the oracle-checkable surface is (a) exact word/char anchors "
+        "and (b) three tokenizer INVARIANTS as booleans the oracle "
+        "pins TRUE: every word yields >=1 subword and >=1 char per "
+        "subword (words <= subwords <= word-chars), and concatenating "
+        "a doc's subwords reproduces its whitespace-stripped text "
+        "exactly (lossless segmentation). Trainer additionally pinned "
+        "to a naive reference implementation in tests/test_bpe.py."
     ),
 )
 def bpe_learned_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train_on(docs, tokens("text"), num_merges=64)
     enc = bpe_encode_udf(merges)
-    sub = enc(tokens("text"))
-    return (docs.select("source", sub.alias("subs"))
-            .select("source", F.size("subs").cast("long").alias("n_subs"),
-                    F.size(F.array_distinct("subs")).cast("long")
-                    .alias("n_distinct"))
-            .groupBy("source")
+    toks = tokens("text")
+    per_doc = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.concat_ws("", toks)).cast("long").alias("n_word_chars"),
+        F.concat_ws("", toks).alias("joined_words"),
+        enc(toks).alias("subs"))
+    per_doc = per_doc.select(
+        "source", "n_words", "n_word_chars",
+        F.size("subs").cast("long").alias("n_subs"),
+        (F.concat_ws("", "subs") == F.col("joined_words"))
+        .alias("doc_concat_ok"))
+    return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_subs").alias("total_subwords"),
-                 F.sum("n_distinct").alias("sum_doc_distinct"),
-                 F.max("n_subs").alias("max_doc_subwords")))
+                 F.sum("n_words").alias("total_words"),
+                 F.sum("n_word_chars").alias("total_word_chars"),
+                 (F.sum("n_subs") >= F.sum("n_words"))
+                 .alias("subs_ge_words"),
+                 (F.sum("n_subs") <= F.sum("n_word_chars"))
+                 .alias("subs_le_chars"),
+                 F.min("doc_concat_ok").alias("concat_preserved")))
