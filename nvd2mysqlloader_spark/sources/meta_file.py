@@ -15,6 +15,21 @@ from pyspark.sql import functions as F
 META_KEYS = ("lastModifiedDate", "size", "zipSize", "gzSize", "sha256")
 
 
+def parse_meta_text(text: str) -> dict[str, str]:
+    """Pure-Python twin of :func:`parse_meta` for task-side use (the
+    nvdfeed custom data source reads the sidecar inside its file
+    task): value after the FIRST colon, CR stripped — same semantics,
+    one file's worth."""
+    out: dict[str, str] = {}
+    for line in text.splitlines():
+        line = line.rstrip("\r")
+        if ":" in line:
+            k, v = line.split(":", 1)
+            if k:
+                out[k] = v
+    return out
+
+
 def parse_meta(spark: SparkSession, path: str) -> DataFrame:
     """Read ``*.meta`` files (glob ok) → one row per file:
     (download_name, lastModifiedDate, size, zipSize, gzSize, sha256).

@@ -1,0 +1,145 @@
+"""NVD feed as a first-class Spark data source: ``spark.read
+.format("nvdfeed").option("path", landing_dir)``.
+
+The reference's ingest edge is a driver-side Python loop —
+``json.loads`` the whole feed, iterate ``CVE_Items``, fetch the
+``.meta`` sidecar separately (nvd2mysqlloader.py:524, 452, 46-64).
+This module re-expresses that edge through Spark 4's Python DataSource
+API so the feed participates in ordinary query planning:
+
+* **Partitioning**: one input partition per feed FILE — the natural
+  parallel unit (a feed is one multiLine JSON document; it cannot be
+  split, but the corpus of yearly files fans out across executors).
+* **Sidecar join for free**: each row carries the feed's ``.meta``
+  fields (lastModifiedDate, sha256), read once per file in the same
+  task — no separate join against a meta table.
+* **Filter pushdown**: ``feed_name`` equality prunes FILES before any
+  byte is parsed (the custom-source analog of partition pruning);
+  every other predicate stays with Spark.
+* **Corrupt tolerance**: an unparseable feed yields one row with
+  ``corrupt = true`` and the raw head of the file, mirroring the
+  PERMISSIVE ``_corrupt_record`` behavior of sources/cve_feed.py
+  rather than the reference's silent ``except: pass``.
+
+Rows deliberately carry the per-CVE payload as a raw JSON string
+(``cve_json``) plus the extracted join keys: the typed deep schema
+lives in schemas.CVE_FEED_SCHEMA, and downstream re-enters the typed
+path with ``from_json(cve_json, CVE_ITEM_SCHEMA)`` — tests prove that
+route row-equivalent to read_feed + explode_items. At 100 TB the
+format registers once per session and the landing zone scans like any
+other table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
+                                    InputPartition)
+from pyspark.sql import types as T
+
+from .meta_file import parse_meta_text
+
+SCHEMA = T.StructType([
+    T.StructField("feed_name", T.StringType()),
+    T.StructField("cve_id", T.StringType()),
+    T.StructField("last_modified", T.StringType()),
+    T.StructField("published", T.StringType()),
+    T.StructField("cve_json", T.StringType()),
+    T.StructField("meta_last_modified", T.StringType()),
+    T.StructField("meta_sha256", T.StringType()),
+    T.StructField("corrupt", T.BooleanType()),
+])
+
+
+class _FeedFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class NvdFeedReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("nvdfeed: option 'path' (landing dir) is required")
+        self.landing = path
+        self.feed_name_filter: str | None = None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            # file-level pruning: feed_name equality selects files by
+            # name without opening them. The filter is FULLY handled
+            # here (each file yields rows of exactly one feed_name),
+            # so it is not returned to Spark.
+            if isinstance(f, EqualTo) and f.attribute == ("feed_name",):
+                self.feed_name_filter = f.value
+            else:
+                yield f
+
+    def _files(self) -> list[str]:
+        names = sorted(n for n in os.listdir(self.landing)
+                       if n.endswith(".json"))
+        if self.feed_name_filter is not None:
+            names = [n for n in names
+                     if n[:-len(".json")] == self.feed_name_filter]
+        return names
+
+    def partitions(self):
+        return [_FeedFilePartition(os.path.join(self.landing, n))
+                for n in self._files()]
+
+    def read(self, partition: _FeedFilePartition):
+        path = partition.path
+        feed_name = os.path.basename(path)[:-len(".json")]
+        meta_lm = meta_sha = None
+        meta_path = path[:-len(".json")] + ".meta"
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as fh:
+                meta = parse_meta_text(fh.read())
+            meta_lm = meta.get("lastModifiedDate")
+            meta_sha = meta.get("sha256")
+        try:
+            with open(path, encoding="utf-8") as fh:
+                doc = json.load(fh)
+            items = doc.get("CVE_Items") or []
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            with open(path, "rb") as fh:
+                head = fh.read(256).decode("utf-8", "replace")
+            yield (feed_name, None, None, None, head,
+                   meta_lm, meta_sha, True)
+            return
+        for item in items:
+            cve_id = last_mod = published = None
+            if isinstance(item, dict):
+                cve_id = (item.get("cve", {}).get("CVE_data_meta", {})
+                          .get("ID"))
+                last_mod = item.get("lastModifiedDate")
+                published = item.get("publishedDate")
+            yield (feed_name, cve_id, last_mod, published,
+                   json.dumps(item, separators=(",", ":"),
+                              sort_keys=True),
+                   meta_lm, meta_sha, False)
+
+
+class NvdFeedDataSource(DataSource):
+    """``spark.dataSource.register(NvdFeedDataSource)`` then
+    ``spark.read.format("nvdfeed").option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nvdfeed"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema) -> NvdFeedReader:
+        return NvdFeedReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration for the session. Also enables
+    Python-source filter pushdown (off by default in Spark 4.1) so the
+    feed_name file pruning actually reaches ``pushFilters``."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(NvdFeedDataSource)

@@ -1,0 +1,81 @@
+"""The nvdfeed Python DataSource: row parity with the JSON-scan path,
+sidecar enrichment, file-level filter pushdown, corrupt tolerance."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nvd2mysqlloader_spark.schemas import CVE_FEED_SCHEMA
+from nvd2mysqlloader_spark.sources import nvd_datasource
+from nvd2mysqlloader_spark.sources.cve_feed import explode_items, read_feed
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def feed_df(spark):
+    nvd_datasource.register(spark)
+    return (spark.read.format("nvdfeed").option("path", DATA).load())
+
+
+def test_row_parity_with_json_scan_path(spark, feed_df):
+    """Every CVE the multiLine JSON scan yields, the custom source
+    yields too — same ids, and from_json(cve_json) re-enters the typed
+    schema with the same CVE_data_meta."""
+    via_scan = (explode_items(read_feed(spark, f"{DATA}/*.json"))
+                .select(F.col("cve.cve.CVE_data_meta.ID").alias("id")))
+    want = sorted(r["id"] for r in via_scan.collect())
+    got = sorted(r["cve_id"] for r in feed_df.collect())
+    assert got == want and want
+
+    item_type = CVE_FEED_SCHEMA["CVE_Items"].dataType.elementType
+    retyped = feed_df.select(
+        "cve_id", F.from_json("cve_json", item_type).alias("cve"))
+    [bad] = retyped.select(
+        F.sum((F.col("cve.cve.CVE_data_meta.ID") != F.col("cve_id"))
+              .cast("int")).alias("n")).collect()
+    assert (bad["n"] or 0) == 0
+
+
+def test_sidecar_meta_joined_per_row(feed_df):
+    rows = feed_df.select("feed_name", "meta_last_modified",
+                          "meta_sha256").distinct().collect()
+    by_feed = {r["feed_name"]: r for r in rows}
+    assert "nvdcve-1.1-2024" in by_feed
+    for r in by_feed.values():
+        assert r["meta_last_modified"], r
+        assert r["meta_sha256"], r
+
+
+def test_feed_name_filter_prunes_files(spark, feed_df):
+    """feed_name equality is handled by the source (file pruning):
+    only the matching file becomes an input partition."""
+    one = feed_df.filter(F.col("feed_name") == "nvdcve-1.1-2024")
+    assert one.select("feed_name").distinct().count() == 1
+    # the filter was consumed by pushFilters → only one file remains
+    # as an input partition (file-level pruning, not post-scan filter)
+    assert one.rdd.getNumPartitions() == 1
+
+
+def test_unpushed_filters_still_apply(spark, feed_df):
+    n_all = feed_df.count()
+    n_some = feed_df.filter(F.col("cve_id").endswith("0001")).count()
+    assert 0 < n_some < n_all
+
+
+def test_corrupt_feed_yields_flagged_row(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.json", landing / "good.json")
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.meta", landing / "good.meta")
+    (landing / "bad.json").write_text("{ this is not json", encoding="utf-8")
+    nvd_datasource.register(spark)
+    df = (spark.read.format("nvdfeed")
+          .option("path", str(landing)).load())
+    bad = df.filter(F.col("corrupt")).collect()
+    assert len(bad) == 1 and bad[0]["feed_name"] == "bad"
+    assert df.filter(~F.col("corrupt")).count() > 0
