@@ -36,7 +36,8 @@ import json
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
-                                    InputPartition)
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql import types as T
 
 from .meta_file import parse_meta_text
@@ -56,6 +57,41 @@ SCHEMA = T.StructType([
 class _FeedFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _read_meta(path: str) -> tuple[str | None, str | None]:
+    meta_path = path[:-len(".json")] + ".meta"
+    if not os.path.exists(meta_path):
+        return None, None
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = parse_meta_text(fh.read())
+    return meta.get("lastModifiedDate"), meta.get("sha256")
+
+
+def _feed_rows(path: str):
+    """Yield SCHEMA-shaped tuples for one feed file — shared by the
+    batch reader's task and the streaming reader's replay."""
+    feed_name = os.path.basename(path)[:-len(".json")]
+    meta_lm, meta_sha = _read_meta(path)
+    try:
+        with open(path, encoding="utf-8") as fh:
+            doc = json.load(fh)
+        items = doc.get("CVE_Items") or []
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        with open(path, "rb") as fh:
+            head = fh.read(256).decode("utf-8", "replace")
+        yield (feed_name, None, None, None, head, meta_lm, meta_sha, True)
+        return
+    for item in items:
+        cve_id = last_mod = published = None
+        if isinstance(item, dict):
+            cve_id = (item.get("cve", {}).get("CVE_data_meta", {})
+                      .get("ID"))
+            last_mod = item.get("lastModifiedDate")
+            published = item.get("publishedDate")
+        yield (feed_name, cve_id, last_mod, published,
+               json.dumps(item, separators=(",", ":"), sort_keys=True),
+               meta_lm, meta_sha, False)
 
 
 class NvdFeedReader(DataSourceReader):
@@ -90,41 +126,74 @@ class NvdFeedReader(DataSourceReader):
                 for n in self._files()]
 
     def read(self, partition: _FeedFilePartition):
-        path = partition.path
-        feed_name = os.path.basename(path)[:-len(".json")]
-        meta_lm = meta_sha = None
-        meta_path = path[:-len(".json")] + ".meta"
-        if os.path.exists(meta_path):
-            with open(meta_path, encoding="utf-8") as fh:
-                meta = parse_meta_text(fh.read())
-            meta_lm = meta.get("lastModifiedDate")
-            meta_sha = meta.get("sha256")
-        try:
-            with open(path, encoding="utf-8") as fh:
-                doc = json.load(fh)
-            items = doc.get("CVE_Items") or []
-        except (json.JSONDecodeError, UnicodeDecodeError):
-            with open(path, "rb") as fh:
-                head = fh.read(256).decode("utf-8", "replace")
-            yield (feed_name, None, None, None, head,
-                   meta_lm, meta_sha, True)
-            return
-        for item in items:
-            cve_id = last_mod = published = None
-            if isinstance(item, dict):
-                cve_id = (item.get("cve", {}).get("CVE_data_meta", {})
-                          .get("ID"))
-                last_mod = item.get("lastModifiedDate")
-                published = item.get("publishedDate")
-            yield (feed_name, cve_id, last_mod, published,
-                   json.dumps(item, separators=(",", ":"),
-                              sort_keys=True),
-                   meta_lm, meta_sha, False)
+        yield from _feed_rows(partition.path)
+
+
+class NvdFeedStreamReader(SimpleDataSourceStreamReader):
+    """The reference's polling loop (nvd2mysqlloader.py:508-531) as a
+    Structured-Streaming source: each micro-batch picks up feeds whose
+    ``.meta`` ``lastModifiedDate`` advanced past the stream's offset —
+    the same ISO-8601 string-ordered high-water mark the reference
+    keeps in ``update_history`` (SURVEY §2 #15), but checkpointed by
+    the engine, so exactly-once emission under restart is Spark's
+    guarantee rather than hand-rolled bookkeeping.
+
+    Offset = ``{feed_name: meta_lastModifiedDate}``. A feed with no
+    sidecar never fires (matching the reference: no .meta, no
+    freshness signal). ``readBetweenOffsets`` deterministically
+    replays a committed range from the files for recovery."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("nvdfeed: option 'path' (landing dir) is required")
+        self.landing = path
+
+    def _current(self) -> dict:
+        marks = {}
+        for n in sorted(os.listdir(self.landing)):
+            if not n.endswith(".json"):
+                continue
+            lm, _ = _read_meta(os.path.join(self.landing, n))
+            if lm is not None:
+                marks[n[:-len(".json")]] = lm
+        return marks
+
+    def initialOffset(self) -> dict:
+        # start empty: everything currently in the landing dir is "new"
+        # (sentinel-date semantics, nvd2mysqlloader.py:89)
+        return {}
+
+    def _fresh(self, start: dict, end: dict) -> list[str]:
+        return [f for f, lm in sorted(end.items())
+                if f not in start or start[f] < lm]
+
+    def read(self, start: dict):
+        end = self._current()
+        # carry forward marks for feeds that vanished from the landing
+        # dir so they don't replay if the file returns unchanged
+        merged = {**start, **end}
+        # a LIST iterator, not a generator: the runner both advances it
+        # (next()) and pickles the prefetched batch for replay —
+        # list_iterator supports both, generators pickle neither
+        rows = [row for f in self._fresh(start, end)
+                for row in _feed_rows(os.path.join(self.landing,
+                                                   f + ".json"))]
+        return iter(rows), merged
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for f in self._fresh(start, end):
+            yield from _feed_rows(os.path.join(self.landing, f + ".json"))
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side bookkeeping: offsets live in the checkpoint
 
 
 class NvdFeedDataSource(DataSource):
     """``spark.dataSource.register(NvdFeedDataSource)`` then
-    ``spark.read.format("nvdfeed").option("path", dir).load()``."""
+    ``spark.read.format("nvdfeed").option("path", dir).load()`` for
+    batch, or ``spark.readStream`` with the same format for the
+    polling incremental source."""
 
     @classmethod
     def name(cls) -> str:
@@ -135,6 +204,9 @@ class NvdFeedDataSource(DataSource):
 
     def reader(self, schema) -> NvdFeedReader:
         return NvdFeedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> NvdFeedStreamReader:
+        return NvdFeedStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -79,3 +79,65 @@ def test_corrupt_feed_yields_flagged_row(spark, tmp_path):
     bad = df.filter(F.col("corrupt")).collect()
     assert len(bad) == 1 and bad[0]["feed_name"] == "bad"
     assert df.filter(~F.col("corrupt")).count() > 0
+
+
+def _drain_stream(spark, landing, checkpoint, out_dir):
+    """availableNow drain into a parquet sink (a restartable sink —
+    memory sinks cannot recover from a checkpoint); returns the
+    accumulated table."""
+    df = (spark.readStream.format("nvdfeed")
+          .option("path", str(landing)).load())
+    q = (df.writeStream.outputMode("append")
+         .format("parquet").option("path", str(out_dir))
+         .option("checkpointLocation", str(checkpoint))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(str(out_dir))
+
+
+def test_streaming_polls_meta_high_water_mark(spark, tmp_path):
+    """The reference's incremental poll protocol as a streaming
+    source: batch 1 loads the landing dir; re-running with an
+    unchanged .meta emits NOTHING; a feed whose .meta advanced (and
+    only that feed) arrives in the next batch — exactly-once via the
+    stream checkpoint, like ingest's update_history gate."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    sink = tmp_path / "sink"
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.json", landing / "nvdcve-1.1-2024.json")
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.meta", landing / "nvdcve-1.1-2024.meta")
+    nvd_datasource.register(spark)
+
+    out = _drain_stream(spark, landing, ckpt, sink)
+    first = out.count()
+    assert first > 0
+    batch_n = (spark.read.format("nvdfeed")
+               .option("path", str(landing)).load().count())
+    assert first == batch_n
+
+    # unchanged landing dir -> the next availableNow run emits nothing
+    out = _drain_stream(spark, landing, ckpt, sink)
+    assert out.count() == first
+
+    # second feed appears + first feed's meta is UNCHANGED: only the
+    # new feed's rows arrive
+    shutil.copy(f"{DATA}/nvdcve-1.1-modified.json",
+                landing / "nvdcve-1.1-modified.json")
+    shutil.copy(f"{DATA}/nvdcve-1.1-modified.meta",
+                landing / "nvdcve-1.1-modified.meta")
+    out = _drain_stream(spark, landing, ckpt, sink)
+    got = out.groupBy("feed_name").count().collect()
+    by_feed = {r["feed_name"]: r["count"] for r in got}
+    assert by_feed["nvdcve-1.1-2024"] == first
+    assert by_feed.get("nvdcve-1.1-modified", 0) > 0
+
+    # a feed whose .meta lastModifiedDate ADVANCES replays that feed
+    meta = (landing / "nvdcve-1.1-2024.meta").read_text()
+    bumped = meta.replace("lastModifiedDate:2024", "lastModifiedDate:2025")
+    assert bumped != meta
+    (landing / "nvdcve-1.1-2024.meta").write_text(bumped)
+    out = _drain_stream(spark, landing, ckpt, sink)
+    by_feed2 = {r["feed_name"]: r["count"]
+                for r in out.groupBy("feed_name").count().collect()}
+    assert by_feed2["nvdcve-1.1-2024"] == 2 * first
