@@ -48,6 +48,9 @@ def word_frequencies(docs: DataFrame, tokens_col: Column,
     TakeOrdered heap (never a full sort). Deterministic: frequency
     desc, then word asc."""
     return (docs.select(F.explode(tokens_col).alias("word"))
+            # split("\tabc", \s+) yields a leading "" token (trim
+            # strips spaces only); the empty word is not a word
+            .filter(F.col("word") != "")
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
             .orderBy(F.desc("freq"), F.asc("word"))
             .limit(top_words))
@@ -68,14 +71,26 @@ def bpe_train(word_freqs: list[tuple[str, int]],
         words.append(list(w) + [_EOW])
         freqs.append(int(f))
 
+    import heapq
+
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
+    # lazy-invalidation max-heap over (-count, pair): argmax is
+    # amortized O(log) per touched pair instead of a full pass over
+    # the pair table each round — this is what keeps the per-round
+    # cost proportional to TOUCHED words, as the docstring claims.
+    # heapq's smallest = highest count, ties by lexicographically
+    # smallest pair — exactly the deterministic merge rule.
+    heap: list[tuple[int, tuple[str, str]]] = []
 
     def add_word_pairs(i: int, sign: int) -> None:
         sym = words[i]
         for a, b in zip(sym, sym[1:]):
             p = (a, b)
-            pair_counts[p] = pair_counts.get(p, 0) + sign * freqs[i]
+            c = pair_counts.get(p, 0) + sign * freqs[i]
+            pair_counts[p] = c
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
             if sign > 0:
                 pair_words.setdefault(p, set()).add(i)
 
@@ -84,13 +99,15 @@ def bpe_train(word_freqs: list[tuple[str, int]],
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        live = [(c, p) for p, c in pair_counts.items() if c > 0]
-        if not live:
+        best_pair = None
+        while heap:
+            neg_c, p = heap[0]
+            if pair_counts.get(p, 0) == -neg_c:   # live entry
+                best_pair = p
+                break
+            heapq.heappop(heap)                   # stale: superseded
+        if best_pair is None:
             break
-        # deterministic argmax: highest count, then lexicographically
-        # smallest (left, right); counts are exact ints
-        top = max(c for c, _ in live)
-        best_pair = min(p for c, p in live if c == top)
         merges.append(best_pair)
         a, b = best_pair
         merged = a + b
@@ -133,6 +150,8 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def encode_word(word: str, cache: dict) -> list[str]:
+        if not word:
+            return []        # empty split artifact: no subwords
         hit = cache.get(word)
         if hit is not None:
             return hit

@@ -70,16 +70,32 @@ def _read_meta(path: str) -> tuple[str | None, str | None]:
 
 def _feed_rows(path: str):
     """Yield SCHEMA-shaped tuples for one feed file — shared by the
-    batch reader's task and the streaming reader's replay."""
+    batch reader's task and the streaming reader's replay.
+
+    A file that vanished between listing and read yields NOTHING (the
+    batch sees current state; for streaming recovery this means landing
+    retention must cover the checkpoint-replay window — true of any
+    file-backed source). A file whose JSON parses but is not the
+    expected object shape yields one ``corrupt`` row, same as
+    unparseable bytes — never a task failure."""
     feed_name = os.path.basename(path)[:-len(".json")]
-    meta_lm, meta_sha = _read_meta(path)
     try:
+        meta_lm, meta_sha = _read_meta(path)
         with open(path, encoding="utf-8") as fh:
             doc = json.load(fh)
+        if not isinstance(doc, dict):
+            raise json.JSONDecodeError("feed is not a JSON object", "", 0)
         items = doc.get("CVE_Items") or []
+        if not isinstance(items, list):
+            raise json.JSONDecodeError("CVE_Items is not an array", "", 0)
+    except FileNotFoundError:
+        return
     except (json.JSONDecodeError, UnicodeDecodeError):
-        with open(path, "rb") as fh:
-            head = fh.read(256).decode("utf-8", "replace")
+        try:
+            with open(path, "rb") as fh:
+                head = fh.read(256).decode("utf-8", "replace")
+        except OSError:
+            return
         yield (feed_name, None, None, None, head, meta_lm, meta_sha, True)
         return
     for item in items:
@@ -100,25 +116,30 @@ class NvdFeedReader(DataSourceReader):
         if not path:
             raise ValueError("nvdfeed: option 'path' (landing dir) is required")
         self.landing = path
-        self.feed_name_filter: str | None = None
+        self.feed_name_filters: set[str] | None = None
 
     def pushFilters(self, filters):
         for f in filters:
             # file-level pruning: feed_name equality selects files by
             # name without opening them. The filter is FULLY handled
             # here (each file yields rows of exactly one feed_name),
-            # so it is not returned to Spark.
+            # so it is not returned to Spark. The filter list is a
+            # CONJUNCTION, so multiple feed_name equalities intersect —
+            # contradictory values correctly select zero files.
             if isinstance(f, EqualTo) and f.attribute == ("feed_name",):
-                self.feed_name_filter = f.value
+                mine = {f.value}
+                self.feed_name_filters = (
+                    mine if self.feed_name_filters is None
+                    else self.feed_name_filters & mine)
             else:
                 yield f
 
     def _files(self) -> list[str]:
         names = sorted(n for n in os.listdir(self.landing)
                        if n.endswith(".json"))
-        if self.feed_name_filter is not None:
+        if self.feed_name_filters is not None:
             names = [n for n in names
-                     if n[:-len(".json")] == self.feed_name_filter]
+                     if n[:-len(".json")] in self.feed_name_filters]
         return names
 
     def partitions(self):
@@ -170,9 +191,16 @@ class NvdFeedStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         end = self._current()
-        # carry forward marks for feeds that vanished from the landing
-        # dir so they don't replay if the file returns unchanged
-        merged = {**start, **end}
+        # the offset is a HIGH-WATER mark and must be monotone: take
+        # the max per feed, so a regressed .meta (restored backup,
+        # partial re-download) can neither emit nor lower the mark —
+        # otherwise the later re-advance would replay rows a second
+        # time into an append sink. Feeds that vanished from the
+        # landing dir keep their mark for the same reason.
+        merged = {**start}
+        for f, lm in end.items():
+            if f not in merged or merged[f] < lm:
+                merged[f] = lm
         # a LIST iterator, not a generator: the runner both advances it
         # (next()) and pickles the prefetched batch for replay —
         # list_iterator supports both, generators pickle neither

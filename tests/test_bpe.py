@@ -98,3 +98,29 @@ def test_word_frequencies_bounded_and_ordered(spark):
         [(["a", "b", "a", "c", "b", "a"],)], ["t"])
     rows = word_frequencies(df, F.col("t"), top_words=2).collect()
     assert [(r["word"], r["freq"]) for r in rows] == [("a", 3), ("b", 2)]
+
+
+def test_tab_edged_text_keeps_invariants(spark):
+    """split('\\tabc', \\s+) yields a leading '' token (trim strips
+    spaces only): the empty artifact must count as no word and emit no
+    subword, or the oracle-pinned subs_le_chars invariant breaks."""
+    df = spark.createDataFrame(
+        [("s", "\ta"), ("s", "b\n"), ("s", " ok two ")],
+        ["source", "text"])
+    merges = bpe_train(CORPUS, 5)
+    enc = bpe_encode_udf(merges)
+    from nvd2mysqlloader_spark.functions.text import tokens
+    toks = F.filter(tokens("text"), lambda x: x != "")
+    rows = df.select(
+        F.size(toks).alias("n_words"),
+        F.size(enc(toks)).alias("n_subs"),
+        F.length(F.concat_ws("", toks)).alias("n_chars")).collect()
+    for r in rows:
+        assert r["n_words"] <= r["n_subs"] <= max(r["n_chars"], r["n_words"]), r
+
+
+def test_empty_word_encodes_to_nothing(spark):
+    enc = bpe_encode_udf(bpe_train(CORPUS, 3))
+    [row] = (spark.createDataFrame([(["", "low", ""],)], ["t"])
+             .select(enc("t").alias("s")).collect())
+    assert "".join(row["s"]) == "low"
