@@ -27,3 +27,4 @@ from . import funnel_queries     # noqa: F401,E402
 from . import streaming_queries  # noqa: F401,E402
 from . import graph_queries      # noqa: F401,E402
 from . import bpe_queries        # noqa: F401,E402
+from . import variant_queries    # noqa: F401,E402
