@@ -1,0 +1,48 @@
+"""Streaming-state observability — read a query's state store as a
+DataFrame (`statestore` format, Spark 4).
+
+The reference's only observability is print statements around its poll
+loop (nvd2mysqlloader.py:508-531). For a stateful streaming topology
+the question that matters at 100 TB is "what lives in the state store,
+and is it skewed?" — a hot key family (boilerplate sessions, one
+tenant's events) concentrates state in one shuffle partition and that
+partition's store becomes the straggler/OOM. Both functions are plain
+batch reads over the checkpoint; they never touch the running query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_state(spark: SparkSession, checkpoint: str,
+               batch_id: int | None = None) -> DataFrame:
+    """The state store contents as (key struct, value struct,
+    partition_id) rows — latest committed batch by default."""
+    reader = spark.read.format("statestore")
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    return reader.load(checkpoint)
+
+
+def state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Operator-level metadata: operator/store names, partition count,
+    retained batch range."""
+    return spark.read.format("state-metadata").load(checkpoint)
+
+
+def state_skew_summary(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Per-partition state-row counts plus the global max/mean ratio —
+    the state-store analog of heavy_hitter_keys: a ratio near 1 means
+    balanced state; >>1 names the partition a hot key family lives in.
+    One tiny aggregate over the state read; at scale this is the first
+    thing to check when a stateful stage straggles."""
+    per_part = (read_state(spark, checkpoint)
+                .groupBy("partition_id")
+                .agg(F.count(F.lit(1)).alias("n_state_rows")))
+    stats = per_part.agg(
+        F.max("n_state_rows").alias("mx"),
+        F.avg("n_state_rows").alias("mean")).select(
+        (F.col("mx") / F.col("mean")).alias("skew_ratio"))
+    return per_part.crossJoin(F.broadcast(stats))

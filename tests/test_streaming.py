@@ -234,3 +234,38 @@ def test_stream_tumbling_under_rocksdb_state_store(spark, events_parquet):
     want = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
             for r in batch.collect()}
     assert got == want
+
+
+def test_state_store_reader_matches_sink(spark, events_parquet, tmp_path):
+    """Streaming-state observability (streaming/observe.py): the
+    statestore batch read over a windowed query's checkpoint must hold
+    exactly the per-(window, event_type) counts the sink shows, and
+    the skew summary covers every state partition."""
+    from nvd2mysqlloader_spark.streaming.observe import (
+        read_state, state_metadata, state_skew_summary)
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(events_parquet).schema
+    stream = spark.readStream.schema(schema).parquet(events_parquet)
+    q = (stream_tumbling_counts(stream)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("state_obs_out")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    sink = {(r.window_start, r.event_type): r.n_events
+            for r in spark.table("state_obs_out").collect()}
+    state = read_state(spark, ckpt)
+    # the value struct is the AGGREGATION BUFFER (count/sum/isEmpty),
+    # not the output projection — count backs n_events
+    got = {(r["key"]["window"]["start"], r["key"]["event_type"]):
+           r["value"]["count"]
+           for r in state.collect()}
+    assert got == sink and sink
+
+    md = state_metadata(spark, ckpt).collect()
+    assert md and md[0]["numPartitions"] > 0
+
+    skew = state_skew_summary(spark, ckpt).collect()
+    assert sum(r["n_state_rows"] for r in skew) == len(sink)
+    assert all(r["skew_ratio"] >= 1.0 for r in skew)
