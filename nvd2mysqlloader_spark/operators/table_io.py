@@ -88,9 +88,12 @@ def cleanup_stale(path: str) -> None:
     (a writer died before publishing them — no reader ever saw them)
     and any leftover swap symlink."""
     path = path.rstrip("/")
-    swap = path + ".__swap"
-    if os.path.lexists(swap):
-        os.remove(swap)
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            if name.startswith(base + ".__swap"):
+                os.remove(os.path.join(parent, name))
     cur = current_version(path)
     if cur is None:
         for _, d in versions(path):
@@ -114,10 +117,17 @@ def next_version_dir(path: str) -> str:
 def publish_version(path: str, vdir: str, keep: int = 2) -> None:
     """Atomically point ``path`` at ``vdir``; prune all but the newest
     ``keep`` versions (current + previous by default, so in-flight
-    readers of the just-replaced version finish their scan)."""
+    readers of the just-replaced version finish their scan).
+
+    The staging symlink name is unique per publisher (pid + thread), so
+    concurrent publishers cannot collide on it — each stages its own
+    link and the ``os.replace`` flips are serialized by the filesystem:
+    last writer wins, and a reader always resolves a complete version."""
+    import threading
+
     path = path.rstrip("/")
     ensure_versioned(path)
-    swap = path + ".__swap"
+    swap = f"{path}.__swap.{os.getpid()}.{threading.get_ident()}"
     if os.path.lexists(swap):
         os.remove(swap)
     os.symlink(os.path.basename(vdir), swap)
@@ -229,3 +239,54 @@ def leaf_partition_dirs(root: str) -> list[str]:
         if any(not f.startswith("_") and not f.startswith(".") for f in files):
             out.add(rel)
     return sorted(out)
+
+
+def history(spark, path: str):
+    """Retained-version metadata as a DataFrame — the DESCRIBE HISTORY
+    analog: (version, published, n_files, total_bytes, modified_at
+    epoch seconds). Pure directory-metadata walk on the driver (a few
+    retained versions × file stats), no data read."""
+    import datetime
+
+    path = path.rstrip("/")
+    cur = current_version(path)
+    rows = []
+    for n, d in versions(path):
+        n_files = total = 0
+        mtime = 0.0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.startswith("_") or f.startswith("."):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                n_files += 1
+                total += st.st_size
+                mtime = max(mtime, st.st_mtime)
+        rows.append((n, d == cur, n_files, total,
+                     datetime.datetime.fromtimestamp(
+                         mtime, tz=datetime.timezone.utc)))
+    return spark.createDataFrame(
+        rows, "version INT, published BOOLEAN, n_files BIGINT, "
+              "total_bytes BIGINT, modified_at TIMESTAMP")
+
+
+def clone(path: str, dst: str) -> str:
+    """Zero-copy snapshot clone: hardlink the CURRENT version of
+    ``path`` into a new version-1 directory of ``dst`` and publish it.
+    The clone shares data file inodes (immutable by construction —
+    writers always produce NEW version dirs) but has its own version
+    lineage: writes to either table never touch the other. The dev/
+    test-sandbox primitive every table format grows (Delta SHALLOW
+    CLONE); at 100 TB on an object store the analog is manifest copy.
+    """
+    src_v = current_version(path)
+    if src_v is None:
+        raise FileNotFoundError(f"no published version to clone: {path}")
+    dst = dst.rstrip("/")
+    if current_version(dst) is not None:
+        raise FileExistsError(f"clone target already exists: {dst}")
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+    vdir = dst + _V_SUFFIX + "1"
+    link_tree(src_v, vdir)
+    publish_version(dst, vdir)
+    return vdir

@@ -373,3 +373,108 @@ def test_vacuum_never_deletes_published_version(spark, tmp_path):
     assert spark.read.parquet(path).first().summary == "a"
     cur = os.path.realpath(path)
     assert [d for _n, d in table_io.versions(path)] == [cur]
+
+
+def test_history_and_zero_copy_clone(spark, tmp_path):
+    """history() lists retained versions with the published flag;
+    clone() hardlinks the current version into an independent table
+    (shared inodes, separate lineage)."""
+    from nvd2mysqlloader_spark.operators import table_io
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    write_upsert_parquet(path, base, keys=["k"])
+    write_upsert_parquet(
+        path, spark.createDataFrame([(2, "b2")], ["k", "v"]),
+        keys=["k"])
+
+    h = {r["version"]: r for r in
+         table_io.history(spark, path).collect()}
+    assert len(h) == 2
+    published = [v for v, r in h.items() if r["published"]]
+    assert len(published) == 1 and published[0] == max(h)
+    assert all(r["n_files"] > 0 and r["total_bytes"] > 0
+               for r in h.values())
+
+    cpath = str(tmp_path / "c")
+    table_io.clone(path, cpath)
+    want = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert {(r["k"], r["v"])
+            for r in spark.read.parquet(cpath).collect()} == want
+
+    # shared inodes: the clone's files ARE the source's files
+    src_inodes = {os.stat(p).st_ino
+                  for p in glob.glob(f"{table_io.current_version(path)}/**/*.parquet",
+                                     recursive=True)}
+    cl_inodes = {os.stat(p).st_ino
+                 for p in glob.glob(f"{table_io.current_version(cpath)}/**/*.parquet",
+                                    recursive=True)}
+    assert cl_inodes == src_inodes and src_inodes
+
+    # separate lineage: writing the clone never touches the source
+    write_upsert_parquet(
+        cpath, spark.createDataFrame([(3, "c")], ["k", "v"]),
+        keys=["k"])
+    assert {(r["k"], r["v"])
+            for r in spark.read.parquet(path).collect()} == want
+    assert spark.read.parquet(cpath).count() == 3
+
+    # clone onto an existing table refuses
+    try:
+        table_io.clone(path, cpath)
+        assert False, "expected FileExistsError"
+    except FileExistsError:
+        pass
+
+
+def test_concurrent_publishers_last_writer_wins_no_corruption(spark, tmp_path):
+    """N threads racing publish_version: the pointer flip is atomic
+    (os.replace), so the final symlink resolves to exactly one
+    COMPLETE version dir — readers can never observe a missing or
+    partial table, and every intermediate read resolves."""
+    import threading
+
+    from nvd2mysqlloader_spark.operators import table_io
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "x")], ["k", "v"])
+    write_upsert_parquet(path, base, keys=["k"])
+
+    # pre-build N complete candidate versions, then race the flips
+    dirs = []
+    for i in range(6):
+        vdir = table_io.next_version_dir(path) + f"_{i}"
+        spark.createDataFrame([(i, "w")], ["k", "v"]) \
+            .coalesce(1).write.parquet(vdir)
+        dirs.append(vdir)
+
+    stop, errors = False, []
+
+    def reader():
+        while not stop:
+            cur = table_io.current_version(path)
+            if cur is None or not os.path.isdir(cur):
+                errors.append(f"dangling pointer: {cur}")
+                return
+
+    def publisher(d):
+        try:
+            table_io.publish_version(path, d, keep=100)
+        except Exception as ex:          # a colliding publisher is a bug
+            errors.append(f"publisher failed: {ex!r}")
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    threads = [threading.Thread(target=publisher, args=(d,))
+               for d in dirs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop = True
+    rt.join()
+
+    assert not errors, errors
+    final = table_io.current_version(path)
+    assert final in [os.path.abspath(d) for d in dirs] or final in dirs
+    assert spark.read.parquet(path).count() == 1   # one complete version
