@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import connected_components
 from ..sources.tpch import load_table
+from ._helpers import disc_percentile
 from .registry import query
 
 # chunk window / stride in characters: 25% overlap between consecutive
@@ -95,8 +96,7 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                   Window.partitionBy("lang"))))
 
     def pick(q: float):
-        target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")))
-        return F.max(F.when(F.col("rn") == target, F.col("n_chars")))
+        return disc_percentile(q, "n_chars")
 
     bands = (ranked.groupBy("lang")
              .agg(pick(0.25).alias("p25"), pick(0.75).alias("p75"))

@@ -113,9 +113,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("unit_cost") == F.col("best_cost"))
             .join(F.broadcast(std_part), cost.l_partkey == std_part.p_partkey)
             .join(F.broadcast(eu_supp), cost.l_suppkey == eu_supp.s_suppkey)
-            .select("p_partkey", "p_brand", "s_name", "n_name", "unit_cost")
-            .orderBy(F.asc("unit_cost"), F.asc("p_partkey"), F.asc("s_name"))
-            .limit(50))
+            .select("p_partkey", "p_brand", "s_name", "n_name",
+                    "unit_cost", "s_suppkey")
+            # final tie-break on s_suppkey, EXACTLY the oracle's ORDER
+            # BY — s_name happens to sort identically today (zero-
+            # padded keys) but the ranking keys must match by rule
+            .orderBy(F.asc("unit_cost"), F.asc("p_partkey"),
+                     F.asc("s_suppkey"))
+            .limit(50)
+            .drop("s_suppkey"))
 
 
 @query(
@@ -273,4 +279,8 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "left_semi")
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
             .select("s_name", "n_name")
+            # the oracle SELECTs DISTINCT: two qualifying suppliers
+            # sharing a name must collapse to one row (latent while
+            # s_name embeds the unique suppkey)
+            .distinct()
             .orderBy(F.asc("s_name")))

@@ -220,7 +220,7 @@ def gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dim(event_type, weight) AS (
       VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0),
-             ('error', 0.0), ('login', 0.5)
+             ('error', 0.0), ('signup', 0.5)
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -247,7 +247,7 @@ def salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     dim = spark.createDataFrame(
         [("click", 1.0), ("view", 0.1), ("purchase", 10.0),
-         ("error", 0.0), ("login", 0.5)], ["event_type", "weight"])
+         ("error", 0.0), ("signup", 0.5)], ["event_type", "weight"])
     joined = salted_join(events, dim, "event_type", salt_buckets=16)
     wv = (F.col("value").cast("decimal(18,4)")
           * F.col("weight").cast("decimal(6,1)"))

@@ -347,14 +347,17 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp")))
         .groupBy("l_suppkey")
         .agg(F.sum(_rev()).alias("total_rev_dec")))
-    # fork order matters for ReuseExchange: the supplier join happens
-    # BEFORE the max fork so both branches share a bit-identical plan
-    # prefix (joining after would push isnotnull(l_suppkey) into only
-    # one branch, de-canonicalize the shared aggregate exchange, and
-    # re-scan the fact — measured). The max filter is a 1-row broadcast
-    # cross join + filter, not an equi-join, for the same reason.
+    # the scalar max must be computed over the UNJOINED rev rollup,
+    # exactly like the oracle's (SELECT max(...) FROM rev) — taking it
+    # after the supplier join would diverge whenever the top-revenue
+    # suppkey has no supplier row. Materializing the (tiny, one row
+    # per supplier) rollup keeps it a single fact scan: both the max
+    # fork and the join read the same blocks instead of re-running
+    # the aggregate (the join's pushed isnotnull(l_suppkey) would
+    # otherwise de-canonicalize the shared exchange — measured).
+    rev = rev.localCheckpoint(eager=True)
+    top = rev.agg(F.max("total_rev_dec").alias("max_rev"))
     revs = rev.join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
-    top = revs.agg(F.max("total_rev_dec").alias("max_rev"))
     return (revs
             .join(F.broadcast(top))
             .filter(F.col("total_rev_dec") == F.col("max_rev"))

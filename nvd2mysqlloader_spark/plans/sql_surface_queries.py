@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tpch import load_table
-from ._helpers import dsum
+from ._helpers import disc_percentile, dsum
 from .registry import query
 
 
@@ -172,7 +172,13 @@ def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     relevant = ev.filter(F.col("event_type").isin("error", "click"))
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # at EQUAL ts the oracle's ASOF condition (e.ts >= c.ts) matches
+    # the click, so clicks must sort BEFORE errors in the frame —
+    # otherwise a same-microsecond click with a larger event_id would
+    # be invisible to the error row (latent only while the fixture has
+    # no (user_id, ts) collisions; real event data has them)
+    type_rank = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    w = (Window.partitionBy("user_id").orderBy("ts", type_rank, "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
     click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
@@ -204,8 +210,7 @@ def percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
                   Window.partitionBy("o_orderstatus"))))
     # percentile_disc(q) = value at ceil(q·n) in sort order
     def pick(q: float):
-        target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")))
-        return F.max(F.when(F.col("rn") == target, F.col("o_totalprice")))
+        return disc_percentile(q, "o_totalprice")
     return (ranked.groupBy("o_orderstatus")
             .agg(pick(0.5).alias("p50"), pick(0.9).alias("p90"),
                  F.max("n").alias("n")))

@@ -136,8 +136,12 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "STREAMING native session windows (30-min gap) under the "
         "oracle: session_window groupBy with watermarked state, drained "
         "availableNow; hash-compared against the DuckDB gaps-and-"
-        "islands twin. session_last = max(ts) (Spark's window end is "
-        "last+gap, so the portable column is the max event time)."
+        "islands twin (a gap of EXACTLY 30 min still merges — "
+        "verified empirically: session_window(30m) keeps an event at "
+        "last+gap in-session and splits at last+gap+1µs, so the "
+        "oracle's <= is exact). session_last = max(ts) (Spark's "
+        "window end is last+gap, so the portable column is the max "
+        "event time)."
     ),
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,7 +156,6 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = t.select("doc_id", "lang",
                  *[stopword_hits(F.col("toks"), lg).alias(f"h_{lg}")
                    for lg in langs])
-    pred = None
     # fixed precedence: earlier language wins ties (same CASE chain as oracle)
     expr = None
     for i, lang in enumerate(langs[:-1]):

@@ -118,21 +118,21 @@ def test_returned_item_revenue_topk_pushdown(spark):
 
 
 def test_top_supplier_revenue_agg_reuse(spark):
-    # the per-supplier revenue aggregate feeds both the scalar max and
-    # the equality filter; its shuffle must be computed once. AQE
-    # dedupes the exchanges at RUNTIME (identical canonicalized stage —
-    # this is why the supplier join forks BEFORE the max), so execute
-    # first and assert on the final adaptive plan.
+    # the per-supplier revenue rollup feeds both the scalar max (over
+    # the UNJOINED rollup, matching the oracle exactly) and the
+    # supplier join; it is materialized ONCE (localCheckpoint) so the
+    # final plan reads the tiny per-supplier blocks twice (ExistingRDD)
+    # and never re-scans the fact — zero lineitem scans here (the one
+    # fact scan ran during checkpoint materialization).
     df = QUERIES["top_supplier_revenue"].fn(spark, SF_ORACLE)
     df.collect()
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
     final = buf.getvalue().split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in final
-    # 3 scan nodes: the fact ONCE, plus the tiny supplier dim twice —
-    # the initial (pre-AQE) plan has 4, with the fact scanned twice
-    assert final.count("Scan parquet") == 3
+    assert final.count("Scan ExistingRDD") == 2
+    # the only parquet scan left is the broadcast supplier dim
+    assert final.count("Scan parquet") == 1
 
 
 def test_min_cost_supplier_min_joinback_single_fact_scan(spark):
