@@ -70,16 +70,19 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         n_tok = F.size("__toks")
         stop_ratio = stopword_hits(F.col("__toks"), "en") / \
             F.greatest(n_tok, F.lit(1))
-        quality = (t.filter((n_tok >= min_tokens) & (n_tok <= max_tokens)
-                            & (stop_ratio >= min_stopword_ratio))
-                   .drop("__toks"))
+        quality = _stage(
+            t.filter((n_tok >= min_tokens) & (n_tok <= max_tokens)
+                     & (stop_ratio >= min_stopword_ratio))
+            .drop("__toks"))
+        # persist BEFORE the count: the tokenize+score scan is the
+        # most expensive narrow stage and both the count and the next
+        # stage consume it — unpersisted it would execute twice
         stats["after_quality"] = quality.count()
 
         # 2. language allow-list (claimed lang; swap in lang_id
         # evidence argmax when labels are untrusted)
         if langs:
-            quality = quality.filter(F.col("lang").isin(list(langs)))
-        quality = _stage(quality)
+            quality = _stage(quality.filter(F.col("lang").isin(list(langs))))
         stats["after_lang"] = quality.count()
 
         # 3. exact dedup — normalized fingerprint, keep the longest
@@ -113,7 +116,11 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         # probe against holdout grams: its size scales with the
         # holdout, so the join strategy is left to AQE (broadcast when
         # it fits, shuffle join when it doesn't) rather than forced.
-        ws = near.withColumn("__ws", F.split("text", " "))
+        # the SAME tokenizer as every other stage (\s+, empty tokens
+        # dropped): split(text, ' ') would keep '' tokens for double
+        # spaces and glue words across newlines, so a contaminated
+        # doc reformatted with line breaks would slip past the probe
+        ws = near.withColumn("__ws", tokens("text"))
         grams = ws.filter(F.size("__ws") >= ngram).select(
             "doc_id",
             F.explode(F.expr(

@@ -14,12 +14,17 @@ from pyspark.sql import functions as F
 
 
 def split_cpe23(uri: Column | str) -> Column:
-    """Struct(part, vendor, product, version) from a cpe23Uri string."""
+    """Struct(part, vendor, product, version) from a cpe23Uri string.
+
+    ``try_element_at``: a truncated/malformed URI yields NULL fields
+    (the reference's null-tolerance discipline) instead of an
+    out-of-bounds error under ANSI mode — one bad URI in a feed must
+    not abort the cve2cpe view."""
     c = F.col(uri) if isinstance(uri, str) else uri
     parts = F.split(c, ":")
     return F.struct(
-        F.element_at(parts, 3).alias("part"),
-        F.element_at(parts, 4).alias("vendor"),
-        F.element_at(parts, 5).alias("product"),
-        F.element_at(parts, 6).alias("version"),
+        F.try_element_at(parts, F.lit(3)).alias("part"),
+        F.try_element_at(parts, F.lit(4)).alias("vendor"),
+        F.try_element_at(parts, F.lit(5)).alias("product"),
+        F.try_element_at(parts, F.lit(6)).alias("version"),
     )

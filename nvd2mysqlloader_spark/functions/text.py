@@ -9,6 +9,8 @@ projection; nothing here forces a Python round-trip.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column
@@ -34,38 +36,56 @@ def normalize_ws(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization; empty/blank text → empty array (the
-    reference's null-tolerance discipline, SURVEY §2 #19)."""
+    """Whitespace tokenization; empty/blank/NULL text → empty array
+    (the reference's null-tolerance discipline, SURVEY §2 #19).
+
+    Split on ``\\s+`` then DROP empty tokens: ``trim`` strips only
+    ASCII spaces, so tab/newline-edged text would otherwise yield
+    phantom ``''`` tokens (a blank-only doc counted 2 tokens). The
+    filter form needs no trim at all and can never emit an empty
+    token. Oracle twin: ``list_filter(regexp_split_to_array(
+    coalesce(text, ''), '\\s+'), x -> x <> '')``."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
-    return F.when(F.coalesce(t, F.lit("")) == "", F.array().cast("array<string>")) \
-            .otherwise(F.split(t, r"\s+"))
+    return F.filter(F.split(F.coalesce(c, F.lit("")), r"\s+"),
+                    lambda x: x != "")
 
 
 def word_shingles(tok_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array (1-indexed element_at so
-    the expression reads identically to the DuckDB oracle)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(tok_col, i + k) for k in range(n)]),
-    )
+    the expression reads identically to the DuckDB oracle).
+
+    Guarded for short docs: ``sequence(1, 0)`` is the DESCENDING array
+    [1, 0], not empty, so fewer than ``n`` tokens must short-circuit to
+    [] or element_at would index out of bounds (an error under ANSI)."""
+    return F.when(
+        F.size(tok_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok_col, i + k) for k in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle3_udf():
     """Arrow-batched 3-gram word shingler (distinct, order-preserving).
 
     Semantically identical to ``array_distinct(word_shingles(tokens(c),
-    3))`` — Python ``str.split()`` ≡ split on ``\\s+`` of trimmed text.
-    Exists because the measured cost of the interpreted higher-order-
-    function form is ~2.5× this vectorized UDF at sf0.1 (HOF lambdas
-    are not codegen'd); shingling is the one hot path where the Pandas
-    escape hatch wins.
+    3))`` — the split is ``re.split(r"\\s+", ..., flags=re.ASCII)``,
+    NOT ``str.split()``: Python's default split breaks on Unicode
+    whitespace (NBSP, U+2028, …) while Java/RE2 ``\\s`` is ASCII-only,
+    and the tokenization must agree byte-for-byte with the JVM twin
+    and the DuckDB oracle. Exists because the measured cost of the
+    interpreted higher-order-function form is ~2.5× this vectorized
+    UDF at sf0.1 (HOF lambdas are not codegen'd); shingling is the one
+    hot path where the Pandas escape hatch wins.
     """
+    ws = re.compile(r"\s+", re.ASCII)
+
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def shingle3(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = (t or "").split()
+            toks = [w for w in ws.split(t or "") if w]
             out.append(list(dict.fromkeys(
                 " ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 0)))))
         return pd.Series(out)
@@ -172,7 +192,17 @@ def scrub_pii(col: Column | str) -> Column:
 
 
 def pii_counts(col: Column | str) -> list[Column]:
-    """Per-category match counts (audit metric for the scrub)."""
+    """Per-category match counts (audit metric for the scrub).
+
+    Category k is counted on the text AFTER categories 1..k-1 were
+    replaced — the same sequential order :func:`scrub_pii` applies —
+    so each count equals what the scrub actually redacts for that
+    category. Counting every pattern on the raw text would over-report
+    (a dotted-quad inside an email local-part counts as an IPv4 there,
+    but the scrub replaces the whole email first)."""
     c = F.col(col) if isinstance(col, str) else col
-    return [F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
-            for name, pat, _rep in PII_PATTERNS]
+    out = []
+    for name, pat, rep in PII_PATTERNS:
+        out.append(F.regexp_count(c, F.lit(pat)).alias(f"n_{name}"))
+        c = F.regexp_replace(c, pat, rep)
+    return out

@@ -29,4 +29,7 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an error) when either vector has zero norm: a plain
+    division throws DIVIDE_BY_ZERO under ANSI mode (Spark 4 default),
+    so one all-zero embedding would abort a whole similarity job."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

@@ -83,17 +83,33 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str,
     bronze_path = f"{warehouse}/nvd_json"
     before = tally(silver_path)
 
+    # every exit path (empty batch, write failure, success) drops the
+    # cached blocks via the try/finally — a long-lived scheduler
+    # session must not accumulate pinned storage across runs
     fresh = fresh_feeds(spark, landing, warehouse).cache()
-    names = [r.download_name for r in fresh.select("download_name").collect()]
-    if not names:
-        return {"feeds": 0, "cves": 0, "tally_before": before,
-                "tally_after": before, "added": 0}
+    items = None
+    try:
+        names = [r.download_name
+                 for r in fresh.select("download_name").collect()]
+        if not names:
+            return {"feeds": 0, "cves": 0, "tally_before": before,
+                    "tally_after": before, "added": 0}
 
-    paths = [f"{landing}/{n}.json" for n in names]
-    # cache the exploded items: silver and bronze both consume them, and
-    # multiLine JSON parsing is the most expensive stage of the batch
-    items = explode_items(read_feed(spark, paths)).cache()
+        paths = [f"{landing}/{n}.json" for n in names]
+        # cache the exploded items: silver and bronze both consume
+        # them, and multiLine JSON parsing is the most expensive stage
+        items = explode_items(read_feed(spark, paths)).cache()
+        return _ingest_batch(spark, warehouse, fresh, items, names,
+                             silver_path, bronze_path, before, tally,
+                             maintain)
+    finally:
+        fresh.unpersist()
+        if items is not None:
+            items.unpersist()
 
+
+def _ingest_batch(spark, warehouse, fresh, items, names,
+                  silver_path, bronze_path, before, tally, maintain):
     # modified/recent feeds overlap yearly ones by design — dedup the
     # batch last-writer-wins on (lastModifiedDate, cve_id) before MERGE.
     # published_year partitions the silver table: Catalyst partition
@@ -102,7 +118,12 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str,
         flatten_cve(items), ["cve_id"], ["last_modified_datetime"]
     ).withColumn(
         "published_year",
-        F.coalesce(F.substring("published_datetime", 1, 4).cast("int"),
+        # try_cast, NOT cast: a missing publishedDate flattens to ''
+        # and ANSI mode (Spark 4 default) makes cast('' as int) an
+        # ERROR, not NULL — the coalesce fallback would be dead code
+        # and one undated CVE would abort the whole batch
+        F.coalesce(F.substring("published_datetime", 1, 4)
+                   .try_cast("int"),
                    F.lit(0)))
     # bronze dedups independently on the raw record's own
     # lastModifiedDate — joining back to silver would recompute the
@@ -130,8 +151,6 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str,
                                             "yyyy-MM-dd'T'HH:mm:ss"))
              .select(*[f.name for f in UPDATE_HISTORY_SCHEMA.fields]))
     audit.write.mode("append").parquet(f"{warehouse}/update_history")
-    fresh.unpersist()
-    items.unpersist()
 
     stats = {"feeds": len(names), "cves": n_cves, "tally_before": before,
              "tally_after": tally(silver_path)}

@@ -28,11 +28,11 @@ from .registry import query
     SELECT source,
            count(*) AS n_docs,
            CAST(sum(len(list_filter(
-                    regexp_split_to_array(trim(text), '\\s+'),
+                    regexp_split_to_array(coalesce(text, ''), '\\s+'),
                     x -> x <> ''))) AS BIGINT) AS total_words,
-           CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(regexp_replace(trim(text), '\\s+', '', 'g'))
-                    END) AS BIGINT) AS total_word_chars,
+           CAST(sum(length(regexp_replace(coalesce(text, ''),
+                                          '\\s+', '', 'g')))
+                AS BIGINT) AS total_word_chars,
            TRUE AS subs_ge_words,
            TRUE AS subs_le_chars,
            TRUE AS concat_preserved
@@ -56,10 +56,7 @@ def bpe_learned_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train_on(docs, tokens("text"), num_merges=64)
     enc = bpe_encode_udf(merges)
-    # drop the empty token that split("\tabc", \s+) produces (trim
-    # strips spaces only) so n_words counts real words — the encoder
-    # yields no subword for it, keeping the invariants two-sided
-    toks = F.filter(tokens("text"), lambda x: x != "")
+    toks = tokens("text")   # \s+ split, empty tokens dropped
     per_doc = docs.select(
         "source",
         F.size(toks).cast("long").alias("n_words"),

@@ -255,9 +255,15 @@ _PII_ORACLE = f"""
              '{_PH}', '<PHONE>', 'g') AS scrubbed,
            CAST(len(regexp_extract_all(full_text, '{_EM}')) AS INT)
              AS n_email,
-           CAST(len(regexp_extract_all(full_text, '{_IP}')) AS INT)
+           CAST(len(regexp_extract_all(
+             regexp_replace(full_text, '{_EM}', '<EMAIL>', 'g'),
+             '{_IP}')) AS INT)
              AS n_ipv4,
-           CAST(len(regexp_extract_all(full_text, '{_PH}')) AS INT)
+           CAST(len(regexp_extract_all(
+             regexp_replace(regexp_replace(
+               full_text, '{_EM}', '<EMAIL>', 'g'),
+               '{_IP}', '<IP>', 'g'),
+             '{_PH}')) AS INT)
              AS n_phone
     FROM t
     """

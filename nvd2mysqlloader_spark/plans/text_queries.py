@@ -57,8 +57,9 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+           CAST(sum(len(list_filter(
+                    regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                    x -> x <> '')))
                 AS BIGINT) AS total_tokens,
            CAST(sum(length(text)) AS BIGINT) AS total_chars,
            count(DISTINCT source) AS n_sources
@@ -87,8 +88,8 @@ _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, text,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS toks
       FROM documents
     )
     SELECT doc_id, lang,
@@ -134,8 +135,8 @@ def _hits_sql(lang: str) -> str:
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS toks
       FROM documents
     ), h AS (
       SELECT doc_id, lang, {", ".join(_hits_sql(lg) for lg in STOPWORDS)}
@@ -175,8 +176,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS t
       FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -243,9 +244,9 @@ _BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
            count(*) AS n_docs,
            CAST(sum(CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT))
                 AS BIGINT) AS total_subtokens,
-           CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                    ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-               END) AS BIGINT) AS total_ws_tokens
+           CAST(sum(CAST(len(list_filter(
+                    regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                    x -> x <> '')) AS BIGINT)) AS BIGINT) AS total_ws_tokens
     FROM documents GROUP BY source
     """,
     doc=(

@@ -1,0 +1,81 @@
+"""ANSI-mode robustness: malformed/degenerate values must yield NULLs
+or empty arrays, never abort the job (Spark 4 defaults ANSI on, where
+a bad cast / out-of-bounds element_at / divide-by-zero is an ERROR —
+the clean test fixtures never hit these, real feeds will)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nvd2mysqlloader_spark.functions.cpe import split_cpe23
+from nvd2mysqlloader_spark.functions.text import (shingle3_udf, tokens,
+                                                  word_shingles)
+from nvd2mysqlloader_spark.functions.vectors import cosine
+
+
+def test_tokens_never_emit_empty_strings(spark):
+    df = spark.createDataFrame(
+        [("\n\t",), ("",), (None,), ("  a  b  ",), ("\tx",)], ["t"])
+    rows = df.select(tokens("t").alias("toks")).collect()
+    got = [r["toks"] for r in rows]
+    assert got == [[], [], [], ["a", "b"], ["x"]]
+
+
+def test_word_shingles_short_docs_yield_empty(spark):
+    df = spark.createDataFrame([("one two",), ("one",), ("",)], ["t"])
+    rows = df.select(
+        word_shingles(tokens("t"), 3).alias("s")).collect()
+    assert [r["s"] for r in rows] == [[], [], []]
+
+
+def test_shingler_udf_matches_jvm_on_unicode_whitespace(spark):
+    # NBSP must NOT split (Java/RE2 \s is ASCII): UDF and HOF twin agree
+    text = "a b c d e"
+    df = spark.createDataFrame([(text,)], ["t"])
+    [udf_row] = df.select(shingle3_udf()("t").alias("s")).collect()
+    [hof_row] = df.select(
+        F.array_distinct(word_shingles(tokens("t"), 3)).alias("s")).collect()
+    assert udf_row["s"] == hof_row["s"] == ["a b c d", "c d e"]
+
+
+def test_cosine_zero_norm_is_null_not_error(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])], ["a", "b"])
+    rows = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert rows[0]["c"] is None
+    assert abs(rows[1]["c"] - 1.0) < 1e-12
+
+
+def test_malformed_cpe_yields_nulls_not_error(spark):
+    df = spark.createDataFrame(
+        [("garbage",), ("cpe:2.3:a:v:p:1.0:*:*:*:*:*:*:*",), (None,)],
+        ["uri"])
+    rows = df.select(split_cpe23("uri").alias("s")).collect()
+    assert rows[0]["s"]["vendor"] is None
+    assert rows[1]["s"] == ("a", "v", "p", "1.0")
+    assert rows[2]["s"]["part"] is None
+
+
+def test_missing_published_date_does_not_abort_ingest(spark, tmp_path):
+    """A CVE without publishedDate flattens to published_year 0 (the
+    sentinel) under ANSI mode rather than CAST_INVALID_INPUT."""
+    import json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    item = {"cve": {"CVE_data_meta": {"ID": "CVE-2024-0000001"},
+                    "description": {"description_data": [
+                        {"lang": "en", "value": "undated"}]}},
+            "lastModifiedDate": "2024-06-01T00:00Z"}
+    feed = {"CVE_Items": [item]}
+    (landing / "nvdcve-1.1-2024.json").write_text(json.dumps(feed))
+    (landing / "nvdcve-1.1-2024.meta").write_text(
+        "lastModifiedDate:2024-06-01T00:00:00-04:00\r\nsha256:ab\r\n")
+
+    from nvd2mysqlloader_spark.ingest import run_ingest
+    stats = run_ingest(spark, str(landing), str(tmp_path / "wh"))
+    assert stats["cves"] == 1
+    silver = spark.read.parquet(str(tmp_path / "wh" / "nvd"))
+    [row] = silver.select("cve_id", "published_year").collect()
+    assert row["cve_id"] == "CVE-2024-0000001"
+    assert row["published_year"] == 0
