@@ -82,8 +82,16 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         # 2. language allow-list (claimed lang; swap in lang_id
         # evidence argmax when labels are untrusted)
         if langs:
+            pre_lang = quality
             quality = _stage(quality.filter(F.col("lang").isin(list(langs))))
-        stats["after_lang"] = quality.count()
+            stats["after_lang"] = quality.count()
+            # the stage-1 cache is a superset of stage 2 and nothing
+            # downstream reads it again — release it now rather than
+            # holding two corpus-sized caches through the LSH middle
+            pre_lang.unpersist()
+            persisted.remove(pre_lang)
+        else:
+            stats["after_lang"] = stats["after_quality"]
 
         # 3. exact dedup — normalized fingerprint, keep the longest
         # copy (one window serves rank; text itself never shuffles

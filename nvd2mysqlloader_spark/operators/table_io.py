@@ -91,9 +91,21 @@ def cleanup_stale(path: str) -> None:
     parent = os.path.dirname(path) or "."
     base = os.path.basename(path)
     if os.path.isdir(parent):
+        import time
         for name in os.listdir(parent):
-            if name.startswith(base + ".__swap"):
-                os.remove(os.path.join(parent, name))
+            if not name.startswith(base + ".__swap"):
+                continue
+            full = os.path.join(parent, name)
+            try:
+                # age-gate the sweep: a swap link younger than a minute
+                # may belong to a LIVE publisher mid-flip (unique names
+                # make collisions impossible, but deleting one between
+                # its symlink and os.replace would fail that publish);
+                # genuine crash debris is old by the time anyone cleans
+                if time.time() - os.lstat(full).st_mtime > 60:
+                    os.remove(full)
+            except FileNotFoundError:
+                pass                     # the publisher just consumed it
     cur = current_version(path)
     if cur is None:
         for _, d in versions(path):
@@ -250,6 +262,7 @@ def history(spark, path: str):
 
     path = path.rstrip("/")
     cur = current_version(path)
+    cur = os.path.realpath(cur) if cur else None
     rows = []
     for n, d in versions(path):
         n_files = total = 0
@@ -262,7 +275,7 @@ def history(spark, path: str):
                 n_files += 1
                 total += st.st_size
                 mtime = max(mtime, st.st_mtime)
-        rows.append((n, d == cur, n_files, total,
+        rows.append((n, os.path.realpath(d) == cur, n_files, total,
                      datetime.datetime.fromtimestamp(
                          mtime, tz=datetime.timezone.utc)))
     return spark.createDataFrame(
@@ -287,6 +300,12 @@ def clone(path: str, dst: str) -> str:
         raise FileExistsError(f"clone target already exists: {dst}")
     os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
     vdir = dst + _V_SUFFIX + "1"
+    # a clone interrupted between link_tree and publish leaves an
+    # unpublished vdir; re-linking into it would FileExistsError, so a
+    # retry clears the debris first (dst has no published pointer, so
+    # no reader can be inside it)
+    if os.path.exists(vdir):
+        shutil.rmtree(vdir)
     link_tree(src_v, vdir)
     publish_version(dst, vdir)
     return vdir

@@ -350,12 +350,13 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scalar max must be computed over the UNJOINED rev rollup,
     # exactly like the oracle's (SELECT max(...) FROM rev) — taking it
     # after the supplier join would diverge whenever the top-revenue
-    # suppkey has no supplier row. Materializing the (tiny, one row
-    # per supplier) rollup keeps it a single fact scan: both the max
-    # fork and the join read the same blocks instead of re-running
-    # the aggregate (the join's pushed isnotnull(l_suppkey) would
+    # suppkey has no supplier row. persist(), not an eager checkpoint:
+    # lazy (constructing the DataFrame runs nothing), fault-tolerant
+    # (lineage fallback on executor loss), and both the max fork and
+    # the join read the one cached rollup instead of re-running the
+    # aggregate (the join's pushed isnotnull(l_suppkey) would
     # otherwise de-canonicalize the shared exchange — measured).
-    rev = rev.localCheckpoint(eager=True)
+    rev = rev.persist()
     top = rev.agg(F.max("total_rev_dec").alias("max_rev"))
     revs = rev.join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
     return (revs

@@ -36,13 +36,21 @@ def state_skew_summary(spark: SparkSession, checkpoint: str) -> DataFrame:
     """Per-partition state-row counts plus the global max/mean ratio —
     the state-store analog of heavy_hitter_keys: a ratio near 1 means
     balanced state; >>1 names the partition a hot key family lives in.
-    One tiny aggregate over the state read; at scale this is the first
-    thing to check when a stateful stage straggles."""
+
+    The mean divides by the operator's TOTAL partition count (from
+    state-metadata), not by the number of partitions that happen to
+    hold rows — all-state-in-one-partition is exactly the pathology to
+    surface, and averaging over non-empty partitions alone would
+    report it as skew_ratio 1.0. The per-partition rollup is
+    checkpointed so the state read runs once, not once per consumer."""
+    n_parts = (state_metadata(spark, checkpoint)
+               .agg(F.max("numPartitions")).first()[0])
     per_part = (read_state(spark, checkpoint)
                 .groupBy("partition_id")
-                .agg(F.count(F.lit(1)).alias("n_state_rows")))
+                .agg(F.count(F.lit(1)).alias("n_state_rows"))
+                .localCheckpoint(eager=True))
     stats = per_part.agg(
         F.max("n_state_rows").alias("mx"),
-        F.avg("n_state_rows").alias("mean")).select(
+        (F.sum("n_state_rows") / F.lit(n_parts)).alias("mean")).select(
         (F.col("mx") / F.col("mean")).alias("skew_ratio"))
     return per_part.crossJoin(F.broadcast(stats))

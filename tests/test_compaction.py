@@ -101,6 +101,10 @@ def test_compaction_recovers_from_stale_debris(spark, tmp_path):
     os.makedirs(stale)
     open(os.path.join(stale, "part-garbage.parquet"), "w").write("junk")
     os.symlink("nowhere", path + ".__swap")
+    # crash debris is old by the time anyone cleans; the sweep
+    # age-gates (60s) so it can't race a LIVE publisher's staging link
+    old_t = 1_000_000_000
+    os.utime(path + ".__swap", (old_t, old_t), follow_symlinks=False)
 
     stats = compact_parquet(spark, path, target_bytes=1024 * 1024)
     assert stats["after_files"] < stats["before_files"]

@@ -120,17 +120,18 @@ def test_returned_item_revenue_topk_pushdown(spark):
 def test_top_supplier_revenue_agg_reuse(spark):
     # the per-supplier revenue rollup feeds both the scalar max (over
     # the UNJOINED rollup, matching the oracle exactly) and the
-    # supplier join; it is materialized ONCE (localCheckpoint) so the
-    # final plan reads the tiny per-supplier blocks twice (ExistingRDD)
-    # and never re-scans the fact — zero lineitem scans here (the one
-    # fact scan ran during checkpoint materialization).
+    # supplier join; it is persisted so the final plan serves both
+    # consumers from the cache and scans the fact once (inside the
+    # cache fill), leaving only the supplier dim as a parquet scan.
     df = QUERIES["top_supplier_revenue"].fn(spark, SF_ORACLE)
     df.collect()
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
     final = buf.getvalue().split("== Initial Plan ==")[0]
-    assert final.count("Scan ExistingRDD") == 2
+    # both consumers (scalar max + supplier join) read the cached
+    # rollup (InMemoryTableScan / TableCacheQueryStage under AQE)
+    assert "InMemoryTableScan" in final
     # the only parquet scan left is the broadcast supplier dim
     assert final.count("Scan parquet") == 1
 
