@@ -60,7 +60,13 @@ def _rewrite_into(spark: SparkSession, src: str, dst: str,
                   n_target: int, sort_by: list[str] | None) -> None:
     df = spark.read.parquet(src)
     if sort_by:
-        df = df.repartition(n_target, *sort_by) \
+        # repartitionByRange, not hash: range partitioning gives each
+        # output file a DISJOINT sort-key interval, so file-level
+        # min/max stats actually prune (hash would spread every key
+        # range across all files and skip nothing), and a heavy-hitter
+        # sort value is bounded by its range slice instead of hashing
+        # its entire volume into one oversized file
+        df = df.repartitionByRange(n_target, *sort_by) \
                .sortWithinPartitions(*sort_by)
     else:
         df = df.repartition(n_target)

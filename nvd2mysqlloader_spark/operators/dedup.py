@@ -42,8 +42,12 @@ def _materialize(df: DataFrame) -> DataFrame:
     played by persisting the signature table (it is tiny: k longs per
     doc, independent of document size), which is also the natural
     incremental artifact at 100 TB — signatures are computed once per
-    new document, not per query."""
-    return df.localCheckpoint(eager=True)
+    new document, not per query. Routed through
+    ``_lineage.cut_lineage`` so a cluster with ``spark.checkpoint.dir``
+    set gets reliable checkpoints (executor-loss survival) from the
+    same call sites."""
+    from ._lineage import cut_lineage
+    return cut_lineage(df)
 
 
 def _perm_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -279,6 +283,17 @@ def incremental_minhash_candidates(spark, sig_path: str,
     corpus_sigs = spark.read.parquet(sig_path)
     new_sigs = _materialize(
         minhash_signatures(new_shingled, id_col, shingles_col, num_perm))
+    # a probe num_perm differing from the table's would make band
+    # hashes UNMATCHABLE (each side slices its own signature width) —
+    # the probe would silently return ~nothing. Fail loudly instead;
+    # the check reads one corpus row (the table is append-only with a
+    # fixed width by the write_signature_table contract).
+    first = corpus_sigs.select(F.size("sig").alias("n")).first()
+    if first is not None and first["n"] != num_perm:
+        raise ValueError(
+            f"signature table at {sig_path} has num_perm={first['n']} "
+            f"but the probe was called with num_perm={num_perm}; "
+            "matching widths are required for band compatibility")
 
     def banded(sigs: DataFrame, label: str) -> DataFrame:
         return sigs.select(

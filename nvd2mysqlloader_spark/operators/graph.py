@@ -96,6 +96,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new.select("node", "label")
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (graph diameter exceeds max_iter) — returning "
+            "would silently split components; raise max_iter or use "
+            "connected_components_alternating (O(log n) rounds)")
 
     sym.unpersist()
     return labels.select(F.col("node").alias(id_col),
@@ -167,6 +174,11 @@ def connected_components_alternating(nodes: DataFrame, edges: DataFrame,
             work = nxt
             break
         work = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components_alternating did not reach its star "
+            f"fixed point in {max_iter} rounds — O(log n) rounds "
+            "should converge long before this; raise max_iter")
     # converged edge set is (member → component-min) stars; add the
     # roots themselves and every isolated vertex back via the node set,
     # plus any edge endpoint absent from `nodes` (tolerated, matching

@@ -37,8 +37,15 @@ def salted_join(skewed: DataFrame, small: DataFrame, key: str,
             f"salted_join supports how='inner'/'left' only, got {how!r}: "
             "the salt-replicated small side makes right/full outer "
             "emit one spurious row per unmatched replica")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]),
-                  F.lit(salt_buckets)).cast("int")
+    # salt from rand(seed), NOT a hash of the row: extreme single-key
+    # skew usually comes from byte-identical duplicate rows (repeated
+    # boilerplate/log events), and a content hash would assign every
+    # duplicate the SAME salt — the straggler partition survives
+    # untouched. rand(seed) is seeded per partition+row offset, so it
+    # is stable under task retry, spreads identical rows uniformly,
+    # and the salt never affects the join RESULT (any salt value
+    # matches the replicated small side).
+    salt = F.floor(F.rand(42) * salt_buckets).cast("int")
     left = skewed.withColumn("__salt", salt)
     right = (small.join(
         small.sparkSession.range(salt_buckets)

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ._lineage import cut_lineage
 from pyspark.sql import types as T
 
 from ..functions.vectors import cosine
@@ -490,12 +492,13 @@ def _pairs_blocked(corpus: DataFrame, threshold: float, id_col: str,
     bucketed = corpus.select(
         F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("_bkt"))
-    blk = (bucketed.groupBy("_bkt")
-           .agg(F.collect_list(F.struct("_id", "_emb")).alias("_rows"))
-           # one pack for BOTH join sides: without the lineage cut the
-           # corpus scan + shuffle into blocks executes twice (measured
-           # — same ReuseExchange defeat operators/dedup.py documents)
-           .localCheckpoint(eager=True))
+    # one pack for BOTH join sides: without the lineage cut the
+    # corpus scan + shuffle into blocks executes twice (measured —
+    # same ReuseExchange defeat operators/dedup.py documents);
+    # cut_lineage upgrades to reliable checkpoint on a cluster
+    blk = cut_lineage(
+        bucketed.groupBy("_bkt")
+        .agg(F.collect_list(F.struct("_id", "_emb")).alias("_rows")))
     pairs = (blk.select(F.col("_bkt").alias("b1"), F.col("_rows").alias("r1"))
              .join(blk.select(F.col("_bkt").alias("b2"),
                               F.col("_rows").alias("r2")),

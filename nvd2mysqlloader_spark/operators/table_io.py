@@ -108,9 +108,23 @@ def cleanup_stale(path: str) -> None:
                 pass                     # the publisher just consumed it
     cur = current_version(path)
     if cur is None:
-        for _, d in versions(path):
-            shutil.rmtree(d, ignore_errors=True)
-        return
+        vs = versions(path)
+        if any(n == 0 for n, _ in vs):
+            # an interrupted ensure_versioned migration: the legacy
+            # table was renamed to .__v0 but the symlink never landed.
+            # That directory holds COMMITTED data — repair the pointer
+            # (completing the migration) instead of deleting it; any
+            # higher-numbered dirs are then ordinary unpublished
+            # debris handled below. Deleting on cur-is-None would
+            # destroy the whole table in this crash window.
+            v0 = next(d for n, d in vs if n == 0)
+            os.symlink(os.path.basename(v0), path)
+            cur = current_version(path)
+        else:
+            # never-published table: no reader ever saw these dirs
+            for _, d in vs:
+                shutil.rmtree(d, ignore_errors=True)
+            return
     m = _V_RE.search(cur)
     cur_n = int(m.group(1)) if m else -1
     for n, d in versions(path):

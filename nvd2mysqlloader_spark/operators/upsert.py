@@ -32,9 +32,25 @@ def last_writer_wins(df: DataFrame, keys: Sequence[str],
     nvd2mysqlloader.py:449-464) expressed as a ranking window. Callers
     must make ``order_by`` a total order (include a unique tie-break)
     for deterministic output.
+
+    ``order_by`` entries are column NAMES (each ordered descending —
+    newest wins) or Columns carrying an EXPLICIT sort direction
+    (``F.desc(...)`` / ``F.asc(...)``). A bare Column is rejected:
+    passed through it would order ASCENDING by default and silently
+    invert the semantics to first-writer-wins.
     """
-    w = Window.partitionBy(*keys).orderBy(*[
-        F.desc(c) if isinstance(c, str) else c for c in order_by])
+    def _ordered(c):
+        if isinstance(c, str):
+            return F.desc(c)
+        if " ASC" in str(c) or " DESC" in str(c):   # explicit direction
+            return c
+        raise TypeError(
+            f"last_writer_wins order_by got a bare Column {c}: pass a "
+            "column name (ordered DESC) or an explicit F.desc()/"
+            "F.asc() — a bare Column defaults to ASCENDING and would "
+            "silently keep the OLDEST row per key")
+
+    w = Window.partitionBy(*keys).orderBy(*[_ordered(c) for c in order_by])
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1)
               .drop("__rn"))
@@ -144,8 +160,16 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
                 #                    publish a table missing all prior
                 #                    rows
         if target_all is not None:
+            # compare (name, type) pairs, not names: a type change
+            # (int -> long, decimal widening) through the selective
+            # path would publish a version whose files mix schemas —
+            # hardlink-carried partitions keep the old type while
+            # merged ones take the new
+            def _sig(df):
+                return {(f.name, f.dataType.simpleString())
+                        for f in df.schema.fields}
             full_rewrite = (evolve_schema and
-                            set(target_all.columns) != set(updates.columns))
+                            _sig(target_all) != _sig(updates))
             if full_rewrite:
                 merged = merge_upsert(target_all, updates, keys,
                                       evolve_schema=True,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tpch import load_table
 from ._helpers import dsum
+from ..operators._lineage import cut_lineage as _cut
 from .registry import query
 
 
@@ -203,7 +204,8 @@ def gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
            .agg(F.count(F.lit(1)).alias("n_events"),
                 dsum("value", 4).alias("sum_value"))
-           .localCheckpoint(eager=True))   # one scan feeds bounds + join
+           )
+    agg = _cut(agg)      # one scan feeds bounds + join
     cal = (agg.agg(F.min("hour_start").alias("lo"),
                    F.max("hour_start").alias("hi"))
            .select(F.explode(F.sequence(

@@ -16,6 +16,7 @@ from ..functions.text import (STOPWORDS, WINNOW_K, WINNOW_M, WINNOW_POW,
                               punct_count, shingle3_udf, stopword_hits,
                               tokens, winnow_fingerprints_udf)
 from ..sources.tpch import load_table
+from ..operators._lineage import cut_lineage as _cut
 from .registry import query
 
 
@@ -219,7 +220,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", shingle3_udf()("text").alias("s"))
           .select("doc_id", F.size("s").alias("nsh"),
                   F.explode("s").alias("shingle"))
-          .localCheckpoint(eager=True))
+          )
+    ex = _cut(ex)
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -353,7 +355,8 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") <= _FP_DF_CAP)
             .withColumn("nfp", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
             .select("doc_id", "fp", "nfp")
-            .localCheckpoint(eager=True))
+            )
+    rare = _cut(rare)
     a, b = rare.alias("a"), rare.alias("b")
     inter = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))

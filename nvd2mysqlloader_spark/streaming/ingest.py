@@ -36,9 +36,13 @@ def stream_ingest_available_now(spark: SparkSession, landing: str,
         silver = last_writer_wins(
             flatten_cve(explode_items(batch_df)),
             ["cve_id"], ["last_modified_datetime"]
-        ).withColumn(       # same layout as the batch path (ingest.py)
+        ).withColumn(       # same layout as the batch path (ingest.py):
+            # try_cast because a missing publishedDate flattens to ''
+            # and ANSI mode makes cast('' as int) an error — one
+            # undated CVE must not kill the stream
             "published_year",
-            F.coalesce(F.substring("published_datetime", 1, 4).cast("int"),
+            F.coalesce(F.substring("published_datetime", 1, 4)
+                       .try_cast("int"),
                        F.lit(0)))
         # conditional merge on last_modified: maxFilesPerTrigger can
         # split one drain into several ordered micro-batches, and a

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators._lineage import cut_lineage as _cut
+
 
 def read_state(spark: SparkSession, checkpoint: str,
                batch_id: int | None = None) -> DataFrame:
@@ -48,7 +50,8 @@ def state_skew_summary(spark: SparkSession, checkpoint: str) -> DataFrame:
     per_part = (read_state(spark, checkpoint)
                 .groupBy("partition_id")
                 .agg(F.count(F.lit(1)).alias("n_state_rows"))
-                .localCheckpoint(eager=True))
+)
+    per_part = _cut(per_part)
     stats = per_part.agg(
         F.max("n_state_rows").alias("mx"),
         (F.sum("n_state_rows") / F.lit(n_parts)).alias("mean")).select(

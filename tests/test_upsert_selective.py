@@ -478,3 +478,27 @@ def test_concurrent_publishers_last_writer_wins_no_corruption(spark, tmp_path):
     final = table_io.current_version(path)
     assert final in [os.path.abspath(d) for d in dirs] or final in dirs
     assert spark.read.parquet(path).count() == 1   # one complete version
+
+
+def test_interrupted_migration_is_repaired_not_deleted(spark, tmp_path):
+    """A crash between ensure_versioned's rename and symlink must NOT
+    cost the table: cleanup_stale completes the migration (re-links to
+    .__v0) instead of deleting the committed data."""
+    from nvd2mysqlloader_spark.operators import table_io
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]) \
+        .write.parquet(path)
+    # simulate the crash window: rename happened, symlink did not
+    os.rename(path, path + ".__v0")
+    assert table_io.current_version(path) is None
+
+    table_io.cleanup_stale(path)
+    assert table_io.current_version(path) is not None
+    assert spark.read.parquet(path).count() == 2
+
+    # and a subsequent upsert proceeds on the repaired table
+    write_upsert_parquet(path,
+                         spark.createDataFrame([(3, "c")], ["k", "v"]),
+                         keys=["k"])
+    assert spark.read.parquet(path).count() == 3
