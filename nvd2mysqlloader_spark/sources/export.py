@@ -27,7 +27,6 @@ surface, designed for the 100 TB case:
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,22 +43,42 @@ def export_jsonl(df: DataFrame, path: str, key: str,
     "columns": [...]}. ``key`` must be a unique column — it defines
     both shard membership (hash) and within-shard order (sort).
     """
+    spark = df.sparkSession
     sharded = df.withColumn(
         SHARD_COL, F.pmod(F.xxhash64(F.col(key)), F.lit(shards)))
     (sharded
-     .repartition(shards, F.col(SHARD_COL))
+     # range-partition on the shard id: with `shards` distinct integer
+     # values this maps shards ~1:1 onto tasks, so every task writes
+     # one shard's worth — plain repartition hashes the shard VALUE
+     # and collides several shards into one task (stragglers) while
+     # leaving others empty. Output bytes are unaffected either way
+     # (partitionBy splits the dirs; the within-partition sort fixes
+     # the row order).
+     .repartitionByRange(shards, F.col(SHARD_COL))
      .sortWithinPartitions(SHARD_COL, key)
      .write.mode("overwrite")
      .partitionBy(SHARD_COL)
      .option("compression", compression or "none")
      .json(path))
 
-    try:
+    # count the WRITTEN shards with a text read (one pass, no schema
+    # inference — read.json would scan the corpus twice); partition
+    # discovery supplies the shard column from the dir names. Guarded
+    # ONLY for the genuinely-empty export (no shard dirs) — any other
+    # read failure must propagate, not degrade to an all-zero manifest.
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    shard_dirs = [st.getPath().getName()
+                  for st in fs.listStatus(jvm_path)
+                  if st.isDirectory()
+                  and st.getPath().getName().startswith(f"{SHARD_COL}=")]
+    if shard_dirs:
         counts = {int(r[SHARD_COL]): r["n"] for r in
-                  df.sparkSession.read.json(path)
+                  spark.read.text(path)
                   .groupBy(SHARD_COL).agg(F.count("*").alias("n"))
                   .collect()}
-    except Exception:      # empty export: no shard dirs to infer from
+    else:
         counts = {}
     manifest = {
         "shards": {str(s): counts.get(s, 0) for s in range(shards)},
@@ -67,6 +86,16 @@ def export_jsonl(df: DataFrame, path: str, key: str,
         "columns": df.columns,
         "key": key,
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    # write the manifest through the Hadoop FS layer, same as the data:
+    # a local open() would fail (or silently write elsewhere) for
+    # hdfs:// / s3a:// export paths after the expensive distributed
+    # write already succeeded
+    out = fs.create(
+        spark._jvm.org.apache.hadoop.fs.Path(path, "_manifest.json"),
+        True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=1,
+                                       sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
     return manifest

@@ -72,7 +72,10 @@ def upsert_from_staging_sql(target: str, staging: str,
 
 def create_target_sql(table: str = "nvd") -> str:
     """Idempotent DDL for the mirror (columns per
-    nvd2mysqlloader.py:282-300; utf8mb4 per :275-278)."""
+    nvd2mysqlloader.py:282-300 plus the engine's CVSS v3 extension —
+    the sink df from flatten_cve carries score_v3/severity_v3/scope_v3,
+    and the upsert statement names every df column, so the target MUST
+    declare them; utf8mb4 per :275-278)."""
     return f"""CREATE TABLE IF NOT EXISTS {table} (
   id INT NOT NULL AUTO_INCREMENT PRIMARY KEY,
   cve_id VARCHAR(20) UNIQUE,
@@ -89,6 +92,9 @@ def create_target_sql(table: str = "nvd") -> str:
   published_datetime VARCHAR(64),
   urls MEDIUMTEXT,
   vulnerable_software_list MEDIUMTEXT,
+  score_v3 REAL(3,1),
+  severity_v3 VARCHAR(16),
+  scope_v3 VARCHAR(16),
   FULLTEXT KEY vuln_sw (vulnerable_software_list)
 ) CHARACTER SET utf8mb4 COLLATE utf8mb4_unicode_ci"""
 
@@ -122,7 +128,6 @@ def mirror_to_mysql(df: DataFrame, url: str, target: str, key: str = "cve_id",
             stmt.execute(create_target_sql(target))
             stmt.execute(upsert_from_staging_sql(
                 target, staging, df.columns, key))
-            stmt.execute(f"DROP TABLE {staging}")
         finally:
             conn.close()
     except Exception as exc:  # no driver jar / unreachable server
@@ -130,3 +135,17 @@ def mirror_to_mysql(df: DataFrame, url: str, target: str, key: str = "cve_id",
             "MySQL mirror unavailable (needs mysql-connector-j on the "
             "classpath and a reachable server); parquet warehouse remains "
             f"the canonical store: {exc}") from exc
+    # staging cleanup AFTER the committed upsert: a failure here (e.g.
+    # missing DROP privilege) must not report the mirror as unwritten —
+    # the target IS up to date; the leftover staging table is re-created
+    # mode('overwrite') on the next batch anyway
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+        try:
+            conn.createStatement().execute(f"DROP TABLE {staging}")
+        finally:
+            conn.close()
+    except Exception as exc:
+        import warnings
+        warnings.warn(f"mirror upsert committed but staging table "
+                      f"{staging} could not be dropped: {exc}")

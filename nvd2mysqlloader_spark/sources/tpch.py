@@ -20,6 +20,29 @@ from ..schemas import TPCH_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _has_nanos_ts(path: str) -> bool:
+    """Footer probe: does this parquet file (or any part file of a
+    directory) carry a TIMESTAMP(NANOS) ``ts`` column? Falls back to
+    True on probe failure — setting the legacy conf unnecessarily is
+    harmless for the micros/NTZ generations (their types are
+    unaffected), while missing it on a nanos file breaks the read."""
+    try:
+        import pyarrow.parquet as pq
+        target = path
+        if os.path.isdir(path):
+            parts = [p for p in os.listdir(path)
+                     if p.endswith(".parquet") and not p.startswith(".")]
+            if not parts:
+                return False
+            target = os.path.join(path, parts[0])
+        schema = pq.read_schema(target)
+        if "ts" not in schema.names:
+            return False
+        return "ns" in str(schema.field("ts").type)
+    except Exception:
+        return True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (``region nation customer supplier part
     orders lineitem events documents embeddings``).
@@ -31,10 +54,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``unix_micros`` & co.) sees one type with DuckDB-identical epoch
     values.
     """
-    # pin determinism-relevant confs at call time: the caller's session
-    # (driver harness, notebook) may not have been built by session.py
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Session-UTC is an ENGINE CONTRACT, pinned at call time because
+    # the caller's session (driver harness, notebook) may not have
+    # been built by session.py: every oracle comparison and epoch
+    # extraction in this repo assumes it. It is deliberately session-
+    # global — scoping it per-read is impossible for lazy frames (the
+    # conf is consulted at execution, after any restore).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # nanosAsLong is set ONLY when this events file physically carries
+    # TIMESTAMP(NANOS) (probed from the footer): the conf is session-
+    # global and would silently turn every OTHER nanos-parquet read in
+    # the caller's session into LongType columns, so don't flip it for
+    # data that doesn't need it.
+    if name == "events" and _has_nanos_ts(f"{sf_dir}/{name}.parquet"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = df.schema["ts"].dataType

@@ -25,14 +25,33 @@ def stream_ingest_available_now(spark: SparkSession, landing: str,
                                 warehouse: str, checkpoint: str) -> None:
     """Drain all unseen feed files from ``landing`` into the silver
     warehouse, exactly once per file, then stop."""
+    from pyspark.sql import types as T
+    schema = T.StructType(list(CVE_FEED_SCHEMA.fields)) \
+        .add("_corrupt_record", "string")
     feed = (spark.readStream
-            .schema(CVE_FEED_SCHEMA)
+            .schema(schema)
             .option("multiLine", True)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
             .option("maxFilesPerTrigger", 8)
             .json(f"{landing}/*.json"))
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
+        # corrupt feeds must not vanish silently: the file-source
+        # checkpoint marks every file consumed, so a malformed feed
+        # dropped here would never be re-read even after a fix. Same
+        # PERMISSIVE surfacing as the batch reader (sources/cve_feed) —
+        # quarantined to an audit table instead of the reference's
+        # silent `except: pass`.
+        corrupt = batch_df.filter(F.col("_corrupt_record").isNotNull())
+        if corrupt.limit(1).count() > 0:
+            (corrupt.select(F.col("_corrupt_record").alias("raw_head"),
+                            F.lit(epoch_id).alias("epoch_id"))
+             .write.mode("append")
+             .parquet(f"{warehouse}/quarantine"))
+        batch_df = batch_df.filter(F.col("_corrupt_record").isNull()) \
+                           .drop("_corrupt_record")
         silver = last_writer_wins(
             flatten_cve(explode_items(batch_df)),
             ["cve_id"], ["last_modified_datetime"]

@@ -19,12 +19,24 @@ from ..operators._lineage import cut_lineage as _cut
 
 
 def read_state(spark: SparkSession, checkpoint: str,
-               batch_id: int | None = None) -> DataFrame:
+               batch_id: int | None = None,
+               operator_id: int = 0,
+               store_name: str | None = None) -> DataFrame:
     """The state store contents as (key struct, value struct,
-    partition_id) rows — latest committed batch by default."""
+    partition_id) rows — latest committed batch by default.
+
+    ``operator_id``/``store_name`` select which stateful operator and
+    which of its stores to read: windowed aggregations keep one
+    'default' store, but a stream-stream join keeps FOUR named stores
+    per side and has no 'default' — pass the store name from
+    :func:`state_metadata` for those."""
     reader = spark.read.format("statestore")
     if batch_id is not None:
         reader = reader.option("batchId", batch_id)
+    if operator_id:
+        reader = reader.option("operatorId", operator_id)
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
     return reader.load(checkpoint)
 
 
@@ -34,7 +46,9 @@ def state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
     return spark.read.format("state-metadata").load(checkpoint)
 
 
-def state_skew_summary(spark: SparkSession, checkpoint: str) -> DataFrame:
+def state_skew_summary(spark: SparkSession, checkpoint: str,
+                       operator_id: int = 0,
+                       store_name: str | None = None) -> DataFrame:
     """Per-partition state-row counts plus the global max/mean ratio —
     the state-store analog of heavy_hitter_keys: a ratio near 1 means
     balanced state; >>1 names the partition a hot key family lives in.
@@ -44,13 +58,18 @@ def state_skew_summary(spark: SparkSession, checkpoint: str) -> DataFrame:
     hold rows — all-state-in-one-partition is exactly the pathology to
     surface, and averaging over non-empty partitions alone would
     report it as skew_ratio 1.0. The per-partition rollup is
-    checkpointed so the state read runs once, not once per consumer."""
+    checkpointed so the state read runs once, not once per consumer.
+
+    ``operator_id``/``store_name`` scope BOTH the state read and the
+    partition-count denominator to one operator's store — mixing
+    operators would deflate/inflate the ratio."""
     n_parts = (state_metadata(spark, checkpoint)
+               .filter(F.col("operatorId") == operator_id)
                .agg(F.max("numPartitions")).first()[0])
-    per_part = (read_state(spark, checkpoint)
+    per_part = (read_state(spark, checkpoint, operator_id=operator_id,
+                           store_name=store_name)
                 .groupBy("partition_id")
-                .agg(F.count(F.lit(1)).alias("n_state_rows"))
-)
+                .agg(F.count(F.lit(1)).alias("n_state_rows")))
     per_part = _cut(per_part)
     stats = per_part.agg(
         F.max("n_state_rows").alias("mx"),

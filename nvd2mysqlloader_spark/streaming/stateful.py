@@ -51,8 +51,13 @@ def _make_update(timeout_ms: int):
         n, ewm = state.get if state.exists else (0, None)
         batch_n = 0
         for pdf in pdfs:
-            # deterministic state evolution: fold in event order
+            # deterministic state evolution: fold in event order.
+            # NULL/NaN values are SKIPPED entirely: one NaN folded
+            # into the EW mean would poison the state forever
+            # ((1-a)*NaN + a*v stays NaN for every later batch)
             for v in pdf.sort_values(["ts", "event_id"])["value"]:
+                if v is None or v != v:          # NaN != NaN
+                    continue
                 ewm = (float(v) if ewm is None
                        else (1 - _ALPHA) * ewm + _ALPHA * float(v))
                 n += 1
@@ -132,11 +137,15 @@ class RunningTotalsProcessor(StatefulProcessor):
         n, s = self._totals.get() if self._totals.exists() else (0, 0)
         import numpy as _np
         for pdf in rows:
-            n += len(pdf)
             # quantize each value to micros BEFORE summing: integer adds
-            # commute exactly across rows, batches, and partitions
-            s += int(_np.round(pdf["value"].to_numpy(dtype="float64")
-                               * 1e6).astype("int64").sum())
+            # commute exactly across rows, batches, and partitions.
+            # NaN (a NULL value) must be dropped BEFORE the int cast —
+            # np.round(NaN).astype(int64) silently yields INT64_MIN,
+            # which would corrupt the "exact" sum with no error
+            vals = pdf["value"].to_numpy(dtype="float64")
+            vals = vals[~_np.isnan(vals)]
+            n += len(vals)
+            s += int(_np.round(vals * 1e6).astype("int64").sum())
         self._totals.update((n, s))
         import pandas as _pd
         yield _pd.DataFrame([{"user_id": key[0], "n_events": n,
