@@ -152,6 +152,7 @@ def bench_ingest(spark, n: int = 20000) -> float:
         # shard across yearly files like the real feed corpus: multiLine
         # JSON cannot split within a file, so files are the parallel unit
         shards = 8
+        n = shards * (n // shards)   # what the shards actually hold
         for k in range(shards):
             synth_cve_feed(landing, n // shards, year=2017 + k)
         # same uniform policy as every query: 1 untimed warmup + REPEATS
@@ -166,7 +167,12 @@ def bench_ingest(spark, n: int = 20000) -> float:
             assert stats["cves"] == n, stats
             if r > 0:
                 times.append(dt)
-            # same untimed post-run cleanup every query gets (see main)
+            # same untimed post-run cleanup every query gets (see main):
+            # Python refs first (py4j frees JVM objects only after
+            # Python GC), then the JVM
+            import gc
+            del stats
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
         return round(statistics.median(times), 4)
     finally:
@@ -175,7 +181,10 @@ def bench_ingest(spark, n: int = 20000) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:      # path contains 'sf' not followed by a number
+        sf = -1.0
     spark = get_spark("bench")
     # session-level warmup, identical every run: JVM + parquet footers +
     # Python/Arrow worker pool out of the timed path (several queries

@@ -4,29 +4,53 @@ column names, and an order-insensitive value hash."""
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import duckdb
 
 from nvd2mysqlloader_spark.schemas import TPCH_TABLES
 
+# unit separator + escape: a printable '|' join would let different
+# row splits canonicalize identically ('a|b','c' vs 'a','b|c'); the
+# sentinels carry \x00 so no real string column can collide with
+# NULL/NaN markers
+_SEP = "\x1f"
+_NULL = "\x00null\x00"
+_NAN = "\x00nan\x00"
 
-def _canon(v):
+
+def _canon(v, from_spark: bool = False):
     if v is None:
-        return "∅"
+        return _NULL
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return _NAN
         # repr of the exact double — any bit difference shows up
         return repr(v)
     if isinstance(v, bool):
         return str(bool(v)).lower()
-    return str(v)
+    if isinstance(v, datetime.datetime) and from_spark and v.tzinfo is None:
+        # Spark's collect() renders TimestampType in the DRIVER
+        # MACHINE's local timezone (session timeZone does not apply to
+        # fromInternal); DuckDB returns naive UTC. Re-interpret the
+        # Spark value as machine-local and convert to naive UTC so the
+        # comparison is machine-timezone-independent (this host is
+        # UTC, so the conversion is a no-op here — the guard is for
+        # running the suite elsewhere).
+        return str(v.astimezone(datetime.timezone.utc)
+                    .replace(tzinfo=None))
+    s = str(v)
+    return s.replace(_SEP, "\\x1f") if _SEP in s else s
 
 
-def _hash_rows(cols, rows):
+def _lines(cols, rows, from_spark: bool = False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+    return sorted(_SEP.join(_canon(r[i], from_spark) for i in order)
+                  for r in rows)
+
+
+def _hash_lines(lines):
     import hashlib
     h = hashlib.sha256()
     for ln in lines:
@@ -43,38 +67,47 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _type_hazards(rel) -> list[tuple[str, str]]:
+    """Driver-unsafe DuckDB output types, including NESTED occurrences:
+    the driver fetches oracle results via Arrow, where HUGEINT (sum of
+    any integer type) lands as decimal128(38,0) and FLOAT stays
+    float32 — both canonicalize differently from Spark's BIGINT/DOUBLE
+    and hash-mismatch driver-side even when values agree (observed
+    rounds 1-2). Substring matching catches FLOAT[] / STRUCT(...
+    HUGEINT) shapes an exact top-level match would miss."""
+    out = []
+    for name, t in zip(rel.columns, rel.types):
+        ts = str(t)
+        if ("HUGEINT" in ts or "DECIMAL(38,0)" in ts.replace(" ", "")
+                or ts == "FLOAT" or "FLOAT[" in ts or "FLOAT)" in ts
+                or "FLOAT," in ts):
+            out.append((name, ts))
+    return out
+
+
 def compare(spark, sf_dir: str, fn, oracle: str) -> tuple[bool, str]:
     sdf = fn(spark, sf_dir)
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = sdf.columns
     con = duck_con(sf_dir)
-    # Arrow-type guard: the driver fetches DuckDB results via Arrow, where
-    # HUGEINT (sum of any integer type) lands as decimal128(38,0) and
-    # FLOAT stays float32 — both canonicalize differently from Spark's
-    # BIGINT/DOUBLE and hash-mismatch driver-side even when values agree
-    # (observed rounds 1-2). Oracles must CAST such columns explicitly.
-    tbl = con.execute(oracle).arrow()
-    hazards = [(f.name, str(f.type)) for f in tbl.schema
-               if str(f.type) in ("decimal128(38, 0)", "decimal256(76, 0)",
-                                  "float", "halffloat")]
-    if hazards:
+    try:
+        rel = con.sql(oracle)          # binds once; no double execution
+        hazards = _type_hazards(rel)
+        if hazards:
+            return False, (f"driver-unsafe oracle output types "
+                           f"(wrap in CAST): {hazards}")
+        d_cols = list(rel.columns)
+        d_rows = rel.fetchall()
+    finally:
         con.close()
-        return False, f"driver-unsafe oracle output types (wrap in CAST): {hazards}"
-    res = con.execute(oracle)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
-    con.close()
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"rowcount mismatch: spark={len(s_rows)} duck={len(d_rows)}"
-    hs, hd = _hash_rows(s_cols, s_rows), _hash_rows(d_cols, d_rows)
-    if hs != hd:
-        # show a few differing lines to debug
-        order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-        order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-        ls = sorted("|".join(_canon(r[i]) for i in order_s) for r in s_rows)
-        ld = sorted("|".join(_canon(r[i]) for i in order_d) for r in d_rows)
-        diffs = [f"  spark: {a}\n  duck : {b}" for a, b in zip(ls, ld) if a != b][:3]
+    ls = _lines(s_cols, s_rows, from_spark=True)
+    ld = _lines(d_cols, d_rows)
+    if _hash_lines(ls) != _hash_lines(ld):
+        diffs = [f"  spark: {a}\n  duck : {b}"
+                 for a, b in zip(ls, ld) if a != b][:3]
         return False, "value-hash mismatch\n" + "\n".join(diffs)
     return True, "ok"

@@ -79,3 +79,44 @@ def test_missing_published_date_does_not_abort_ingest(spark, tmp_path):
     [row] = silver.select("cve_id", "published_year").collect()
     assert row["cve_id"] == "CVE-2024-0000001"
     assert row["published_year"] == 0
+
+
+def test_oracle_canon_timezone_independent():
+    """The harness canonicalizes Spark-side naive timestamps from
+    machine-local to UTC, so value hashes match on any host timezone
+    (Spark's collect() renders TimestampType in the driver machine's
+    local zone; DuckDB returns naive UTC)."""
+    import datetime
+    import os
+    import time
+
+    from .oracle_harness import _canon
+
+    prev = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()
+        # a UTC instant rendered by Spark on an EST machine
+        local_rendering = datetime.datetime(2024, 1, 1, 5, 0, 0)
+        assert _canon(local_rendering, from_spark=True) == \
+            "2024-01-01 10:00:00"
+        # DuckDB side: already naive UTC, untouched
+        assert _canon(datetime.datetime(2024, 1, 1, 10, 0, 0)) == \
+            "2024-01-01 10:00:00"
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        time.tzset()
+
+
+def test_oracle_canon_separator_and_sentinels_collision_free():
+    from .oracle_harness import _lines
+
+    # 'a|b','c' vs 'a','b|c' must canonicalize differently
+    assert _lines(["x", "y"], [("a|b", "c")]) != \
+        _lines(["x", "y"], [("a", "b|c")])
+    # a literal 'nan' string is not a NaN double; literal '∅' not NULL
+    assert _lines(["x"], [("nan",)]) != _lines(["x"], [(float("nan"),)])
+    assert _lines(["x"], [("∅",)]) != _lines(["x"], [(None,)])
