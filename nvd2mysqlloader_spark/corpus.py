@@ -156,3 +156,55 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
     finally:
         for df in persisted:
             df.unpersist()
+
+
+def tokenize_and_pack(spark: SparkSession, docs: DataFrame,
+                      seq_len: int = 512, num_merges: int = 64,
+                      group_col: str = "lang") -> DataFrame:
+    """The assembly stage after curation: learned-BPE tokenize every
+    document, then pack documents into fixed-capacity training
+    sequences — (group, pack_id, doc_ids, input_tokens, n_tokens).
+
+    Composition of the engine's own primitives, end to end:
+
+    * tokenize: ``operators.bpe`` — distributed word count, bounded
+      driver merge induction, Arrow greedy encode (the corpus never
+      shuffles for tokenization; the encode is a narrow map);
+    * pack: the ``sequence_packing`` shape — documents stream per
+      ``group_col`` in doc_id order and a doc's pack is the
+      ``seq_len``-token window its running-sum START offset falls in
+      (fill-then-overflow as one exact-BIGINT running-sum window +
+      integer division, no greedy loop, no driver involvement);
+    * assemble: per (group, pack) the doc token arrays concatenate in
+      doc_id order — ``flatten(sort_array(collect_list(struct)))``
+      keeps the assembly order-deterministic under any partitioning.
+
+    A pack can exceed ``seq_len`` by at most one document's tail
+    (standard overflow packing — the trainer truncates or splits);
+    every doc lands in exactly one pack of its group. At 100 TB the
+    two shuffles are the window partition and the pack rollup, both
+    keyed on (group, pack) — token arrays shuffle ONCE, into their
+    pack."""
+    from .operators.bpe import bpe_encode_udf, bpe_train_on
+
+    merges = bpe_train_on(docs, tokens("text"), num_merges=num_merges)
+    enc = bpe_encode_udf(merges)
+    toks = docs.select(group_col, "doc_id",
+                       enc(tokens("text")).alias("subs"))
+    toks = toks.withColumn("n", F.size("subs").cast("long"))
+
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col).orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = toks.withColumn("c", F.sum("n").over(w))
+    packed = cum.withColumn(
+        "pack_id", ((F.col("c") - F.col("n"))
+                    / F.lit(seq_len)).cast("long"))
+    return (packed.groupBy(group_col, "pack_id")
+            .agg(F.sort_array(F.collect_list(
+                     F.struct("doc_id", "subs"))).alias("_docs"))
+            .select(group_col, "pack_id",
+                    F.col("_docs.doc_id").alias("doc_ids"),
+                    F.flatten(F.col("_docs.subs")).alias("input_tokens"))
+            .withColumn("n_tokens",
+                        F.size("input_tokens").cast("long")))

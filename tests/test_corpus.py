@@ -59,3 +59,45 @@ def test_curate_corpus_near_dup_collapses_clusters(spark, tmp_path):
     assert stats["after_near_dedup"] == 2        # {1,2,3} -> 1, plus 4
     back = spark.read.json(out)
     assert sorted(r.doc_id for r in back.collect()) == [1, 4]
+
+
+def test_tokenize_and_pack_matches_python_twin(spark):
+    """tokenize_and_pack: every doc lands in exactly one pack of its
+    group, assembly order is doc_id-ascending, and pack assignment
+    matches a pure-Python overflow-packing twin on the same encoded
+    lengths. Deterministic under repartitioning."""
+    from nvd2mysqlloader_spark.corpus import tokenize_and_pack
+
+    rows = [("en", i, "word" + " tok" * (i % 7)) for i in range(1, 30)]
+    docs = spark.createDataFrame(rows, ["lang", "doc_id", "text"])
+    out = tokenize_and_pack(spark, docs, seq_len=16, num_merges=8)
+    got = {(r["lang"], r["pack_id"]):
+           (list(r["doc_ids"]), r["n_tokens"], list(r["input_tokens"]))
+           for r in out.collect()}
+
+    # python twin over the SAME encoded lengths
+    from nvd2mysqlloader_spark.functions.text import tokens as _toks
+    from nvd2mysqlloader_spark.operators.bpe import (bpe_encode_udf,
+                                                     bpe_train_on)
+    merges = bpe_train_on(docs, _toks("text"), num_merges=8)
+    enc = bpe_encode_udf(merges)
+    doc_lens = {r["doc_id"]: r["n"] for r in
+                docs.select("doc_id",
+                            F.size(enc(_toks("text"))).alias("n"))
+                .collect()}
+    c, want = 0, {}
+    for doc_id in sorted(doc_lens):
+        pack = c // 16
+        want.setdefault(("en", pack), []).append(doc_id)
+        c += doc_lens[doc_id]
+    assert {k: v[0] for k, v in got.items()} == want
+    for (lang, pack), (ids, n_tok, toks_flat) in got.items():
+        assert ids == sorted(ids)
+        assert n_tok == sum(doc_lens[i] for i in ids)
+        assert len(toks_flat) == n_tok
+
+    rep = tokenize_and_pack(spark, docs.repartition(7), seq_len=16,
+                            num_merges=8)
+    got2 = {(r["lang"], r["pack_id"]): list(r["doc_ids"])
+            for r in rep.collect()}
+    assert got2 == {k: v[0] for k, v in got.items()}
