@@ -77,3 +77,26 @@ def bpe_learned_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("n_subs") <= F.sum("n_word_chars"))
                  .alias("subs_le_chars"),
                  F.min("doc_concat_ok").alias("concat_preserved")))
+
+
+@query(
+    "bpe_pack_sequences",
+    oracle=None,
+    doc=(
+        "training-sequence assembly: learned-BPE encode + overflow "
+        "packing (corpus.tokenize_and_pack) -> per-lang pack stats. "
+        "Rows-only (the merge list is engine-specific, like kmeans); "
+        "the packing arithmetic alone is oracle-checked by "
+        "sequence_packing, and tests/test_corpus.py pins the full "
+        "composition against a pure-Python packing twin."
+    ),
+)
+def bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..corpus import tokenize_and_pack
+    docs = load_table(spark, sf_dir, "documents")
+    packed = tokenize_and_pack(spark, docs, seq_len=512, num_merges=64)
+    return (packed.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_packs"),
+                 F.sum(F.size("doc_ids")).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.max("n_tokens").alias("max_pack_tokens")))
