@@ -99,7 +99,8 @@ def test_compaction_recovers_from_stale_debris(spark, tmp_path):
     table_io.ensure_versioned(path)
     stale = table_io.next_version_dir(path)
     os.makedirs(stale)
-    open(os.path.join(stale, "part-garbage.parquet"), "w").write("junk")
+    with open(os.path.join(stale, "part-garbage.parquet"), "w") as fh:
+        fh.write("junk")
     os.symlink("nowhere", path + ".__swap")
     # crash debris is old by the time anyone cleans; the sweep
     # age-gates (60s) so it can't race a LIVE publisher's staging link

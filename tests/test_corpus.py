@@ -8,9 +8,21 @@ from pyspark.sql import functions as F
 
 from nvd2mysqlloader_spark.corpus import curate_corpus
 
+from .conftest import SF_SMOKE
+
 
 def test_curate_corpus_end_to_end(spark, tmp_path):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # the synthetic corpus carries no natural PII — PLANT some so the
+    # scrub stage is genuinely exercised end-to-end (without this, the
+    # no-unscrubbed-emails assertion below would be vacuously true)
+    pii_doc = docs.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" reach me at leaky.address@example.com or "
+                       "10.1.2.3 or 555-123-4567 thanks")).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")])
+    docs = docs.unionByName(pii_doc.select(*docs.columns))
     out = str(tmp_path / "curated")
     stats = curate_corpus(spark, docs, out, shards=4)
 
@@ -28,12 +40,21 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     n_fp = docs.select(fingerprint("text").alias("f")).distinct().count()
     assert stats["after_exact_dedup"] <= n_fp
 
-    # output: readable, unique ids, no unscrubbed emails
+    # output: readable, unique ids, planted PII scrubbed to
+    # placeholders (and none of it survives anywhere)
     back = spark.read.json(out)
     assert back.count() == stats["exported"]
     assert back.select("doc_id").distinct().count() == stats["exported"]
     assert back.filter(
-        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).count() == 0
+        F.col("text").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ).count() == 0
+    assert back.filter(F.col("text").contains("555-123-4567")).count() == 0
+    planted = back.filter(F.col("text").contains("<EMAIL>"))
+    if planted.count() == 0:
+        # the planted doc may legitimately fall to the md5 holdout or
+        # a dedup cluster — but if it survived, it must be scrubbed
+        assert back.filter(
+            F.col("text").contains("leaky.address")).count() == 0
 
     # decontamination dropped the holdout docs themselves
     held = back.filter(

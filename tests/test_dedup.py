@@ -21,8 +21,10 @@ from .conftest import SF_ORACLE
 @pytest.fixture(scope="module")
 def shingled(spark):
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
-    return (docs.repartition(8)
-            .select("doc_id", shingle3_udf()("text").alias("s")).cache())
+    df = (docs.repartition(8)
+          .select("doc_id", shingle3_udf()("text").alias("s")).cache())
+    yield df
+    df.unpersist()   # release module-scoped cache for later modules
 
 
 @pytest.fixture(scope="module")
@@ -235,6 +237,7 @@ def test_incremental_minhash_matches_full_corpus(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+    sh.unpersist()
 
 
 def test_cosine_candidate_pairs_blocked_matches_broadcast(spark):

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from nvd2mysqlloader_spark.sources.export import export_jsonl
 
+from .conftest import SF_SMOKE
+
 
 def _shard_hashes(path: str) -> dict[str, str]:
     """sha256 of each shard's DECOMPRESSED concatenated lines (gzip
@@ -29,7 +31,7 @@ def _shard_hashes(path: str) -> dict[str, str]:
 
 
 def test_export_roundtrip_and_manifest(spark, tmp_path):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet") \
         .select("doc_id", "text", "lang")
     path = str(tmp_path / "corpus")
     manifest = export_jsonl(docs, path, key="doc_id", shards=4)
@@ -57,7 +59,7 @@ def test_export_is_deterministic(spark, tmp_path):
     """Same input → byte-identical shard contents, regardless of the
     input's partitioning (shard membership is a key hash, order within
     a shard is a key sort)."""
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet") \
         .select("doc_id", "text")
     p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
     export_jsonl(docs, p1, key="doc_id", shards=3)

@@ -25,7 +25,9 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 @pytest.fixture(scope="module")
 def silver(spark):
     items = explode_items(read_feed(spark, f"{DATA}/nvdcve-1.1-2024.json"))
-    return flatten_cve(items).cache()
+    df = flatten_cve(items).cache()
+    yield df
+    df.unpersist()
 
 
 def row(silver, cve_id):

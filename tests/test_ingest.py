@@ -154,9 +154,17 @@ def test_ingest_maintain_compacts_accreted_files(spark, tmp_path):
     assert stats["tally_after"] == 300
     n_files = len(glob.glob(f"{wh}/nvd/published_year=2024/*.parquet"))
     comp = stats["compaction"]["nvd"]
-    assert comp.get("skipped") or comp["after_files"] <= comp["before_files"]
+    # the versioned upsert rewrites each AFFECTED partition per batch,
+    # so the 6 sequential batches never accrete small files — the
+    # maintain pass must correctly recognize there is nothing to merge
+    # (1 file) and skip, NOT rewrite data for no benefit. (Real
+    # multi-file compaction is exercised directly in
+    # tests/test_compaction.py, where files genuinely accrete via
+    # mode('append') writes outside the upsert path.)
+    assert comp.get("skipped"), comp
+    assert comp["before_files"] == 1, comp
     assert spark.read.parquet(f"{wh}/nvd").count() == 300
-    assert n_files >= 1
+    assert n_files == 1
 
 
 def test_download_feed_raises_on_http_error(tmp_path):

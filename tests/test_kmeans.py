@@ -45,7 +45,9 @@ def _numpy_twin(vecs: dict[int, np.ndarray], cents: np.ndarray,
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return load_table(spark, SF_SMOKE, "embeddings").cache()
+    df = load_table(spark, SF_SMOKE, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def test_kmeans_matches_numpy_twin_exactly(spark, emb):

@@ -18,7 +18,9 @@ from .conftest import SF_ORACLE
 @pytest.fixture(scope="module")
 def media(spark):
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
-    return media_from_documents(docs).cache()
+    df = media_from_documents(docs).cache()
+    yield df
+    df.unpersist()
 
 
 def test_pack_decode_roundtrip(spark, media):

@@ -463,7 +463,7 @@ def test_no_unexpected_nested_loop_or_cartesian_joins(spark):
     for name, q in QUERIES.items():
         if name.startswith("stream_"):
             continue
-        df = q.fn(spark, "/root/testdata/sf0.001")
+        df = q.fn(spark, SF_ORACLE)
         p = df._jdf.queryExecution().executedPlan().toString()
         bad = []
         if "CartesianProduct" in p:

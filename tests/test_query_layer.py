@@ -30,9 +30,12 @@ def warehouse(spark, tmp_path_factory):
 
 def test_partitioned_layout(spark, warehouse):
     assert os.path.isdir(f"{warehouse}/nvd/published_year=2024")
-    # date-range scan prunes to the partition
+    # date-range scan prunes to the partition: the executed plan's
+    # scan must carry the partition filter (a regression to a full
+    # scan of every published_year would still return count 2)
     df = cves_published_between(spark, "2024-01-01T00:00Z", "2024-03-01T00:00Z")
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "published_year" in plan, plan
     assert df.count() == 2                      # 0001 (Jan), 0002 (Feb 2)
 
 

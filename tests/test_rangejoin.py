@@ -47,3 +47,20 @@ def test_boundary_semantics(spark):
     anchored = bucketed_interval_join(points, intervals, "ts", "lo", "hi")
     self_hits = anchored.filter(F.col("pid") == F.col("iid"))
     assert self_hits.count() == intervals.count()
+
+
+def test_hi_boundary_is_exclusive(spark):
+    """Handcrafted: a point at EXACTLY lo matches; a point at EXACTLY
+    hi does not. The fixture has no point landing on an interval end,
+    so without this a <= regression on hi would ship undetected."""
+    import datetime
+    T = datetime.datetime
+    lo, hi = T(2024, 1, 1, 0, 0, 0), T(2024, 1, 1, 2, 0, 0)
+    points = spark.createDataFrame(
+        [(1, lo), (2, hi), (3, hi - datetime.timedelta(microseconds=1))],
+        ["pid", "ts"])
+    intervals = spark.createDataFrame([(10, lo, hi)], ["iid", "lo", "hi"])
+    got = {(r.pid, r.iid) for r in bucketed_interval_join(
+        points, intervals, "ts", "lo", "hi",
+        bucket_seconds=3600).collect()}
+    assert got == {(1, 10), (3, 10)}        # hi itself excluded

@@ -10,6 +10,8 @@ from nvd2mysqlloader_spark.operators.scale import (bucketed_join,
                                                    salted_join,
                                                    write_bucketed)
 
+from .conftest import SF_SMOKE
+
 
 def test_salted_join_equals_plain_join(spark):
     # 90% of rows share one hot key
@@ -43,8 +45,8 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # remove the orphaned locations too
     for t in ("bt_orders", "bt_lineitem"):
         shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
-    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
     write_bucketed(orders, "bt_orders", "o_orderkey", buckets=8,
                    sort_by=["o_orderkey"])
     write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
@@ -74,8 +76,8 @@ def test_runtime_bloom_filter_prunes_big_shuffle_join(spark):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-        orders = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        orders = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
                   .filter(F.col("o_orderpriority") == "1-URGENT"))
         j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
              .groupBy("o_orderpriority").count())
