@@ -197,9 +197,11 @@ def tokenize_and_pack(spark: SparkSession, docs: DataFrame,
     w = (Window.partitionBy(group_col).orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = toks.withColumn("c", F.sum("n").over(w))
+    # exact BIGINT `div`, not float `/`: past 2^53 cumulative tokens
+    # per group double rounding would misassign documents to packs
+    # (same expression shape as the oracle-checked sequence_packing)
     packed = cum.withColumn(
-        "pack_id", ((F.col("c") - F.col("n"))
-                    / F.lit(seq_len)).cast("long"))
+        "pack_id", F.expr(f"(c - n) div {int(seq_len)}"))
     return (packed.groupBy(group_col, "pack_id")
             .agg(F.sort_array(F.collect_list(
                      F.struct("doc_id", "subs"))).alias("_docs"))

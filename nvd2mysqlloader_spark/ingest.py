@@ -44,19 +44,21 @@ def fresh_feeds(spark: SparkSession, landing: str, warehouse: str) -> DataFrame:
     state ⇒ everything is fresh (the sentinel-date semantics, :89)."""
     import os
     meta = parse_meta(spark, f"{landing}/*.meta")
-    try:
-        if not os.path.exists(f"{warehouse}/update_history"):
-            return meta              # no history yet: load everything
-        hist = spark.read.parquet(f"{warehouse}/update_history")
-        hwm = (hist.groupBy("download_name")
-               .agg(F.max_by("lastModifiedDate", "downloadedDate")
-                    .alias("stored_lmd")))
-        return (meta.join(hwm, "download_name", "left")
-                .filter((F.col("stored_lmd").isNull())
-                        | (F.col("lastModifiedDate") > F.col("stored_lmd")))
-                .drop("stored_lmd"))
-    except Exception:                       # no history yet: load everything
-        return meta
+    if not os.path.exists(f"{warehouse}/update_history"):
+        return meta                  # no history yet: load everything
+    # deliberately NO blanket except here: a corrupt/unreadable
+    # update_history must raise, not silently degrade to "reload
+    # everything" — the idempotent upsert would make that safe but it
+    # masks real state corruption the operator needs to see (same
+    # genus as round 4's silent-except purge)
+    hist = spark.read.parquet(f"{warehouse}/update_history")
+    hwm = (hist.groupBy("download_name")
+           .agg(F.max_by("lastModifiedDate", "downloadedDate")
+                .alias("stored_lmd")))
+    return (meta.join(hwm, "download_name", "left")
+            .filter((F.col("stored_lmd").isNull())
+                    | (F.col("lastModifiedDate") > F.col("stored_lmd")))
+            .drop("stored_lmd"))
 
 
 def run_ingest(spark: SparkSession, landing: str, warehouse: str,

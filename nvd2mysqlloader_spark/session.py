@@ -45,8 +45,31 @@ def get_spark(app_name: str = "nvd2mysqlloader_spark",
         # this knob is per-executor memory instead.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
+        # stderr is a recorded artifact (the bench driver keeps the
+        # last 2 KB): the console progress bar's \r-animation frames
+        # are noise there, not signal
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_benign_loggers(spark)
     return spark
+
+
+def _silence_benign_loggers(spark: SparkSession) -> None:
+    """Demote known noisy-but-benign JVM loggers to ERROR.
+
+    ``FileStreamSink.hasMetadata`` stats every batch-read path to ask
+    "is this a streaming sink output?"; for a GLOB path (e.g. the
+    ingest gate's ``landing/*.meta``) the literal string never exists,
+    so it logs a full FileNotFoundException stack at WARN and then
+    proceeds correctly — pure noise that drowns real warnings (it
+    filled the 2 KB bench stderr tail in round 4)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:
+        pass  # logging backend not log4j2 (alt classpath): keep defaults

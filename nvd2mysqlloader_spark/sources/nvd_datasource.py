@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
                                     InputPartition,
@@ -60,11 +61,17 @@ class _FeedFilePartition(InputPartition):
 
 
 def _read_meta(path: str) -> tuple[str | None, str | None]:
+    """Best-effort sidecar read: ``(None, None)`` for a missing,
+    vanished, unreadable, or non-UTF-8 ``.meta`` — sidecar problems
+    must never affect feed-row emission (they would otherwise bubble
+    into ``_feed_rows``' feed-level handlers and either crash the task
+    with an UnboundLocalError or silently drop a valid feed's rows)."""
     meta_path = path[:-len(".json")] + ".meta"
-    if not os.path.exists(meta_path):
+    try:
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = parse_meta_text(fh.read())
+    except (OSError, UnicodeDecodeError):
         return None, None
-    with open(meta_path, encoding="utf-8") as fh:
-        meta = parse_meta_text(fh.read())
     return meta.get("lastModifiedDate"), meta.get("sha256")
 
 
@@ -79,8 +86,8 @@ def _feed_rows(path: str):
     expected object shape yields one ``corrupt`` row, same as
     unparseable bytes — never a task failure."""
     feed_name = os.path.basename(path)[:-len(".json")]
+    meta_lm, meta_sha = _read_meta(path)
     try:
-        meta_lm, meta_sha = _read_meta(path)
         with open(path, encoding="utf-8") as fh:
             doc = json.load(fh)
         if not isinstance(doc, dict):
@@ -210,8 +217,37 @@ class NvdFeedStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), merged
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic replay of a committed range for recovery.
+
+        Replay re-reads the CURRENT file contents, so exactly-once
+        recovery requires the landing zone's replay contract: a feed
+        file at a given ``.meta`` ``lastModifiedDate`` is IMMUTABLE
+        (the fetcher only ever replaces file+sidecar together, moving
+        the mark forward — sources/fetch.py). Two documented departures
+        when that contract is broken out-of-band:
+
+        * **vanished file** — replays nothing for that feed (landing
+          retention must cover the checkpoint-replay window);
+        * **grown file** — a feed rewritten after the batch committed
+          without its mark moving past ``end`` replays the NEWER
+          contents, i.e. more/different rows than originally emitted.
+          Detected here via the sidecar: if the current ``.meta`` mark
+          no longer matches the committed ``end`` mark, the feed is
+          flagged loudly (warning, not failure — the downstream keyed
+          upsert is idempotent, so over-replay converges; a raise
+          would brick recovery on a condition the source cannot mend).
+        """
         for f in self._fresh(start, end):
-            yield from _feed_rows(os.path.join(self.landing, f + ".json"))
+            path = os.path.join(self.landing, f + ".json")
+            lm_now, _ = _read_meta(path)
+            if lm_now is not None and lm_now != end.get(f):
+                warnings.warn(
+                    f"nvdfeed replay: feed '{f}' .meta mark is {lm_now!r} "
+                    f"but the committed offset is {end.get(f)!r}; the "
+                    "landing file changed after commit — replaying "
+                    "current contents (exactly-once not reconstructible; "
+                    "downstream keyed upsert makes this converge)")
+            yield from _feed_rows(path)
 
     def commit(self, end: dict) -> None:
         pass  # no source-side bookkeeping: offsets live in the checkpoint

@@ -20,7 +20,7 @@ _NULL = "\x00null\x00"
 _NAN = "\x00nan\x00"
 
 
-def _canon(v, from_spark: bool = False):
+def _canon(v, localize: bool = False):
     if v is None:
         return _NULL
     if isinstance(v, float):
@@ -30,23 +30,28 @@ def _canon(v, from_spark: bool = False):
         return repr(v)
     if isinstance(v, bool):
         return str(bool(v)).lower()
-    if isinstance(v, datetime.datetime) and from_spark and v.tzinfo is None:
+    if isinstance(v, datetime.datetime) and localize and v.tzinfo is None:
         # Spark's collect() renders TimestampType in the DRIVER
         # MACHINE's local timezone (session timeZone does not apply to
         # fromInternal); DuckDB returns naive UTC. Re-interpret the
         # Spark value as machine-local and convert to naive UTC so the
         # comparison is machine-timezone-independent (this host is
         # UTC, so the conversion is a no-op here — the guard is for
-        # running the suite elsewhere).
+        # running the suite elsewhere). ``localize`` is only set for
+        # columns whose SPARK type is the tz-aware TimestampType:
+        # TIMESTAMP_NTZ values also collect as naive datetimes but
+        # have no local-zone semantics and must pass through verbatim
+        # (events.ts is NTZ — converting it would spuriously mismatch
+        # on any non-UTC host).
         return str(v.astimezone(datetime.timezone.utc)
                     .replace(tzinfo=None))
     s = str(v)
     return s.replace(_SEP, "\\x1f") if _SEP in s else s
 
 
-def _lines(cols, rows, from_spark: bool = False):
+def _lines(cols, rows, localize_idx: frozenset = frozenset()):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(_SEP.join(_canon(r[i], from_spark) for i in order)
+    return sorted(_SEP.join(_canon(r[i], i in localize_idx) for i in order)
                   for r in rows)
 
 
@@ -104,7 +109,10 @@ def compare(spark, sf_dir: str, fn, oracle: str) -> tuple[bool, str]:
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"rowcount mismatch: spark={len(s_rows)} duck={len(d_rows)}"
-    ls = _lines(s_cols, s_rows, from_spark=True)
+    from pyspark.sql.types import TimestampType
+    tz_idx = frozenset(i for i, f in enumerate(sdf.schema.fields)
+                       if isinstance(f.dataType, TimestampType))
+    ls = _lines(s_cols, s_rows, localize_idx=tz_idx)
     ld = _lines(d_cols, d_rows)
     if _hash_lines(ls) != _hash_lines(ld):
         diffs = [f"  spark: {a}\n  duck : {b}"

@@ -198,3 +198,24 @@ def test_download_feed_raises_on_http_error(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_corrupt_update_history_raises_not_full_reload(spark, warehouse,
+                                                       tmp_path):
+    """Judge r4 #4: a corrupt gate table must RAISE, not silently
+    degrade to "everything is fresh" — the idempotent upsert would
+    make a full reload safe, but it masks real state corruption."""
+    run_ingest(spark, DATA, warehouse)
+    hist = f"{warehouse}/update_history"
+    # clobber the parquet footers in place: path exists, read fails
+    for name in os.listdir(hist):
+        if name.endswith(".parquet"):
+            with open(os.path.join(hist, name), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        fresh_feeds(spark, DATA, warehouse).collect()
+
+    # the missing-path fast path is untouched: no history dir at all
+    # still means "load everything"
+    fresh = fresh_feeds(spark, DATA, str(tmp_path / "empty_wh"))
+    assert fresh.count() == 2

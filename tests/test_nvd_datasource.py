@@ -141,3 +141,63 @@ def test_streaming_polls_meta_high_water_mark(spark, tmp_path):
     by_feed2 = {r["feed_name"]: r["count"]
                 for r in out.groupBy("feed_name").count().collect()}
     assert by_feed2["nvdcve-1.1-2024"] == 2 * first
+
+
+def test_broken_meta_sidecar_never_blocks_feed_rows(spark, tmp_path):
+    """ADVICE r4: a non-UTF-8 (or vanished) .meta sidecar must degrade
+    to NULL meta columns — never crash the task (the old code hit an
+    UnboundLocalError in the corrupt-branch) and never drop the feed's
+    rows (the old code turned a sidecar FileNotFoundError into 'this
+    whole valid feed yields nothing')."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.json", landing / "binmeta.json")
+    (landing / "binmeta.meta").write_bytes(b"\xff\xfe\x00garbage\x80")
+    nvd_datasource.register(spark)
+    df = (spark.read.format("nvdfeed").option("path", str(landing)).load())
+    rows = df.collect()
+    assert rows and all(not r["corrupt"] for r in rows)
+    assert all(r["meta_last_modified"] is None and r["meta_sha256"] is None
+               for r in rows)
+
+    # unit-level: even a CORRUPT feed with an undecodable sidecar must
+    # yield its flagged row (the exact UnboundLocalError reproduction)
+    (landing / "bad.json").write_text("{ nope", encoding="utf-8")
+    (landing / "bad.meta").write_bytes(b"\xff\xfe\x80")
+    out = list(nvd_datasource._feed_rows(str(landing / "bad.json")))
+    assert len(out) == 1 and out[0][-1] is True  # corrupt flag
+
+
+def test_replay_flags_feed_grown_after_commit(tmp_path):
+    """ADVICE r4: readBetweenOffsets re-reads current contents; if the
+    landing file was rewritten after the batch committed (meta mark no
+    longer equals the committed end mark) the replay warns loudly
+    instead of silently pretending exactly-once, and still yields the
+    current rows (downstream keyed upsert converges)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.json",
+                landing / "nvdcve-1.1-2024.json")
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.meta",
+                landing / "nvdcve-1.1-2024.meta")
+    reader = nvd_datasource.NvdFeedStreamReader({"path": str(landing)})
+    committed = reader._current()
+    assert committed
+
+    import warnings as _w
+    # clean replay: marks match -> no warning, rows flow
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        rows = list(reader.readBetweenOffsets({}, committed))
+    assert rows
+
+    # file grew after commit: .meta advanced past the committed mark
+    meta = (landing / "nvdcve-1.1-2024.meta").read_text()
+    bumped = meta.replace("lastModifiedDate:2024", "lastModifiedDate:2025")
+    assert bumped != meta
+    (landing / "nvdcve-1.1-2024.meta").write_text(bumped)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        rows2 = list(reader.readBetweenOffsets({}, committed))
+    assert rows2 and any("changed after commit" in str(c.message)
+                         for c in caught)

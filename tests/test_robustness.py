@@ -98,11 +98,16 @@ def test_oracle_canon_timezone_independent():
         time.tzset()
         # a UTC instant rendered by Spark on an EST machine
         local_rendering = datetime.datetime(2024, 1, 1, 5, 0, 0)
-        assert _canon(local_rendering, from_spark=True) == \
+        assert _canon(local_rendering, localize=True) == \
             "2024-01-01 10:00:00"
         # DuckDB side: already naive UTC, untouched
         assert _canon(datetime.datetime(2024, 1, 1, 10, 0, 0)) == \
             "2024-01-01 10:00:00"
+        # TIMESTAMP_NTZ columns (localize not set — compare() only
+        # flags tz-aware TimestampType columns) pass through verbatim:
+        # NTZ values have no local-zone semantics to correct for
+        assert _canon(datetime.datetime(2024, 1, 1, 5, 0, 0)) == \
+            "2024-01-01 05:00:00"
     finally:
         if prev is None:
             os.environ.pop("TZ", None)
@@ -120,3 +125,38 @@ def test_oracle_canon_separator_and_sentinels_collision_free():
     # a literal 'nan' string is not a NaN double; literal '∅' not NULL
     assert _lines(["x"], [("nan",)]) != _lines(["x"], [(float("nan"),)])
     assert _lines(["x"], [("∅",)]) != _lines(["x"], [(None,)])
+
+
+def test_oracle_compare_ntz_column_on_non_utc_host(spark):
+    """ADVICE r4 end-to-end: events.ts is TIMESTAMP_NTZ — it collects
+    as a naive datetime but has NO local-zone semantics, so the
+    harness's local→UTC correction must not touch it. Under a shifted
+    host timezone the old code converted NTZ values too (spurious 5h
+    shift → hash mismatch); compare() now keys the conversion on the
+    Spark column type."""
+    import os
+    import time
+
+    from .oracle_harness import compare
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    def q(spark, sf_dir):
+        return (spark.read.parquet(f"{sf_dir}/events.parquet")
+                .orderBy("event_id").limit(20).select("event_id", "ts"))
+
+    sql = ("SELECT event_id, ts FROM "
+           "(SELECT event_id, ts FROM events ORDER BY event_id LIMIT 20)")
+
+    prev = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()
+        ok, msg = compare(spark, sf, q, sql)
+        assert ok, msg
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        time.tzset()
