@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Emit LOCAL_ORACLE_r{N}.json — the full-registry twin of the
+driver's CORRECTNESS gate.
+
+The driver verifies only the FIRST 50 registry entries (its sampled
+prefix, natural registration order); this runner replays the SAME
+comparison (tests/oracle_harness.compare: row count + sorted-column
+schema + order-insensitive value hash vs the DuckDB oracle) over ALL
+registered queries and records one row per query in the driver's
+exact row shape, so every round ships machine-readable green/red for
+the ~71 queries the driver never reaches. Queries without an oracle
+(minhash/simhash/ANN/kmeans — pinned by recall/twin tests instead)
+get the driver's rows-only shape with err="no_oracle".
+
+Usage:  python local_oracle.py [round_number]
+        SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01   # default, = driver
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nvd2mysqlloader_spark.plans import QUERIES            # noqa: E402
+from nvd2mysqlloader_spark.session import get_spark        # noqa: E402
+from tests.oracle_harness import compare                   # noqa: E402
+
+
+def run(sf_dir: str) -> dict:
+    spark = get_spark("local_oracle")
+    out: dict[str, dict] = {}
+    for name in QUERIES:            # full registry, registration order
+        q = QUERIES[name]
+        row = {"rows_match": None, "schema_match": None,
+               "hash_match": None, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        try:
+            if q.oracle is None:
+                row["spark_rows"] = q.fn(spark, sf_dir).count()
+                row["err"] = "no_oracle"
+            else:
+                ok, msg = compare(spark, sf_dir, q.fn, q.oracle)
+                row.update(rows_match=ok, schema_match=ok, hash_match=ok)
+                if ok:
+                    row["spark_rows"] = row["oracle_rows"] = None
+                else:
+                    row["err"] = msg[:500]
+        except Exception as exc:    # a crash is a red row, not a crash
+            row.update(rows_match=False, schema_match=False,
+                       hash_match=False, err=repr(exc)[:500])
+        out[name] = row
+        flag = ("ok" if row["hash_match"]
+                else row["err"] if row["err"] == "no_oracle" else "RED")
+        print(f"# {name}: {flag}", file=sys.stderr)
+    return out
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "0"
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    results = run(sf_dir)
+    n_ok = sum(1 for r in results.values() if r["hash_match"])
+    n_rows_only = sum(1 for r in results.values()
+                      if r["err"] == "no_oracle")
+    n_red = len(results) - n_ok - n_rows_only
+    path = f"LOCAL_ORACLE_r{int(rnd):02d}.json" if rnd != "0" \
+        else "LOCAL_ORACLE.json"
+    with open(path, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "total": len(results),
+                   "oracle_green": n_ok, "rows_only": n_rows_only,
+                   "red": n_red, "queries": results}, fh, indent=1)
+    print(f"{path}: {n_ok} oracle-green, {n_rows_only} rows-only, "
+          f"{n_red} red / {len(results)} total")
+    return 1 if n_red else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -335,7 +335,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             id_col: str = "vec_id", emb_col: str = "embedding",
             query_id_col: str = "query_id",
             m: int = 8, ksub: int = 16, fetch_k: int | None = None,
-            train_n: int = 100_000, exclude_self: bool = True) -> DataFrame:
+            train_n: int = 100_000, exclude_self: bool = True,
+            max_queries: int = 65_536,
+            gather_bytes: int = 256 << 20) -> DataFrame:
     """PQ/ADC approximate top-k with exact rescoring.
 
     Plan shape: train codebooks on a bounded driver-side sample
@@ -347,6 +349,14 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     query — the shuffle carries O(partitions · queries · fetch_k)
     id/score pairs, never vectors — → global rank → exact-cosine
     rescore of candidates → top k.
+
+    The query side is BROADCAST (every ANN path here assumes a small
+    query batch vs a huge corpus), and that assumption is enforced:
+    more than ``max_queries`` rows raises instead of OOMing the driver
+    — at the default 65 536 the collected vectors are ≤ 0.5 GB even at
+    d=1024, and the per-task LUT closure is nq·m·ksub doubles (64 MB
+    at the defaults). For larger query sets, chunk the callers' side
+    or join query↔corpus roles.
 
     On unit vectors ADC approximates L2² = 2 − 2·cos, so ascending ADC
     order is descending approximate cosine.
@@ -362,7 +372,15 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     encoded = corpus.select(
         id_col, pq_encode_udf(books, splits)(emb_col).alias("code"))
 
-    q_rows = queries.select(query_id_col, emb_col).collect()
+    # limit(max+1) bounds the transfer even when the check fails —
+    # the driver never materializes an unbounded query set
+    q_rows = (queries.select(query_id_col, emb_col)
+              .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query batch exceeds max_queries={max_queries} "
+            "(the query side is driver-collected and closure-broadcast; "
+            "chunk the query set or raise max_queries deliberately)")
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_mat = q_mat / np.clip(np.linalg.norm(q_mat, axis=1, keepdims=True),
@@ -380,19 +398,30 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         T.StructField("adc_d2", T.DoubleType()),
     ])
     jj = np.arange(m)
+    gather_budget = gather_bytes     # bytes for the (chunk, n, m) gather
 
     def scan(batches):
+        # ONE vectorized gather per (batch, query-chunk) instead of a
+        # python loop over every query: lut_c[:, jj, codes] broadcasts
+        # the (n, m) code matrix against the chunk's (c, m, ksub) LUTs
+        # into a (c, n, m) gather summed over subspaces. Queries are
+        # chunked so that gather stays under a fixed byte budget.
         for b in batches:
             if len(b) == 0:
                 continue
             codes = np.stack(b["code"].to_numpy())            # (n, m)
             ids = b[id_col].to_numpy()
-            for qi, qid in enumerate(q_ids):
-                d2 = luts[qi][jj[None, :], codes].sum(axis=1)  # (n,)
-                top = np.argsort(d2, kind="stable")[:fetch_k]
-                yield pd.DataFrame({"query_id": qid,
-                                    "neighbor_id": ids[top],
-                                    "adc_d2": d2[top]})
+            n = codes.shape[0]
+            k_eff = min(fetch_k, n)
+            chunk = max(1, gather_budget // (8 * n * m))
+            for s in range(0, len(q_ids), chunk):
+                lut_c = luts[s:s + chunk]                     # (c, m, ksub)
+                d2 = lut_c[:, jj[None, :], codes].sum(axis=2)  # (c, n)
+                top = np.argsort(d2, axis=1, kind="stable")[:, :k_eff]
+                yield pd.DataFrame({
+                    "query_id": np.repeat(q_ids[s:s + chunk], k_eff),
+                    "neighbor_id": ids[top].ravel(),
+                    "adc_d2": np.take_along_axis(d2, top, axis=1).ravel()})
 
     cand = encoded.mapInPandas(scan, out_schema)
     if exclude_self:        # queries drawn from the corpus (shared ids)
@@ -419,12 +448,22 @@ _PAIR_SCHEMA = T.StructType([T.StructField("id_a", T.LongType()),
                              T.StructField("id_b", T.LongType())])
 
 
+def effective_block_rows(dim: int, block_rows: int = 200_000,
+                         block_bytes: int = 256 << 20) -> int:
+    """Rows per packed block for ``cosine_candidate_pairs``: the
+    byte-budget bound ``block_bytes // (8·dim)`` (one block row is
+    rows·dim float64s in a single JVM array, hard-capped at 2 GB),
+    capped by ``block_rows`` for low dimensions."""
+    return max(1, min(block_rows, block_bytes // (8 * max(1, dim))))
+
+
 def cosine_candidate_pairs(corpus: DataFrame, threshold: float,
                            id_col: str = "vec_id",
                            emb_col: str = "embedding",
                            margin: float = 1e-6,
                            blocks: int | None = None,
-                           block_rows: int = 200_000) -> DataFrame:
+                           block_rows: int = 200_000,
+                           block_bytes: int = 256 << 20) -> DataFrame:
     """Candidate (id_a, id_b) pairs with cosine >= threshold - margin,
     id_a < id_b — the vectorized prefilter for exact near-dup search.
 
@@ -439,11 +478,19 @@ def cosine_candidate_pairs(corpus: DataFrame, threshold: float,
       are hashed into B buckets, each bucket packed into one block row
       (ids + matrix), and the B·(B+1)/2 bucket pairs b1 ≤ b2 become
       independent tasks — each multiplies ONE block pair, so driver
-      and task memory are bounded by ``block_rows``·d, never n·d.
+      and task memory are bounded by the block size, never n·d.
       Every unordered row pair lands in exactly one bucket pair, so
       no distinct is needed. The shuffle moves each block B/2 times
       (the unavoidable replication of all-pairs comparison); at 100 TB
       the LSH/ANN paths prune first and this runs on the pruned set.
+
+    Block sizing is DIMENSION-AWARE: one packed block row holds
+    ``rows·d`` float64s inside a single collect_list value, and the
+    JVM caps any one array at 2 GB — a fixed 200k-row block is ~51 MB
+    at d=32 but ~1.2 GB at d=768. The effective rows-per-block is
+    ``min(block_rows, block_bytes // (8·d))`` (default budget 256 MB:
+    two blocks coexisting per task stay ~0.5 GB, far from the
+    ceiling); ``block_rows`` remains the low-dim cap.
 
     The margin covers the (≈1e-15 relative) accumulation-order
     difference between BLAS and the left-to-right fold, so no true
@@ -452,8 +499,14 @@ def cosine_candidate_pairs(corpus: DataFrame, threshold: float,
     plans.vector_queries.cosine_near_dup).
     """
     if blocks is None:
+        first = corpus.select(emb_col).first()
+        if first is None:                       # empty corpus: no pairs
+            return _pairs_broadcast(corpus, threshold, id_col, emb_col,
+                                    margin)
+        d = len(first[0])
+        eff_rows = effective_block_rows(d, block_rows, block_bytes)
         n = corpus.count()
-        blocks = max(1, -(-n // block_rows))
+        blocks = max(1, -(-n // eff_rows))
     if blocks <= 1:
         return _pairs_broadcast(corpus, threshold, id_col, emb_col, margin)
     return _pairs_blocked(corpus, threshold, id_col, emb_col, margin, blocks)
