@@ -62,7 +62,8 @@ def fresh_feeds(spark: SparkSession, landing: str, warehouse: str) -> DataFrame:
 
 
 def run_ingest(spark: SparkSession, landing: str, warehouse: str,
-               maintain: bool = False) -> dict:
+               maintain: bool = False,
+               include_children_cpes: bool = False) -> dict:
     """One incremental batch. Returns counts (the reference's tally
     delta report, nvd2mysqlloader.py:562-573).
 
@@ -70,7 +71,17 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str,
     small-file compaction of both warehouse tables (each incremental
     batch adds a file per touched partition; compaction is a no-op
     until `plan_compaction` says the rewrite pays — the OPTIMIZE-after-
-    ingest pattern every streaming/micro-batch warehouse needs)."""
+    ingest pattern every streaming/micro-batch warehouse needs).
+
+    ``include_children_cpes=True`` opts into depth-2 CPE extraction
+    (operators.flatten.cpe_uris): vulnerable CPEs nested under AND
+    nodes' ``children[*].cpe_match``, which the reference silently
+    drops (nvd2mysqlloader.py:180-185), land in
+    ``vulnerable_software_list`` and therefore in the derived cve2cpe
+    view and ``query_layer.cpe_search``. Default is reference parity.
+    Flipping the flag on an EXISTING warehouse only affects newly
+    ingested batches — reload (fresh warehouse or bumped .meta marks)
+    to re-extract old feeds."""
     def tally(path: str) -> int:            # count(distinct cve_id), ref :494
         import os
         if not os.path.exists(path):        # avoid noisy first-load probes
@@ -103,7 +114,7 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str,
         items = explode_items(read_feed(spark, paths)).cache()
         return _ingest_batch(spark, warehouse, fresh, items, names,
                              silver_path, bronze_path, before, tally,
-                             maintain)
+                             maintain, include_children_cpes)
     finally:
         fresh.unpersist()
         if items is not None:
@@ -111,13 +122,15 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str,
 
 
 def _ingest_batch(spark, warehouse, fresh, items, names,
-                  silver_path, bronze_path, before, tally, maintain):
+                  silver_path, bronze_path, before, tally, maintain,
+                  include_children_cpes=False):
     # modified/recent feeds overlap yearly ones by design — dedup the
     # batch last-writer-wins on (lastModifiedDate, cve_id) before MERGE.
     # published_year partitions the silver table: Catalyst partition
     # pruning replaces the reference's `dates` index (:400)
     silver = last_writer_wins(
-        flatten_cve(items), ["cve_id"], ["last_modified_datetime"]
+        flatten_cve(items, include_children_cpes=include_children_cpes),
+        ["cve_id"], ["last_modified_datetime"]
     ).withColumn(
         "published_year",
         # try_cast, NOT cast: a missing publishedDate flattens to ''
@@ -172,12 +185,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warehouse", required=True, help="output parquet warehouse dir")
     ap.add_argument("--maintain", action="store_true",
                     help="run small-file compaction after the load")
+    ap.add_argument("--children-cpes", action="store_true",
+                    help="extract depth-2 children CPEs the reference "
+                         "drops (match-and-exceed; default is parity)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
     spark = get_spark("nvd_ingest")
     stats = run_ingest(spark, args.landing, args.warehouse,
-                       maintain=args.maintain)
+                       maintain=args.maintain,
+                       include_children_cpes=args.children_cpes)
     print(f"feeds loaded: {stats['feeds']}  cves in batch: {stats['cves']}")
     print(f"tally before: {stats['tally_before']}  after: {stats['tally_after']}"
           f"  added: {stats['added']}")

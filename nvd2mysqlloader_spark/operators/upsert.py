@@ -90,13 +90,75 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
     return keep.unionByName(updates, allowMissingColumns=evolve_schema)
 
 
+def delta_available() -> bool:
+    """True when the Delta Lake python bindings + jar are importable in
+    this session's environment (they are NOT in the test container —
+    the versioned-parquet emulation is the tested default)."""
+    try:
+        import delta.tables  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def write_upsert_delta(target_path: str, updates: DataFrame,
+                       keys: Sequence[str],
+                       partition_by: Sequence[str] | None = None,
+                       evolve_schema: bool = False,
+                       order_col: str | None = None) -> None:
+    """Native Delta Lake MERGE — the standard-table-format passthrough
+    for ``write_upsert_parquet(format="delta")``.
+
+    Same contract as the emulation: matched → update (conditionally on
+    ``order_col`` so a stale batch cannot overwrite a fresher row),
+    not-matched → insert; first write creates the table with the given
+    partitioning. Null-safe key equality (``<=>``) matches the
+    emulation's join semantics; ``evolve_schema`` maps to Delta's
+    ``schema.autoMerge``. Partition-selective rewrite, snapshot
+    isolation, time travel, and VACUUM come from the format itself —
+    this is exactly the pointer-swap protocol operators.table_io
+    implements locally (table_io.py:72-165), provided by an ecosystem
+    reader's native format instead.
+    """
+    from delta.tables import DeltaTable   # import-gated: needs delta-spark
+
+    spark = updates.sparkSession
+    if evolve_schema:
+        spark.conf.set(
+            "spark.databricks.delta.schema.autoMerge.enabled", "true")
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        w = updates.write.format("delta").mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(target_path)
+        return
+    t = DeltaTable.forPath(spark, target_path)
+    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+    m = t.alias("t").merge(updates.alias("s"), cond)
+    if order_col is not None:
+        m = m.whenMatchedUpdateAll(
+            condition=f"s.`{order_col}` >= t.`{order_col}`")
+    else:
+        m = m.whenMatchedUpdateAll()
+    m.whenNotMatchedInsertAll().execute()
+
+
 def write_upsert_parquet(target_path: str, updates: DataFrame,
                          keys: Sequence[str],
                          partition_by: Sequence[str] | None = None,
                          evolve_schema: bool = False,
-                         order_col: str | None = None) -> None:
+                         order_col: str | None = None,
+                         format: str = "parquet") -> None:
     """Apply ``merge_upsert`` against a parquet table on disk, with
     atomic visibility.
+
+    ``format="delta"`` routes to :func:`write_upsert_delta` (native
+    MERGE) when the Delta bindings are on the classpath — at a real
+    100 TB deployment a reader ecosystem expects a standard table
+    format, and SURVEY §4.2 maps this operator to "built-in with
+    Delta". Without the bindings (this container) the call falls back
+    to the versioned-parquet emulation below with a warning — same
+    row-level semantics, locally-scoped snapshot protocol.
 
     One atomic publish per batch replaces the reference's per-row
     commits (nvd2mysqlloader.py:460-482). The table uses the versioned
@@ -135,6 +197,18 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     import os
 
     from . import table_io
+
+    if format == "delta":
+        if delta_available():
+            return write_upsert_delta(target_path, updates, keys,
+                                      partition_by, evolve_schema,
+                                      order_col)
+        import warnings
+        warnings.warn("write_upsert_parquet: format='delta' requested "
+                      "but delta-spark is not importable — falling back "
+                      "to the versioned-parquet MERGE emulation")
+    elif format != "parquet":
+        raise ValueError(f"unsupported upsert sink format: {format!r}")
 
     spark = updates.sparkSession
     target_path = target_path.rstrip("/")

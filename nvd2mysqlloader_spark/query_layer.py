@@ -22,7 +22,12 @@ from .operators.flatten import extract_cve2cpe
 def register_nvd_views(spark: SparkSession, warehouse: str) -> None:
     """Expose the warehouse as SQL views: nvd, nvd_json,
     update_history, cve2cpe (derived — the explode the reference never
-    ran, populating its aspirational normalized model)."""
+    ran, populating its aspirational normalized model), and
+    guess_history when ``record_guesses`` has written one (empty view
+    otherwise — parity with the reference's declared-but-unpopulated
+    table, nvd.sql:88-94)."""
+    import os
+
     silver = spark.read.parquet(f"{warehouse}/nvd")
     silver.createOrReplaceTempView("nvd")
     spark.read.parquet(f"{warehouse}/nvd_json") \
@@ -30,6 +35,43 @@ def register_nvd_views(spark: SparkSession, warehouse: str) -> None:
     spark.read.parquet(f"{warehouse}/update_history") \
         .createOrReplaceTempView("update_history")
     extract_cve2cpe(silver).createOrReplaceTempView("cve2cpe")
+    gh = f"{warehouse}/guess_history"
+    if os.path.exists(gh):
+        spark.read.parquet(gh).createOrReplaceTempView("guess_history")
+    else:
+        spark.createDataFrame([], "cve_id string, guessDate string") \
+            .createOrReplaceTempView("guess_history")
+
+
+def guess_candidates(spark: SparkSession) -> DataFrame:
+    """CVEs with no CVSS v2 score — the rows the reference's
+    ``guess_history`` table (nvd.sql:88-94: 'cvss guessing records for
+    CVEs that we tried to guess') was declared for but never received:
+    flatten defaults a missing baseMetricV2 to score 0.0 with empty
+    vector fields (nvd2mysqlloader.py:233-236), so unscored ≡
+    score = 0 AND access_vector = ''. Excludes CVEs already guessed
+    (anti-join on guess_history — the probe the reference's dance
+    implies)."""
+    return spark.sql("""
+        SELECT n.cve_id, n.published_datetime
+        FROM nvd n LEFT ANTI JOIN guess_history g ON n.cve_id = g.cve_id
+        WHERE n.score = 0 AND n.access_vector = ''
+        ORDER BY n.cve_id
+    """)
+
+
+def record_guesses(spark: SparkSession, warehouse: str,
+                   cve_ids: DataFrame) -> None:
+    """Append (cve_id, guessDate) audit rows — populating the
+    reference's aspirational guessing audit (nvd.sql:88-94) the same
+    way ingest populates update_history (append-only, wall-clock
+    stamp)."""
+    from pyspark.sql import functions as F
+    (cve_ids.select(
+        "cve_id",
+        F.date_format(F.current_timestamp(),
+                      "yyyy-MM-dd'T'HH:mm:ss").alias("guessDate"))
+     .write.mode("append").parquet(f"{warehouse}/guess_history"))
 
 
 def cve_tally(spark: SparkSession) -> DataFrame:

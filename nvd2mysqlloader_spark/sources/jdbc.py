@@ -99,6 +99,26 @@ def create_target_sql(table: str = "nvd") -> str:
 ) CHARACTER SET utf8mb4 COLLATE utf8mb4_unicode_ci"""
 
 
+def mirror_statement_plan(columns: Sequence[str], target: str,
+                          key: str = "cve_id") -> list[tuple[str, str]]:
+    """The full server-side mirror protocol as an ordered statement
+    plan: (phase, sql) pairs. ``mirror_to_mysql`` executes exactly this
+    plan after the bulk staging write, and the serverless protocol test
+    (tests/test_jdbc_sql.py) replays the SAME plan statement-for-
+    statement against DuckDB — what is verified is what runs.
+
+    Phases: ``create_target`` (idempotent DDL) → ``upsert`` (set-based
+    INSERT … ON DUPLICATE KEY UPDATE from staging) → ``drop_staging``
+    (cleanup; failure here is non-fatal, the target is already
+    committed)."""
+    staging = f"{target}_stage"
+    return [
+        ("create_target", create_target_sql(target)),
+        ("upsert", upsert_from_staging_sql(target, staging, columns, key)),
+        ("drop_staging", f"DROP TABLE {staging}"),
+    ]
+
+
 def mirror_to_mysql(df: DataFrame, url: str, target: str, key: str = "cve_id",
                     user: str | None = None, password: str | None = None,
                     options: dict | None = None) -> None:
@@ -113,6 +133,7 @@ def mirror_to_mysql(df: DataFrame, url: str, target: str, key: str = "cve_id",
     opts = dict(DEFAULT_JDBC_OPTS, **(options or {}))
     props = {k: v for k, v in {"user": user, "password": password,
                                **opts}.items() if v is not None}
+    plan = dict(mirror_statement_plan(df.columns, target, key))
     try:
         (df.write.mode("overwrite")
          .options(**opts)
@@ -125,9 +146,8 @@ def mirror_to_mysql(df: DataFrame, url: str, target: str, key: str = "cve_id",
         conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
         try:
             stmt = conn.createStatement()
-            stmt.execute(create_target_sql(target))
-            stmt.execute(upsert_from_staging_sql(
-                target, staging, df.columns, key))
+            stmt.execute(plan["create_target"])
+            stmt.execute(plan["upsert"])
         finally:
             conn.close()
     except Exception as exc:  # no driver jar / unreachable server
@@ -142,7 +162,7 @@ def mirror_to_mysql(df: DataFrame, url: str, target: str, key: str = "cve_id",
     try:
         conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
         try:
-            conn.createStatement().execute(f"DROP TABLE {staging}")
+            conn.createStatement().execute(plan["drop_staging"])
         finally:
             conn.close()
     except Exception as exc:
