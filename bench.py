@@ -81,6 +81,7 @@ HEADLINE = sorted([
     "bm25_search",
     "decontaminate_ngrams",
     "chunk_documents",
+    "dedup_spans",
     # multimodal plumbing
     "multimodal_inventory",
     "video_frame_sample",

@@ -136,3 +136,54 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_trans"),
                  (F.sum("gap_us").cast("double")
                   / F.count(F.lit(1))).alias("avg_gap_us")))
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "training_order",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS k
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, n_chars, k,
+             CAST((CASE substring(k, 1, 1)
+                     WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12
+                     WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
+                     ELSE CAST(substring(k, 1, 1) AS INT) END)
+                  % {_N_SHARDS} AS INT) AS shard
+      FROM keyed)
+    SELECT shard, doc_id,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos,
+           n_chars
+    FROM sharded
+    """,
+    doc=(
+        "reproducible global training order + shard assignment (what a "
+        "trainer's data loader consumes): every document gets a "
+        "deterministic pseudo-random key md5(doc_id||':epoch0') — "
+        "change the epoch tag and the whole order reshuffles "
+        "reproducibly, with no rand() and no driver coordination — a "
+        f"shard in [0, {_N_SHARDS}) from the key's first hex nibble, "
+        "and a dense position within its shard (row_number over the "
+        "key). One hash-partitioned exchange on shard; each shard "
+        "sorts independently, so at 100 TB the global shuffle is "
+        "N_SHARDS independent sorts (one per loader worker), never a "
+        "single total order. Stable under re-runs and engines: the "
+        "oracle reproduces the identical order bit-for-bit."
+    ),
+)
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0")))
+    keyed = docs.select("doc_id", "n_chars", k.alias("k"))
+    shard = (F.conv(F.substring("k", 1, 1), 16, 10).cast("int")
+             % _N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (keyed.withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select("shard", "doc_id", "pos", "n_chars"))

@@ -657,3 +657,88 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("content_hash", F.col("doc_id").alias("keeper_id"),
                     "lang", "source",
                     F.col("n_chars").alias("kept_chars"), "n_copies"))
+
+
+_SPAN_SEG = 8          # tokens per segment
+_SPAN_MIN_DF = 3       # segment is boilerplate at >= this many docs
+
+
+@query(
+    "dedup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t)/{_SPAN_SEG}.0) AS BIGINT)))
+               AS i
+      FROM toks),
+    segs AS (
+      SELECT doc_id, i,
+             array_to_string(
+               t[(i*{_SPAN_SEG}+1):(i*{_SPAN_SEG}+{_SPAN_SEG})], ' ')
+               AS seg
+      FROM idx),
+    freq AS (
+      SELECT md5(seg) AS h, count(DISTINCT doc_id) AS df
+      FROM segs GROUP BY 1),
+    kept AS (
+      SELECT s.doc_id, s.i, s.seg
+      FROM segs s JOIN freq f ON md5(s.seg) = f.h
+      WHERE f.df < {_SPAN_MIN_DF}),
+    reb AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+             count(*) AS kept_segs
+      FROM kept GROUP BY doc_id),
+    tot AS (
+      SELECT doc_id, CAST(ceil(len(t)/{_SPAN_SEG}.0) AS BIGINT)
+               AS total_segs
+      FROM toks)
+    SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           CAST(coalesce(r.kept_segs, 0) AS BIGINT) AS kept_segs,
+           t.total_segs
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    doc=(
+        "corpus-wide duplicated-span removal (the CCNet/RefinedWeb "
+        "boilerplate pass, generalized from newline-lines to fixed "
+        f"{_SPAN_SEG}-token segments for whitespace corpora): segment "
+        "every document, count each segment's distinct-document "
+        f"frequency, drop segments appearing in >= {_SPAN_MIN_DF} "
+        "docs, reassemble the survivors in order. Frequencies are "
+        "computed and joined on md5(segment) so the wide exchanges "
+        "carry 16-byte digests, not text; the rebuild groups by "
+        "doc_id with an in-array sort — order restored without a "
+        "global sort. A doc that is ALL boilerplate survives with "
+        "empty clean_text (left join), so downstream accounting sees "
+        "it was emptied rather than silently losing the row."
+    ),
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(t) / F.lit(float(_SPAN_SEG))).cast("long")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(t, (i * _SPAN_SEG + 1).cast("int"), _SPAN_SEG), " "))
+    segs = (docs.select("doc_id", nseg.alias("total_segs"),
+                        F.posexplode(seg_arr).alias("i", "seg"))
+            .withColumn("h", F.md5("seg")))
+    freq = segs.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("df"))
+    kept = (segs.join(freq, "h")              # reuses the hash partitioning
+            .filter(F.col("df") < _SPAN_MIN_DF))
+    reb = (kept.groupBy("doc_id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "seg"))),
+                        lambda x: x["seg"]), " ").alias("clean_text"),
+                F.count(F.lit(1)).alias("kept_segs")))
+    return (docs.select("doc_id", nseg.alias("total_segs"))
+            .join(reb, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("kept_segs", F.lit(0)).cast("long")
+                    .alias("kept_segs"),
+                    "total_segs"))
