@@ -187,3 +187,71 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_events(spark, sf_dir), bound="1 hour",
         watermark="87600 hours")
     return _drain(spark, joined, mode="append")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           date_trunc('hour', e.ts) AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "STREAMING stream-static enrichment under the value-hash "
+        "oracle: the event stream broadcast-joins a STATIC dimension "
+        "(customer) before the watermarked window agg — the canonical "
+        "100 TB/day topology (facts stream, dims are a table; the dim "
+        "is re-read per micro-batch, so a published dim update is "
+        "picked up without restarting the stream). The static side "
+        "broadcasts: NO state store grows with the dim, and the only "
+        "stateful operator is the downstream window agg keyed by "
+        "(segment, window). Drained availableNow, hash-equal to "
+        "DuckDB's batch join+rollup."
+    ),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    enriched = (_stream_events(spark, sf_dir)
+                .withWatermark("ts", "2 hours")
+                .join(F.broadcast(dim), "user_id")
+                .groupBy(F.col("c_mktsegment").alias("segment"),
+                         F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     dsum("value", 4).alias("sum_value"))
+                .select("segment", F.col("w.start").alias("window_start"),
+                        "n_events", "sum_value"))
+    return _drain(spark, enriched)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+    doc=(
+        "STREAMING exactly-once dedup under the value-hash oracle: the "
+        "event source is UNIONED WITH ITSELF (every row delivered "
+        "twice — the at-least-once delivery a real bus gives you) and "
+        "dropDuplicatesWithinWatermark(event_id) collapses redeliveries "
+        "across micro-batches; the drained append output must "
+        "hash-equal the events table with each row EXACTLY once. The "
+        "watermark is what bounds the dedup state store at 100 TB/day: "
+        "a key older than the watermark can be evicted because a "
+        "redelivery that late is dropped by the watermark itself."
+    ),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def leg():
+        return (_stream_events(spark, sf_dir)
+                .select("event_id", "user_id", "event_type", "value", "ts"))
+    doubled = leg().union(leg())
+    deduped = (doubled.withWatermark("ts", "87600 hours")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .drop("ts"))
+    return _drain(spark, deduped, mode="append")
