@@ -43,10 +43,22 @@ def run(sf_dir: str) -> dict:
                 row["err"] = "no_oracle"
             else:
                 ok, msg = compare(spark, sf_dir, q.fn, q.oracle)
-                row.update(rows_match=ok, schema_match=ok, hash_match=ok)
                 if ok:
-                    row["spark_rows"] = row["oracle_rows"] = None
+                    row.update(rows_match=True, schema_match=True,
+                               hash_match=True)
                 else:
+                    # compare() short-circuits schema → rowcount →
+                    # hash: mark the failing dimension False, earlier
+                    # dimensions True, later ones None (unchecked) —
+                    # a value-hash miss must not read as a schema break
+                    if msg.startswith("schema mismatch") or \
+                            msg.startswith("driver-unsafe"):
+                        row["schema_match"] = False
+                    elif msg.startswith("rowcount mismatch"):
+                        row.update(schema_match=True, rows_match=False)
+                    else:
+                        row.update(schema_match=True, rows_match=True,
+                                   hash_match=False)
                     row["err"] = msg[:500]
         except Exception as exc:    # a crash is a red row, not a crash
             row.update(rows_match=False, schema_match=False,

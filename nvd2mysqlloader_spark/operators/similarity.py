@@ -499,10 +499,13 @@ def cosine_candidate_pairs(corpus: DataFrame, threshold: float,
     plans.vector_queries.cosine_near_dup).
     """
     if blocks is None:
-        first = corpus.select(emb_col).first()
-        if first is None:                       # empty corpus: no pairs
-            return _pairs_broadcast(corpus, threshold, id_col, emb_col,
-                                    margin)
+        # dimension probe skips NULL embeddings; an empty (or all-null)
+        # corpus short-circuits to an empty pair set — _pairs_broadcast
+        # would np.stack an empty matrix and crash
+        first = (corpus.select(emb_col)
+                 .where(F.col(emb_col).isNotNull()).first())
+        if first is None:
+            return corpus.sparkSession.createDataFrame([], _PAIR_SCHEMA)
         d = len(first[0])
         eff_rows = effective_block_rows(d, block_rows, block_bytes)
         n = corpus.count()

@@ -123,24 +123,48 @@ def write_upsert_delta(target_path: str, updates: DataFrame,
     from delta.tables import DeltaTable   # import-gated: needs delta-spark
 
     spark = updates.sparkSession
-    if evolve_schema:
-        spark.conf.set(
-            "spark.databricks.delta.schema.autoMerge.enabled", "true")
     if not DeltaTable.isDeltaTable(spark, target_path):
+        # refuse to clobber a NON-Delta table that already has content
+        # (e.g. a warehouse built by the versioned-parquet emulation
+        # before delta-spark was installed): the first-write overwrite
+        # below would silently drop every previously merged row.
+        # Migrate explicitly (CONVERT TO DELTA / rewrite) first.
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath) and fs.listStatus(jpath):
+            raise ValueError(
+                f"write_upsert_delta: {target_path!r} exists and is not "
+                "a Delta table — refusing to overwrite; convert the "
+                "existing table to Delta (or point at a fresh path)")
         w = updates.write.format("delta").mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(target_path)
         return
-    t = DeltaTable.forPath(spark, target_path)
-    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
-    m = t.alias("t").merge(updates.alias("s"), cond)
-    if order_col is not None:
-        m = m.whenMatchedUpdateAll(
-            condition=f"s.`{order_col}` >= t.`{order_col}`")
-    else:
-        m = m.whenMatchedUpdateAll()
-    m.whenNotMatchedInsertAll().execute()
+    automerge_key = "spark.databricks.delta.schema.autoMerge.enabled"
+    prev = spark.conf.get(automerge_key, None)
+    if evolve_schema:
+        spark.conf.set(automerge_key, "true")
+    try:
+        t = DeltaTable.forPath(spark, target_path)
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        m = t.alias("t").merge(updates.alias("s"), cond)
+        if order_col is not None:
+            m = m.whenMatchedUpdateAll(
+                condition=f"s.`{order_col}` >= t.`{order_col}`")
+        else:
+            m = m.whenMatchedUpdateAll()
+        m.whenNotMatchedInsertAll().execute()
+    finally:
+        # session conf restored: one evolving merge must not silently
+        # relax every later strict merge in the session
+        if evolve_schema:
+            if prev is None:
+                spark.conf.unset(automerge_key)
+            else:
+                spark.conf.set(automerge_key, prev)
 
 
 def write_upsert_parquet(target_path: str, updates: DataFrame,

@@ -65,13 +65,19 @@ def record_guesses(spark: SparkSession, warehouse: str,
     """Append (cve_id, guessDate) audit rows — populating the
     reference's aspirational guessing audit (nvd.sql:88-94) the same
     way ingest populates update_history (append-only, wall-clock
-    stamp)."""
+    stamp). The ``guess_history`` temp view is re-registered over the
+    appended files afterwards — a parquet read pins its file listing,
+    so without the refresh ``guess_candidates`` in the same session
+    would keep returning the just-recorded CVEs (and a repeated call
+    would append duplicate audit rows)."""
     from pyspark.sql import functions as F
+    path = f"{warehouse}/guess_history"
     (cve_ids.select(
         "cve_id",
         F.date_format(F.current_timestamp(),
                       "yyyy-MM-dd'T'HH:mm:ss").alias("guessDate"))
-     .write.mode("append").parquet(f"{warehouse}/guess_history"))
+     .write.mode("append").parquet(path))
+    spark.read.parquet(path).createOrReplaceTempView("guess_history")
 
 
 def cve_tally(spark: SparkSession) -> DataFrame:

@@ -361,3 +361,21 @@ def test_pq_query_side_bounded_and_chunk_invariant(spark):
     tiny = sorted(map(tuple, pq_topk(emb, queries, k=5,
                                      gather_bytes=1).collect()))
     assert full == tiny and full
+
+
+def test_cosine_pairs_empty_and_allnull_corpus(spark):
+    """Review finding r5: the auto-blocks dimension probe must not
+    crash on an empty or all-null-embedding corpus — both yield an
+    empty pair set."""
+    from pyspark.sql import types as T
+
+    from nvd2mysqlloader_spark.operators.similarity import (
+        cosine_candidate_pairs)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    empty = spark.createDataFrame([], schema)
+    assert cosine_candidate_pairs(empty, 0.5).count() == 0
+    allnull = spark.createDataFrame([(1, None), (2, None)], schema)
+    assert cosine_candidate_pairs(allnull, 0.5).count() == 0

@@ -118,7 +118,13 @@ def test_guess_history_candidates_and_audit(spark, warehouse):
     assert n >= 1
     assert all(r.cve_id for r in cands.collect())
 
+    # record_guesses refreshes the view itself: NO re-register needed —
+    # a stale parquet file listing here would hand back the recorded
+    # CVE as a candidate again (review finding, round 5)
     record_guesses(spark, warehouse, cands.select("cve_id").limit(1))
-    register_nvd_views(spark, warehouse)
     assert spark.table("guess_history").count() == 1
     assert guess_candidates(spark).count() == n - 1
+    # and a second record over the remaining candidates empties the set
+    record_guesses(spark, warehouse, guess_candidates(spark))
+    assert guess_candidates(spark).count() == 0
+    assert spark.table("guess_history").count() == n
