@@ -509,3 +509,35 @@ def test_udtf_runs_in_python_worker_no_shuffle(spark):
     p = plan_of(spark, "udtf_word_trigrams")
     assert "PythonUDTF" in p or "Generate" in p
     assert "Exchange" not in p
+
+
+def _shuffles(p: str) -> int:
+    """Count SHUFFLE exchanges in a formatted plan (each node appears
+    twice — tree line and detail header — so count detail headers;
+    BroadcastExchange headers don't match)."""
+    import re
+    return len(re.findall(r"^\(\d+\) Exchange$", p, re.M))
+
+
+def test_training_order_single_exchange(spark):
+    """PLANS.md: one hash exchange total (on shard) — the shard sorts
+    are independent per-partition sorts, never a global total order."""
+    p = plan_of(spark, "training_order")
+    assert _shuffles(p) == 1, p
+    assert "hashpartitioning(shard" in p, p
+    assert "rangepartitioning" not in p.lower()       # no global sort
+
+
+def test_dedup_spans_digest_exchanges_and_no_text_shuffle(spark):
+    """PLANS.md: the distinct-doc frequency count shuffles on the
+    16-byte digest ((h,doc_id) partial then h — the two-phase
+    count-distinct), the rebuild shuffles on doc_id, and the frequency
+    filter join broadcasts at this SF (digest-keyed shuffle join at
+    scale) — at no point is a partitioning keyed on document TEXT."""
+    p = plan_of(spark, "dedup_spans")
+    assert _shuffles(p) <= 4, p
+    assert "hashpartitioning(h" in p, p               # digest-keyed
+    assert "hashpartitioning(doc_id" in p, p          # id-keyed rebuild
+    import re
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in keys and "seg#" not in keys, keys

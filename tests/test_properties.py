@@ -123,3 +123,51 @@ def test_versioned_upsert_matches_dict_model(spark, tmp_path_factory,
         got = {r.k: (r.year, r.x)
                for r in spark.read.parquet(path).collect()}
         assert got == {k: (2019 + k % 3, x) for k, x in model.items()}
+
+
+def test_dedup_spans_partitioning_invariant(spark):
+    """The duplicated-span pass is deterministic under physical layout:
+    repartitioning the input (different segment arrival order at the
+    frequency count and rebuild) yields the identical row set."""
+    from nvd2mysqlloader_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(tuple, QUERIES["dedup_spans"].fn(spark, sf).collect()))
+
+    from nvd2mysqlloader_spark.plans.text_queries import dedup_spans
+    import nvd2mysqlloader_spark.plans.text_queries as tq
+
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .repartition(7, "source"))
+    # same logical plan over the repartitioned input
+    orig_load = tq.load_table
+    try:
+        tq.load_table = lambda s, d, t: docs if t == "documents" \
+            else orig_load(s, d, t)
+        alt = sorted(map(tuple, dedup_spans(spark, sf).collect()))
+    finally:
+        tq.load_table = orig_load
+    assert alt == base and base
+
+
+def test_training_order_input_order_invariant(spark):
+    """The training order depends only on (doc_id, epoch tag) — never
+    on input row order or partitioning: a shuffled, repartitioned
+    input reproduces the identical (shard, pos) for every doc."""
+    from nvd2mysqlloader_spark.plans import QUERIES
+    from nvd2mysqlloader_spark.plans.sampling_queries import training_order
+    import nvd2mysqlloader_spark.plans.sampling_queries as sq
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(tuple, QUERIES["training_order"].fn(spark, sf).collect()))
+
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .orderBy(F.desc("n_chars")).repartition(5))
+    orig_load = sq.load_table
+    try:
+        sq.load_table = lambda s, d, t: docs if t == "documents" \
+            else orig_load(s, d, t)
+        alt = sorted(map(tuple, training_order(spark, sf).collect()))
+    finally:
+        sq.load_table = orig_load
+    assert alt == base and base
