@@ -324,3 +324,116 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
                                   order_col=order_col)
     merged.write.mode("overwrite").parquet(vdir)
     table_io.publish_version(target_path, vdir)
+
+
+def write_delete_parquet(target_path: str, delete_keys: DataFrame,
+                         keys: Sequence[str],
+                         partition_by: Sequence[str] | None = None) -> int:
+    """Row deletion against the versioned parquet table — the MERGE
+    family's ``WHEN MATCHED THEN DELETE`` arm, the operation a
+    training-data warehouse needs for GDPR / opt-out / takedown
+    removal (the reference never deletes — REPLACE-only semantics,
+    nvd2mysqlloader.py:449-486 — so this is a match-and-exceed op).
+
+    Returns the number of rows removed. Same snapshot protocol as
+    ``write_upsert_parquet``: the anti-joined survivors are written to
+    a FRESH version directory and published with one atomic pointer
+    flip — readers see the complete old table or the complete new one.
+    Zero matches ⇒ no new version at all (a no-op delete publishes
+    nothing, so repeated replays of the same tombstone batch are
+    idempotent AND cheap).
+
+    With ``partition_by``, the rewrite is **partition-selective** even
+    though delete keys carry no partition column: one semi-join pass
+    finds the partitions that actually contain hits (a tiny distinct —
+    bounded by the partition count), only those partitions are
+    anti-join-rewritten, untouched partitions carry over as hardlinks.
+    At 100 TB deleting a handful of documents rewrites a handful of
+    partitions, not the table. Emptied partitions simply vanish from
+    the new version.
+    """
+    from . import table_io
+
+    spark = delete_keys.sparkSession
+    target_path = target_path.rstrip("/")
+    cur = table_io.current_version(target_path)
+    if cur is None:
+        return 0                     # nothing on disk: nothing to delete
+    try:
+        target = spark.read.parquet(cur)        # version-pinned
+    except AnalysisException:
+        return 0
+    # no broadcast hint: GDPR-size tombstone batches broadcast via AQE
+    # on their own; a bulk purge (millions of keys) correctly falls
+    # back to a shuffle join instead of OOMing executors
+    kdf = delete_keys.select(*keys).distinct()
+    hits = target.join(kdf, on=list(keys), how="left_semi")
+
+    table_io.ensure_versioned(target_path)
+    table_io.cleanup_stale(target_path)
+
+    if partition_by:
+        # ONE action finds the affected partitions AND the delete
+        # count (bounded collect: one row per affected partition)
+        per_part = hits.groupBy(*partition_by).count().collect()
+        if not per_part:
+            return 0
+        affected = [tuple(r)[:-1] for r in per_part]
+        n_deleted = sum(r["count"] for r in per_part)
+        pred = None
+        for vals in affected:
+            clause = F.lit(True)
+            for c, v in zip(partition_by, vals):
+                clause = clause & F.col(c).eqNullSafe(F.lit(v))
+            pred = clause if pred is None else (pred | clause)
+        vdir = table_io.next_version_dir(target_path)
+        survivors = (target.filter(pred)
+                     .join(kdf, on=list(keys), how="left_anti")
+                     .repartition(*[F.col(c) for c in partition_by]))
+        survivors.write.mode("overwrite") \
+            .partitionBy(*partition_by).parquet(vdir)
+        import os
+        written = set(table_io.leaf_partition_dirs(vdir))
+        for rel in table_io.leaf_partition_dirs(cur):
+            # carry over only partitions NOT selected for rewrite: an
+            # affected partition the survivors write emptied wrote no
+            # dir and must stay gone, not resurrect via hardlink
+            if rel not in written and \
+                    not _partition_matches(rel, partition_by, affected):
+                table_io.link_tree(os.path.join(cur, rel),
+                                   os.path.join(vdir, rel))
+        table_io.publish_version(target_path, vdir)
+        return n_deleted
+
+    n_deleted = hits.count()
+    if n_deleted == 0:
+        return 0
+    vdir = table_io.next_version_dir(target_path)
+    target.join(kdf, on=list(keys), how="left_anti") \
+        .write.mode("overwrite").parquet(vdir)
+    table_io.publish_version(target_path, vdir)
+    return n_deleted
+
+
+def _partition_matches(rel: str, partition_by: Sequence[str],
+                       affected: list[tuple]) -> bool:
+    """True if a relative partition path (Hive ``col=value/...``
+    layout, Spark's own escaping) matches one of the affected value
+    tuples. Values were written by Spark, so the first '=' splits each
+    segment cleanly and URL-unescaping recovers the raw value."""
+    parts = dict(seg.split("=", 1) for seg in rel.split("/")
+                 if "=" in seg)
+    for vals in affected:
+        if all(_escape_matches(parts.get(c), v)
+               for c, v in zip(partition_by, vals)):
+            return True
+    return False
+
+
+def _escape_matches(dir_value: str | None, value) -> bool:
+    if dir_value is None:
+        return False
+    if value is None:
+        return dir_value == "__HIVE_DEFAULT_PARTITION__"
+    from urllib.parse import unquote
+    return unquote(dir_value) == str(value)

@@ -549,3 +549,63 @@ def test_delta_native_merge(spark, tmp_path):
     got = {(r.k, r.v) for r in
            spark.read.format("delta").load(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_delete_rows_partition_selective(spark, tmp_path):
+    """write_delete_parquet: the MERGE family's DELETE arm (GDPR /
+    takedown removal). Partition-selective: only partitions containing
+    hits are rewritten; untouched ones carry over byte-identical; an
+    emptied partition vanishes instead of resurrecting via hardlink;
+    a miss-only tombstone batch publishes NOTHING (idempotent replay);
+    time travel still reads the pre-delete version."""
+    from nvd2mysqlloader_spark.operators import table_io
+    from nvd2mysqlloader_spark.operators.upsert import write_delete_parquet
+
+    path = str(tmp_path / "docs")
+    base = spark.createDataFrame(
+        [("CVE-2020-1", 2020, "a"), ("CVE-2020-2", 2020, "b"),
+         ("CVE-2021-1", 2021, "c"), ("CVE-2022-1", 2022, "d")],
+        ["cve_id", "published_year", "summary"])
+    write_upsert_parquet(path, base, ["cve_id"],
+                         partition_by=["published_year"])
+    before_2020 = _files(path, "published_year=2020")
+    before_2021 = _files(path, "published_year=2021")
+
+    # delete one 2020 row and the ONLY 2022 row (empties the partition)
+    tomb = spark.createDataFrame(
+        [("CVE-2020-2",), ("CVE-2022-1",), ("CVE-1999-404",)], ["cve_id"])
+    n = write_delete_parquet(path, tomb, ["cve_id"],
+                             partition_by=["published_year"])
+    assert n == 2
+    got = {r.cve_id for r in spark.read.parquet(path).collect()}
+    assert got == {"CVE-2020-1", "CVE-2021-1"}
+    # 2021 untouched (same files/mtimes), 2020 rewritten, 2022 gone
+    assert _files(path, "published_year=2021") == before_2021
+    assert _files(path, "published_year=2020") != before_2020
+    assert not os.path.exists(os.path.join(
+        table_io.current_version(path), "published_year=2022"))
+    # time travel: previous version still has all 4 rows
+    assert table_io.read_version(spark, path, 1).count() == 4
+
+    # miss-only batch: no new version, count 0
+    v_before = table_io.current_version(path)
+    assert write_delete_parquet(
+        path, spark.createDataFrame([("CVE-404",)], ["cve_id"]),
+        ["cve_id"], partition_by=["published_year"]) == 0
+    assert table_io.current_version(path) == v_before
+
+
+def test_delete_rows_unpartitioned(spark, tmp_path):
+    from nvd2mysqlloader_spark.operators.upsert import write_delete_parquet
+
+    path = str(tmp_path / "t")
+    write_upsert_parquet(
+        path, spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                    ["k", "v"]), ["k"])
+    assert write_delete_parquet(
+        path, spark.createDataFrame([(2,), (9,)], ["k"]), ["k"]) == 1
+    assert {r.k for r in spark.read.parquet(path).collect()} == {1, 3}
+    # table that never existed: 0, no crash
+    assert write_delete_parquet(
+        str(tmp_path / "nope"),
+        spark.createDataFrame([(1,)], ["k"]), ["k"]) == 0
