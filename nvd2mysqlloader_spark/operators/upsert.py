@@ -112,8 +112,11 @@ def write_upsert_delta(target_path: str, updates: DataFrame,
     Same contract as the emulation: matched → update (conditionally on
     ``order_col`` so a stale batch cannot overwrite a fresher row),
     not-matched → insert; first write creates the table with the given
-    partitioning. Null-safe key equality (``<=>``) matches the
-    emulation's join semantics; ``evolve_schema`` maps to Delta's
+    partitioning. Plain key equality (``=``) matches the emulation's
+    join semantics — and MySQL REPLACE-over-UNIQUE-key parity, where
+    NULL keys never match and every NULL-key batch row inserts (use
+    ``write_delete_parquet`` — null-safe by design — to remove
+    NULL-keyed rows); ``evolve_schema`` maps to Delta's
     ``schema.autoMerge``. Partition-selective rewrite, snapshot
     isolation, time travel, and VACUUM come from the format itself —
     this is exactly the pointer-swap protocol operators.table_io
@@ -149,7 +152,7 @@ def write_upsert_delta(target_path: str, updates: DataFrame,
         spark.conf.set(automerge_key, "true")
     try:
         t = DeltaTable.forPath(spark, target_path)
-        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
         m = t.alias("t").merge(updates.alias("s"), cond)
         if order_col is not None:
             m = m.whenMatchedUpdateAll(
@@ -278,16 +281,9 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
                             .distinct().collect()]
                 if not affected:        # empty batch against an existing
                     return              # table: nothing to merge or publish
-                pred = None
-                for vals in affected:
-                    clause = F.lit(True)
-                    for c, v in zip(partition_by, vals):
-                        # eqNullSafe: a null partition value must still
-                        # select its (__HIVE_DEFAULT_PARTITION__) slice
-                        clause = clause & F.col(c).eqNullSafe(F.lit(v))
-                    pred = clause if pred is None else (pred | clause)
-                merged = merge_upsert(target_all.filter(pred), updates,
-                                      keys, order_col=order_col)
+                merged = merge_upsert(
+                    target_all.filter(_affected_pred(partition_by, affected)),
+                    updates, keys, order_col=order_col)
         if merged is None:
             merged = updates
         # cluster rows by the partition key before the partitioned
@@ -326,6 +322,21 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     table_io.publish_version(target_path, vdir)
 
 
+def _affected_pred(partition_by: Sequence[str],
+                   affected: list[tuple]) -> Column:
+    """Filter predicate selecting the given partition-value tuples.
+    eqNullSafe: a null partition value must still select its
+    (``__HIVE_DEFAULT_PARTITION__``) slice. Shared by the selective
+    upsert and selective delete so the subtlety lives once."""
+    pred = None
+    for vals in affected:
+        clause = F.lit(True)
+        for c, v in zip(partition_by, vals):
+            clause = clause & F.col(c).eqNullSafe(F.lit(v))
+        pred = clause if pred is None else (pred | clause)
+    return pred
+
+
 def write_delete_parquet(target_path: str, delete_keys: DataFrame,
                          keys: Sequence[str],
                          partition_by: Sequence[str] | None = None) -> int:
@@ -352,6 +363,8 @@ def write_delete_parquet(target_path: str, delete_keys: DataFrame,
     partitions, not the table. Emptied partitions simply vanish from
     the new version.
     """
+    import os
+
     from . import table_io
 
     spark = delete_keys.sparkSession
@@ -363,45 +376,65 @@ def write_delete_parquet(target_path: str, delete_keys: DataFrame,
         target = spark.read.parquet(cur)        # version-pinned
     except AnalysisException:
         return 0
-    # no broadcast hint: GDPR-size tombstone batches broadcast via AQE
+    # NULL-SAFE key match (<=>): a NULL tombstone key targets
+    # NULL-keyed rows — a removal tool must be able to reach e.g.
+    # quarantined malformed records, which plain '=' would silently
+    # skip. (The UPSERT emulation deliberately keeps plain equality:
+    # MySQL REPLACE/UNIQUE-key parity, where NULL keys never match.)
+    # No broadcast hint: GDPR-size tombstone batches broadcast via AQE
     # on their own; a bulk purge (millions of keys) correctly falls
-    # back to a shuffle join instead of OOMing executors
-    kdf = delete_keys.select(*keys).distinct()
-    hits = target.join(kdf, on=list(keys), how="left_semi")
+    # back to a shuffle join instead of OOMing executors.
+    kdf = delete_keys.select(*keys).distinct().alias("s")
+    # the source file is captured AT THE SCAN as a real column:
+    # input_file_name() evaluated after the join exchange would return
+    # '' — the value must travel with the row
+    t = target.withColumn("__f", F.input_file_name()).alias("t")
+    on = None
+    for k in keys:
+        c = F.col(f"t.`{k}`").eqNullSafe(F.col(f"s.`{k}`"))
+        on = c if on is None else (on & c)
+    hits = t.join(kdf, on, "left_semi")
 
     table_io.ensure_versioned(target_path)
     table_io.cleanup_stale(target_path)
 
     if partition_by:
-        # ONE action finds the affected partitions AND the delete
-        # count (bounded collect: one row per affected partition)
-        per_part = hits.groupBy(*partition_by).count().collect()
+        # ONE action finds the affected partition VALUES (for the
+        # pruned rewrite filter), the delete count, and — straight from
+        # Spark itself via input_file_name — the affected partition
+        # DIRECTORIES for the hardlink exclusion. Reconstructing dir
+        # names from the values is NOT safe: Spark's partition-path
+        # rendering differs from Python str() (1e-8 → 'w=1.0E-8',
+        # fractional timestamps, …), and a mismatch would hardlink an
+        # emptied partition back in — a delete that reports success
+        # while the data survives.
+        per_part = (hits.groupBy(*partition_by)
+                    .agg(F.count(F.lit(1)).alias("__n"),
+                         F.collect_set("__f").alias("__files"))
+                    .collect())
         if not per_part:
             return 0
-        affected = [tuple(r)[:-1] for r in per_part]
-        n_deleted = sum(r["count"] for r in per_part)
-        pred = None
-        for vals in affected:
-            clause = F.lit(True)
-            for c, v in zip(partition_by, vals):
-                clause = clause & F.col(c).eqNullSafe(F.lit(v))
-            pred = clause if pred is None else (pred | clause)
+        affected = [tuple(r)[:len(partition_by)] for r in per_part]
+        n_deleted = sum(r["__n"] for r in per_part)
+        cur_real = os.path.realpath(cur)
+        affected_dirs = {
+            os.path.relpath(os.path.dirname(_uri_to_path(f)), cur_real)
+            for r in per_part for f in r["__files"]}
         vdir = table_io.next_version_dir(target_path)
-        survivors = (target.filter(pred)
-                     .join(kdf, on=list(keys), how="left_anti")
+        survivors = (target.filter(_affected_pred(partition_by, affected))
+                     .alias("t").join(kdf, on, "left_anti")
                      .repartition(*[F.col(c) for c in partition_by]))
         survivors.write.mode("overwrite") \
             .partitionBy(*partition_by).parquet(vdir)
-        import os
         written = set(table_io.leaf_partition_dirs(vdir))
         for rel in table_io.leaf_partition_dirs(cur):
             # carry over only partitions NOT selected for rewrite: an
             # affected partition the survivors write emptied wrote no
             # dir and must stay gone, not resurrect via hardlink
-            if rel not in written and \
-                    not _partition_matches(rel, partition_by, affected):
+            if rel not in written and rel not in affected_dirs:
                 table_io.link_tree(os.path.join(cur, rel),
                                    os.path.join(vdir, rel))
+        _ensure_readable(spark, vdir, target)
         table_io.publish_version(target_path, vdir)
         return n_deleted
 
@@ -409,31 +442,30 @@ def write_delete_parquet(target_path: str, delete_keys: DataFrame,
     if n_deleted == 0:
         return 0
     vdir = table_io.next_version_dir(target_path)
-    target.join(kdf, on=list(keys), how="left_anti") \
+    target.alias("t").join(kdf, on, "left_anti") \
         .write.mode("overwrite").parquet(vdir)
     table_io.publish_version(target_path, vdir)
     return n_deleted
 
 
-def _partition_matches(rel: str, partition_by: Sequence[str],
-                       affected: list[tuple]) -> bool:
-    """True if a relative partition path (Hive ``col=value/...``
-    layout, Spark's own escaping) matches one of the affected value
-    tuples. Values were written by Spark, so the first '=' splits each
-    segment cleanly and URL-unescaping recovers the raw value."""
-    parts = dict(seg.split("=", 1) for seg in rel.split("/")
-                 if "=" in seg)
-    for vals in affected:
-        if all(_escape_matches(parts.get(c), v)
-               for c, v in zip(partition_by, vals)):
-            return True
-    return False
+def _uri_to_path(f: str) -> str:
+    """``input_file_name()`` returns a (possibly percent-encoded) URI;
+    recover the local filesystem path."""
+    from urllib.parse import unquote, urlparse
+    if "://" in f or f.startswith("file:"):
+        return unquote(urlparse(f).path)
+    return f
 
 
-def _escape_matches(dir_value: str | None, value) -> bool:
-    if dir_value is None:
-        return False
-    if value is None:
-        return dir_value == "__HIVE_DEFAULT_PARTITION__"
-    from urllib.parse import unquote
-    return unquote(dir_value) == str(value)
+def _ensure_readable(spark, vdir: str, target: DataFrame) -> None:
+    """A partitioned write whose every partition emptied produces a
+    directory with no parquet files — unreadable (schema cannot be
+    inferred) for every subsequent reader. Publish a schema-bearing
+    empty table instead, as the unpartitioned write path does
+    naturally."""
+    import glob as _glob
+    import os
+    if not _glob.glob(os.path.join(vdir, "**", "*.parquet"),
+                      recursive=True):
+        spark.createDataFrame([], target.schema) \
+            .write.mode("overwrite").parquet(vdir)

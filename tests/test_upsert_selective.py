@@ -609,3 +609,68 @@ def test_delete_rows_unpartitioned(spark, tmp_path):
     assert write_delete_parquet(
         str(tmp_path / "nope"),
         spark.createDataFrame([(1,)], ["k"]), ["k"]) == 0
+
+
+def test_delete_rows_legacy_plain_directory(spark, tmp_path):
+    """A table written as a plain parquet dir (pre-versioned layout)
+    is migrated in place and deleted from correctly."""
+    from nvd2mysqlloader_spark.operators.upsert import write_delete_parquet
+
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]) \
+        .write.parquet(path)
+    assert write_delete_parquet(
+        path, spark.createDataFrame([(1,)], ["k"]), ["k"]) == 1
+    assert {r.k for r in spark.read.parquet(path).collect()} == {2}
+
+
+def test_delete_partition_dir_rendering_not_reconstructed(spark, tmp_path):
+    """Review r5 #1 (confirmed repro): Spark renders a double partition
+    value 1e-8 as dir 'w=1.0E-8' while str() gives '1e-08' — affected
+    dirs must come from Spark itself (input_file_name), or the emptied
+    partition hardlinks back and the delete silently fails."""
+    from nvd2mysqlloader_spark.operators.upsert import write_delete_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1e-8, "a"), (2, 1e-8, "b"), (3, 0.5, "c")], ["k", "w", "v"])
+    write_upsert_parquet(path, df, ["k"], partition_by=["w"])
+    n = write_delete_parquet(
+        path, spark.createDataFrame([(1,), (2,)], ["k"]), ["k"],
+        partition_by=["w"])
+    assert n == 2
+    assert {r.k for r in spark.read.parquet(path).collect()} == {3}
+
+
+def test_delete_everything_partitioned_table_stays_readable(spark, tmp_path):
+    """Review r5 #2 (confirmed repro): deleting every row of a
+    partitioned table must publish a schema-bearing EMPTY table, not a
+    directory no reader can infer a schema from."""
+    from nvd2mysqlloader_spark.operators.upsert import write_delete_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2020), (2, 2021)], ["k", "y"])
+    write_upsert_parquet(path, df, ["k"], partition_by=["y"])
+    n = write_delete_parquet(
+        path, spark.createDataFrame([(1,), (2,)], ["k"]), ["k"],
+        partition_by=["y"])
+    assert n == 2
+    out = spark.read.parquet(path)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "y"}
+
+
+def test_delete_null_keyed_rows(spark, tmp_path):
+    """Review r5 #3: a NULL tombstone key targets NULL-keyed rows
+    (null-safe <=> match) — a removal tool must reach quarantined
+    malformed records that plain '=' would silently skip."""
+    from nvd2mysqlloader_spark.operators.upsert import write_delete_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(None, "bad"), (2, "b"), (3, "c")],
+                               "k int, v string")
+    write_upsert_parquet(path, df, ["k"])
+    n = write_delete_parquet(
+        path, spark.createDataFrame([(None,), (3,)], "k int"), ["k"])
+    assert n == 2
+    assert {r.v for r in spark.read.parquet(path).collect()} == {"b"}
