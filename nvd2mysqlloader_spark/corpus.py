@@ -10,6 +10,9 @@ dropped row).
       3. exact dedup         (normalized fingerprint, keep longest)
       4. near-dup dedup      (MinHash+LSH candidates → connected
                               components → keep min-id per cluster)
+      4b. span removal       (opt-in ``span_min_df``: corpus-wide
+                              duplicated-segment boilerplate pass;
+                              fully-boilerplate docs dropped)
       5. decontamination     (drop docs sharing 5-grams with the
                               md5-prefix holdout — eval-set hygiene)
       6. PII scrub           (emails / IPv4s / phone numbers)
@@ -43,7 +46,9 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                   near_dup_threshold: float = 0.5,
                   holdout_prefix: str = "10",
                   ngram: int = 5,
-                  shards: int = 8) -> dict:
+                  shards: int = 8,
+                  span_min_df: int | None = None,
+                  span_seg_tokens: int = 8) -> dict:
     """Run the full curation pipeline over ``docs`` (needs doc_id,
     text, lang); export survivors to ``out_dir``; return per-stage row
     counts plus the export manifest.
@@ -118,6 +123,25 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                      .select(F.col("id").alias("doc_id"))
         near = _stage(exact.join(losers, "doc_id", "left_anti"))
         stats["after_near_dedup"] = near.count()
+
+        # 4b. (opt-in) corpus-wide duplicated-span removal — the
+        # CCNet-style boilerplate pass AFTER document-level dedup (a
+        # span shared only among copies of one document is not
+        # boilerplate) and BEFORE decontamination (the probe should
+        # see the text that will actually be trained on). Docs whose
+        # every segment was boilerplate are dropped here, counted
+        # separately from the rewrite.
+        if span_min_df is not None:
+            from .operators.dedup import remove_duplicated_spans
+            cleaned = remove_duplicated_spans(
+                near, seg_tokens=span_seg_tokens, min_df=span_min_df)
+            near = _stage(
+                near.drop("text")
+                .join(cleaned.filter(F.col("kept_segs") > 0)
+                      .select("doc_id",
+                              F.col("clean_text").alias("text")),
+                      "doc_id"))
+            stats["after_span_dedup"] = near.count()
 
         # 5. decontamination — md5-prefix holdout is the eval set;
         # drop training docs sharing any word n-gram with it. Semi-

@@ -312,3 +312,52 @@ def incremental_minhash_candidates(spark, sig_path: str,
                            lambda v: v)).cast("double") / num_perm)
     return (probe.select("new_id", "old_id", est.alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold))
+
+
+def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            seg_tokens: int = 8,
+                            min_df: int = 3) -> DataFrame:
+    """Corpus-wide duplicated-span removal — the CCNet/RefinedWeb
+    boilerplate pass, generalized from newline-lines to fixed
+    ``seg_tokens``-token segments for whitespace corpora.
+
+    Segment every document, count each segment's distinct-document
+    frequency, drop segments appearing in >= ``min_df`` docs, and
+    reassemble the survivors in order. Returns (id_col, clean_text,
+    kept_segs, total_segs); a document that was ALL boilerplate
+    survives with empty ``clean_text`` so downstream accounting sees
+    it was emptied rather than silently losing the row.
+
+    Plan shape (pinned in tests/test_plans.py via the ``dedup_spans``
+    registry twin): the corpus-wide frequency count shuffles on the
+    16-byte md5 digest of the segment — never the text — and the
+    rebuild shuffles surviving segments on ``id_col`` (the one
+    irreducible text exchange: reassembled text IS the output).
+    Segment order is restored with an in-array sort per doc, not a
+    global sort.
+    """
+    t = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(t) / F.lit(float(seg_tokens))).cast("long")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(t, (i * seg_tokens + 1).cast("int"), seg_tokens), " "))
+    segs = (docs.select(id_col, F.posexplode(seg_arr).alias("i", "seg"))
+            .withColumn("h", F.md5("seg")))
+    freq = segs.groupBy("h").agg(F.count_distinct(id_col).alias("df"))
+    kept = (segs.join(freq, "h")          # reuses the digest partitioning
+            .filter(F.col("df") < min_df))
+    reb = (kept.groupBy(id_col)
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "seg"))),
+                        lambda x: x["seg"]), " ").alias("clean_text"),
+                F.count(F.lit(1)).alias("kept_segs")))
+    return (docs.select(id_col, nseg.alias("total_segs"))
+            .join(reb, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("kept_segs", F.lit(0)).cast("long")
+                    .alias("kept_segs"),
+                    "total_segs"))

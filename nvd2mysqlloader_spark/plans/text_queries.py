@@ -715,30 +715,7 @@ _SPAN_MIN_DF = 3       # segment is boilerplate at >= this many docs
     ),
 )
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_duplicated_spans
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
-    nseg = F.ceil(F.size(t) / F.lit(float(_SPAN_SEG))).cast("long")
-    seg_arr = F.transform(
-        F.sequence(F.lit(0).cast("long"), nseg - 1),
-        lambda i: F.array_join(
-            F.slice(t, (i * _SPAN_SEG + 1).cast("int"), _SPAN_SEG), " "))
-    segs = (docs.select("doc_id", nseg.alias("total_segs"),
-                        F.posexplode(seg_arr).alias("i", "seg"))
-            .withColumn("h", F.md5("seg")))
-    freq = segs.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("df"))
-    kept = (segs.join(freq, "h")              # reuses the hash partitioning
-            .filter(F.col("df") < _SPAN_MIN_DF))
-    reb = (kept.groupBy("doc_id")
-           .agg(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "seg"))),
-                        lambda x: x["seg"]), " ").alias("clean_text"),
-                F.count(F.lit(1)).alias("kept_segs")))
-    return (docs.select("doc_id", nseg.alias("total_segs"))
-            .join(reb, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    F.coalesce("kept_segs", F.lit(0)).cast("long")
-                    .alias("kept_segs"),
-                    "total_segs"))
+    return remove_duplicated_spans(docs, seg_tokens=_SPAN_SEG,
+                                   min_df=_SPAN_MIN_DF)

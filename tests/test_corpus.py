@@ -122,3 +122,50 @@ def test_tokenize_and_pack_matches_python_twin(spark):
     got2 = {(r["lang"], r["pack_id"]): list(r["doc_ids"])
             for r in rep.collect()}
     assert got2 == {k: v[0] for k, v in got.items()}
+
+
+def test_curate_corpus_span_removal_stage(spark, tmp_path):
+    """Opt-in stage 4b: a boilerplate sentence planted across many
+    docs is scrubbed from the exported text, an all-boilerplate doc is
+    dropped and accounted, and with the flag off the text is
+    untouched."""
+    from nvd2mysqlloader_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    boiler = "subscribe to our newsletter for updates and exclusive offers"
+    assert len(boiler.split()) == 9       # > seg_tokens=8: spans a segment
+    tainted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(boiler + " "), F.col("text")))
+        .otherwise(F.col("text")))
+    # one all-boilerplate doc: its text must consist of the SAME
+    # fixed-offset segments the tainted prefix produces (segmentation
+    # is positional — an offset-shifted repeat would create unique
+    # segments and survive), so take the first 8 tokens = exactly the
+    # two 4-token segments every tainted doc leads with
+    pure = tainted.limit(1).select(
+        F.lit(2_000_000).cast("long").alias("doc_id"),
+        F.lit(" ".join(boiler.split()[:8])).alias("text"),
+        *[c for c in tainted.columns if c not in ("doc_id", "text")])
+    tainted = tainted.unionByName(pure.select(*tainted.columns))
+
+    # holdout disabled (prefix "00") so decontamination cannot also
+    # remove the boilerplate (shared 5-grams with holdout docs would
+    # mask what the span stage did) — span removal is the ONLY
+    # boilerplate remover in this run
+    out = str(tmp_path / "c")
+    stats = curate_corpus(spark, tainted, out, shards=2,
+                          holdout_prefix="00",
+                          span_min_df=3, span_seg_tokens=4)
+    assert stats["after_span_dedup"] <= stats["after_near_dedup"]
+    back = spark.read.json(out)
+    assert back.filter(F.col("text").contains("newsletter")).count() == 0
+    assert back.filter(F.col("doc_id") == 2_000_000).count() == 0
+
+    # flag off: stage absent, boilerplate survives
+    stats2 = curate_corpus(spark, tainted, str(tmp_path / "c2"), shards=2,
+                           holdout_prefix="00")
+    assert "after_span_dedup" not in stats2
+    back2 = spark.read.json(str(tmp_path / "c2"))
+    assert back2.filter(F.col("text").contains("newsletter")).count() > 0
