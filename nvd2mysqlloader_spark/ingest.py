@@ -179,6 +179,39 @@ def _ingest_batch(spark, warehouse, fresh, items, names,
     return stats
 
 
+def purge_rejected(spark: SparkSession, warehouse: str) -> int:
+    """Remove withdrawn CVEs from the warehouse — NVD marks them with
+    a summary beginning ``** REJECT **``; the reference loads and keeps
+    them forever (no delete path exists in its REPLACE-only loop,
+    nvd2mysqlloader.py:448-486). One partition-pruned scan finds the
+    rejected ids; ``write_delete_parquet`` removes them from silver
+    (partition-selective) and bronze with atomic snapshot publishes.
+    Returns the number of CVEs purged. Idempotent: a second run finds
+    nothing and publishes nothing."""
+    import os
+
+    from .operators.upsert import write_delete_parquet
+
+    from .operators._lineage import cut_lineage
+
+    silver_path = f"{warehouse}/nvd"
+    if not os.path.exists(silver_path):
+        return 0
+    # MATERIALIZE the id set before the first delete: a lazy plan
+    # would re-scan silver for the bronze pass — after the silver
+    # purge published, the rejected rows are gone and bronze would
+    # silently keep its copies
+    rejected = cut_lineage(
+        spark.read.parquet(silver_path)
+        .filter(F.col("summary").startswith("** REJECT **"))
+        .select("cve_id"))
+    n = write_delete_parquet(silver_path, rejected, ["cve_id"],
+                             partition_by=["published_year"])
+    if n:
+        write_delete_parquet(f"{warehouse}/nvd_json", rejected, ["cve_id"])
+    return n
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="NVD feed → parquet warehouse ingest")
     ap.add_argument("--landing", required=True, help="dir of feed .json + .meta files")
@@ -188,6 +221,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--children-cpes", action="store_true",
                     help="extract depth-2 children CPEs the reference "
                          "drops (match-and-exceed; default is parity)")
+    ap.add_argument("--purge-rejected", action="store_true",
+                    help="after the load, delete withdrawn "
+                         "('** REJECT **') CVEs from silver and bronze")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -195,6 +231,9 @@ def main(argv: list[str] | None = None) -> int:
     stats = run_ingest(spark, args.landing, args.warehouse,
                        maintain=args.maintain,
                        include_children_cpes=args.children_cpes)
+    if args.purge_rejected:
+        n_purged = purge_rejected(spark, args.warehouse)
+        print(f"rejected CVEs purged: {n_purged}")
     print(f"feeds loaded: {stats['feeds']}  cves in batch: {stats['cves']}")
     print(f"tally before: {stats['tally_before']}  after: {stats['tally_after']}"
           f"  added: {stats['added']}")

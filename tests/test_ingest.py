@@ -219,3 +219,46 @@ def test_corrupt_update_history_raises_not_full_reload(spark, warehouse,
     # still means "load everything"
     fresh = fresh_feeds(spark, DATA, str(tmp_path / "empty_wh"))
     assert fresh.count() == 2
+
+
+def test_purge_rejected_removes_from_silver_and_bronze(spark, tmp_path):
+    """NVD withdraws CVEs with a '** REJECT **' summary; the reference
+    keeps them forever (REPLACE-only, no delete path). purge_rejected
+    removes them from BOTH warehouse tables via the versioned delete
+    (silver partition-selective), idempotently."""
+    import json
+
+    from nvd2mysqlloader_spark.ingest import purge_rejected
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def item(cve_id, summary, year):
+        return {"cve": {"CVE_data_meta": {"ID": cve_id},
+                        "description": {"description_data": [
+                            {"lang": "en", "value": summary}]}},
+                "publishedDate": f"{year}-01-02T00:00Z",
+                "lastModifiedDate": f"{year}-06-01T00:00Z"}
+
+    feed = {"CVE_Items": [
+        item("CVE-2020-0001", "real bug.", 2020),
+        item("CVE-2020-0002",
+             "** REJECT ** DO NOT USE THIS CANDIDATE NUMBER.", 2020),
+        item("CVE-2021-0001", "another real bug.", 2021),
+    ]}
+    (landing / "nvdcve-1.1-2020.json").write_text(json.dumps(feed))
+    (landing / "nvdcve-1.1-2020.meta").write_text(
+        "lastModifiedDate:2021-06-01T00:00:00-04:00\r\nsha256:ab\r\n")
+
+    wh = str(tmp_path / "wh")
+    run_ingest(spark, str(landing), wh)
+    assert purge_rejected(spark, wh) == 1
+    silver = {r.cve_id for r in
+              spark.read.parquet(f"{wh}/nvd").collect()}
+    bronze = {r.cve_id for r in
+              spark.read.parquet(f"{wh}/nvd_json").collect()}
+    assert silver == bronze == {"CVE-2020-0001", "CVE-2021-0001"}
+    # idempotent: second run finds nothing
+    assert purge_rejected(spark, wh) == 0
+    # no warehouse at all: 0, no crash
+    assert purge_rejected(spark, str(tmp_path / "none")) == 0
