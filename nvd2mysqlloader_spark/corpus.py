@@ -132,14 +132,17 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         # every segment was boilerplate are dropped here, counted
         # separately from the rewrite.
         if span_min_df is not None:
-            from .operators.dedup import remove_duplicated_spans
-            cleaned = remove_duplicated_spans(
+            # the survivors aggregate (no doc-spine join-back): the
+            # inner join below drops emptied docs by construction, so
+            # the full operator's accounting columns would cost one
+            # redundant corpus-wide join just to be discarded
+            from .operators.dedup import duplicated_span_survivors
+            cleaned = duplicated_span_survivors(
                 near, seg_tokens=span_seg_tokens, min_df=span_min_df)
             near = _stage(
                 near.drop("text")
-                .join(cleaned.filter(F.col("kept_segs") > 0)
-                      .select("doc_id",
-                              F.col("clean_text").alias("text")),
+                .join(cleaned.select("doc_id",
+                                     F.col("clean_text").alias("text")),
                       "doc_id"))
             stats["after_span_dedup"] = near.count()
 

@@ -197,19 +197,23 @@ def purge_rejected(spark: SparkSession, warehouse: str) -> int:
     silver_path = f"{warehouse}/nvd"
     if not os.path.exists(silver_path):
         return 0
-    # MATERIALIZE the id set before the first delete: a lazy plan
-    # would re-scan silver for the bronze pass — after the silver
-    # purge published, the rejected rows are gone and bronze would
-    # silently keep its copies
+    # MATERIALIZE the id set before any delete: a lazy plan would
+    # re-scan silver for the later pass and find nothing after the
+    # first publish
     rejected = cut_lineage(
         spark.read.parquet(silver_path)
         .filter(F.col("summary").startswith("** REJECT **"))
         .select("cve_id"))
-    n = write_delete_parquet(silver_path, rejected, ["cve_id"],
-                             partition_by=["published_year"])
-    if n:
-        write_delete_parquet(f"{warehouse}/nvd_json", rejected, ["cve_id"])
-    return n
+    if rejected.isEmpty():
+        return 0
+    # bronze FIRST, silver second: the id set is derived from silver,
+    # so a crash between the two publishes must leave silver intact —
+    # the retry rediscovers the ids and finishes bronze+silver. The
+    # reverse order would strand the withdrawn CVEs' raw JSON in
+    # bronze forever (silver purged → nothing to rediscover).
+    write_delete_parquet(f"{warehouse}/nvd_json", rejected, ["cve_id"])
+    return write_delete_parquet(silver_path, rejected, ["cve_id"],
+                                partition_by=["published_year"])
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -339,6 +339,31 @@ def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
     """
     t = F.split(F.col(text_col), " ")
     nseg = F.ceil(F.size(t) / F.lit(float(seg_tokens))).cast("long")
+    reb = duplicated_span_survivors(docs, text_col, id_col,
+                                    seg_tokens, min_df)
+    return (docs.select(id_col, nseg.alias("total_segs"))
+            .join(reb, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("kept_segs", F.lit(0)).cast("long")
+                    .alias("kept_segs"),
+                    "total_segs"))
+
+
+def duplicated_span_survivors(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              seg_tokens: int = 8,
+                              min_df: int = 3) -> DataFrame:
+    """The rebuild aggregate of :func:`remove_duplicated_spans`
+    WITHOUT the doc-spine join-back: (id_col, clean_text, kept_segs)
+    for every document that kept at least one segment. Documents
+    that were ALL boilerplate are simply absent. This is the shape a
+    pipeline composition wants (curate_corpus stage 4b inner-joins it
+    and drops emptied docs anyway) — using the full operator there
+    would pay one redundant corpus-wide join per run just to attach
+    accounting columns that get discarded."""
+    t = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(t) / F.lit(float(seg_tokens))).cast("long")
     seg_arr = F.transform(
         F.sequence(F.lit(0).cast("long"), nseg - 1),
         lambda i: F.array_join(
@@ -348,16 +373,9 @@ def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",
     freq = segs.groupBy("h").agg(F.count_distinct(id_col).alias("df"))
     kept = (segs.join(freq, "h")          # reuses the digest partitioning
             .filter(F.col("df") < min_df))
-    reb = (kept.groupBy(id_col)
-           .agg(F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "seg"))),
-                        lambda x: x["seg"]), " ").alias("clean_text"),
-                F.count(F.lit(1)).alias("kept_segs")))
-    return (docs.select(id_col, nseg.alias("total_segs"))
-            .join(reb, id_col, "left")
-            .select(id_col,
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    F.coalesce("kept_segs", F.lit(0)).cast("long")
-                    .alias("kept_segs"),
-                    "total_segs"))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("i", "seg"))),
+                         lambda x: x["seg"]), " ").alias("clean_text"),
+                 F.count(F.lit(1)).alias("kept_segs")))

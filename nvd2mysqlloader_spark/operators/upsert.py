@@ -113,10 +113,15 @@ def write_upsert_delta(target_path: str, updates: DataFrame,
     ``order_col`` so a stale batch cannot overwrite a fresher row),
     not-matched → insert; first write creates the table with the given
     partitioning. Plain key equality (``=``) matches the emulation's
-    join semantics — and MySQL REPLACE-over-UNIQUE-key parity, where
+    anti-join arm — and MySQL REPLACE-over-UNIQUE-key parity, where
     NULL keys never match and every NULL-key batch row inserts (use
     ``write_delete_parquet`` — null-safe by design — to remove
-    NULL-keyed rows); ``evolve_schema`` maps to Delta's
+    NULL-keyed rows). KNOWN divergence for NULL keys under
+    ``order_col``: the emulation's ranking window groups NULL keys
+    into one partition (SQL GROUP BY semantics — one winner), while
+    Delta's ``=`` match inserts every NULL-keyed batch row; if your
+    pipeline can produce NULL keys, quarantine them upstream before
+    an order_col merge; ``evolve_schema`` maps to Delta's
     ``schema.autoMerge``. Partition-selective rewrite, snapshot
     isolation, time travel, and VACUUM come from the format itself —
     this is exactly the pointer-swap protocol operators.table_io
@@ -369,6 +374,16 @@ def write_delete_parquet(target_path: str, delete_keys: DataFrame,
 
     spark = delete_keys.sparkSession
     target_path = target_path.rstrip("/")
+    # migrate/repair BEFORE resolving the version, same order as
+    # write_upsert_parquet: resolving a legacy plain dir first would
+    # pin `cur` to the pre-migration path, so realpath-relative
+    # affected-dir exclusion breaks ('../t/y=2020' instead of
+    # 'y=2020') and an emptied partition hardlinks back; and a table
+    # in the interrupted-migration crash window (cleanup_stale
+    # repairs it) would read as "no table" and silently skip the
+    # delete
+    table_io.ensure_versioned(target_path)
+    table_io.cleanup_stale(target_path)
     cur = table_io.current_version(target_path)
     if cur is None:
         return 0                     # nothing on disk: nothing to delete
@@ -394,9 +409,6 @@ def write_delete_parquet(target_path: str, delete_keys: DataFrame,
         c = F.col(f"t.`{k}`").eqNullSafe(F.col(f"s.`{k}`"))
         on = c if on is None else (on & c)
     hits = t.join(kdf, on, "left_semi")
-
-    table_io.ensure_versioned(target_path)
-    table_io.cleanup_stale(target_path)
 
     if partition_by:
         # ONE action finds the affected partition VALUES (for the

@@ -133,7 +133,10 @@ def test_curate_corpus_span_removal_stage(spark, tmp_path):
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     boiler = "subscribe to our newsletter for updates and exclusive offers"
-    assert len(boiler.split()) == 9       # > seg_tokens=8: spans a segment
+    # 9 tokens > span_seg_tokens=4 below: the prefix fills two whole
+    # 4-token segments (shared across tainted docs) plus a partial
+    # third that continues into each doc's own text
+    assert len(boiler.split()) == 9
     tainted = docs.withColumn(
         "text",
         F.when(F.col("doc_id") % 3 == 0,

@@ -674,3 +674,24 @@ def test_delete_null_keyed_rows(spark, tmp_path):
         path, spark.createDataFrame([(None,), (3,)], "k int"), ["k"])
     assert n == 2
     assert {r.v for r in spark.read.parquet(path).collect()} == {"b"}
+
+
+def test_delete_legacy_partitioned_emptied_partition_stays_gone(
+        spark, tmp_path):
+    """Review r5 pass-2 #1: on a legacy plain-dir PARTITIONED table the
+    version must be resolved AFTER the in-place migration — resolving
+    first pins `cur` to the pre-migration path, the realpath-relative
+    affected-dir set comes out as '../t/y=...' garbage, and an emptied
+    partition hardlinks back (delete reports success, data survives)."""
+    from nvd2mysqlloader_spark.operators.upsert import write_delete_parquet
+
+    path = str(tmp_path / "legacy_part")
+    (spark.createDataFrame([(1, 2020, "a"), (2, 2021, "b")],
+                           ["k", "y", "v"])
+     .write.partitionBy("y").parquet(path))
+    n = write_delete_parquet(
+        path, spark.createDataFrame([(1,)], ["k"]), ["k"],
+        partition_by=["y"])
+    assert n == 1
+    got = {(r.k, r.y) for r in spark.read.parquet(path).collect()}
+    assert got == {(2, 2021)}
