@@ -147,7 +147,16 @@ def _ingest_batch(spark, warehouse, fresh, items, names,
         F.col("cve.cve.CVE_data_meta.ID").alias("cve_id"),
         F.to_json(F.col("cve")).alias("cve_item"),
         F.col("cve.lastModifiedDate").alias("__lmd"))
-    bronze = last_writer_wins(bronze_src, ["cve_id"], ["__lmd"]).drop("__lmd")
+    # bronze partitions by the CVE id's own year ("CVE-2024-0001" →
+    # 2024 — the NVD yearly-feed partitioning itself): derived from
+    # the immutable key, so an updated record can never migrate
+    # partitions, and a purge/delete against bronze rewrites only the
+    # touched years instead of the whole raw-JSON table
+    bronze = (last_writer_wins(bronze_src, ["cve_id"], ["__lmd"])
+              .drop("__lmd")
+              .withColumn("feed_year",
+                          F.coalesce(F.substring("cve_id", 5, 4)
+                                     .try_cast("int"), F.lit(0))))
 
     # batch row count observed on the write pass itself — no separate
     # count() action re-running the whole flatten (ref's cvecount loop,
@@ -158,7 +167,8 @@ def _ingest_batch(spark, warehouse, fresh, items, names,
     write_upsert_parquet(silver_path, silver, ["cve_id"],
                          partition_by=["published_year"])
     n_cves = obs.get["n_cves"]
-    write_upsert_parquet(bronze_path, bronze, ["cve_id"])
+    write_upsert_parquet(bronze_path, bronze, ["cve_id"],
+                         partition_by=["feed_year"])
 
     # audit append — one row per ingested feed (ref :441-447)
     audit = (fresh.withColumn("downloadedDate",
@@ -185,7 +195,10 @@ def purge_rejected(spark: SparkSession, warehouse: str) -> int:
     them forever (no delete path exists in its REPLACE-only loop,
     nvd2mysqlloader.py:448-486). One partition-pruned scan finds the
     rejected ids; ``write_delete_parquet`` removes them from silver
-    (partition-selective) and bronze with atomic snapshot publishes.
+    (partition-selective on published_year) and bronze (partition-
+    selective on feed_year — the CVE id's own year) with atomic
+    snapshot publishes: a one-CVE purge rewrites one partition of
+    each table, never the whole table.
     Returns the number of CVEs purged. Idempotent: a second run finds
     nothing and publishes nothing."""
     import os
@@ -211,7 +224,8 @@ def purge_rejected(spark: SparkSession, warehouse: str) -> int:
     # the retry rediscovers the ids and finishes bronze+silver. The
     # reverse order would strand the withdrawn CVEs' raw JSON in
     # bronze forever (silver purged → nothing to rediscover).
-    write_delete_parquet(f"{warehouse}/nvd_json", rejected, ["cve_id"])
+    write_delete_parquet(f"{warehouse}/nvd_json", rejected, ["cve_id"],
+                         partition_by=["feed_year"])
     return write_delete_parquet(silver_path, rejected, ["cve_id"],
                                 partition_by=["published_year"])
 

@@ -517,6 +517,9 @@ def cosine_candidate_pairs(corpus: DataFrame, threshold: float,
 
 def _pairs_broadcast(corpus: DataFrame, threshold: float, id_col: str,
                      emb_col: str, margin: float) -> DataFrame:
+    # reachable only when blocks <= 1, i.e. n <= effective_block_rows(d)
+    # — so this toPandas() transfer is bounded by the same block_bytes
+    # budget (default 256 MB) that sizes the blocked path's blocks
     pdf = corpus.select(id_col, emb_col).toPandas()
     ids_all = pdf[id_col].to_numpy()
     mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)

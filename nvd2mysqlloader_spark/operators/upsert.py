@@ -180,7 +180,8 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
                          partition_by: Sequence[str] | None = None,
                          evolve_schema: bool = False,
                          order_col: str | None = None,
-                         format: str = "parquet") -> None:
+                         format: str = "parquet",
+                         strict_format: bool = False) -> None:
     """Apply ``merge_upsert`` against a parquet table on disk, with
     atomic visibility.
 
@@ -190,7 +191,10 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
     format, and SURVEY §4.2 maps this operator to "built-in with
     Delta". Without the bindings (this container) the call falls back
     to the versioned-parquet emulation below with a warning — same
-    row-level semantics, locally-scoped snapshot protocol.
+    row-level semantics, locally-scoped snapshot protocol — unless
+    ``strict_format=True``, which raises instead: a deployment whose
+    readers require the Delta layout must fail at write time, not
+    when a downstream ``spark.read.format("delta")`` breaks later.
 
     One atomic publish per batch replaces the reference's per-row
     commits (nvd2mysqlloader.py:460-482). The table uses the versioned
@@ -235,6 +239,18 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
             return write_upsert_delta(target_path, updates, keys,
                                       partition_by, evolve_schema,
                                       order_col)
+        # the fallback writes the SAME row-level result in a different
+        # physical layout — a reader doing spark.read.format('delta')
+        # would fail later, far from this call. A deployment that
+        # REQUIRES the Delta format must fail fast here, not at read
+        # time: strict_format=True raises instead of degrading.
+        if strict_format:
+            raise RuntimeError(
+                "write_upsert_parquet: format='delta' with "
+                "strict_format=True, but delta-spark is not importable "
+                "in this session — install delta-spark (and its jar on "
+                "the classpath) or drop strict_format to accept the "
+                "versioned-parquet MERGE emulation")
         import warnings
         warnings.warn("write_upsert_parquet: format='delta' requested "
                       "but delta-spark is not importable — falling back "
@@ -420,9 +436,17 @@ def write_delete_parquet(target_path: str, delete_keys: DataFrame,
         # fractional timestamps, …), and a mismatch would hardlink an
         # emptied partition back in — a delete that reports success
         # while the data survives.
+        # collect_set over the PARENT DIRECTORY of each source file,
+        # not the files themselves: a bulk purge can touch thousands
+        # of files per partition, and a per-file set would scale the
+        # driver payload with file count — the dirname set is bounded
+        # by the affected-partition count (one leaf dir per value
+        # tuple), which is what the hardlink exclusion actually needs
         per_part = (hits.groupBy(*partition_by)
                     .agg(F.count(F.lit(1)).alias("__n"),
-                         F.collect_set("__f").alias("__files"))
+                         F.collect_set(
+                             F.regexp_extract("__f", r"^(.*)/[^/]+$", 1))
+                         .alias("__dirs"))
                     .collect())
         if not per_part:
             return 0
@@ -430,8 +454,8 @@ def write_delete_parquet(target_path: str, delete_keys: DataFrame,
         n_deleted = sum(r["__n"] for r in per_part)
         cur_real = os.path.realpath(cur)
         affected_dirs = {
-            os.path.relpath(os.path.dirname(_uri_to_path(f)), cur_real)
-            for r in per_part for f in r["__files"]}
+            os.path.relpath(_uri_to_path(d), cur_real)
+            for r in per_part for d in r["__dirs"]}
         vdir = table_io.next_version_dir(target_path)
         survivors = (target.filter(_affected_pred(partition_by, affected))
                      .alias("t").join(kdf, on, "left_anti")

@@ -125,10 +125,12 @@ NVD_SILVER_SCHEMA = T.StructType([
     T.StructField("scope_v3", T.StringType()),
 ])
 
-# bronze raw-copy table (nvd2mysqlloader.py:305-312)
+# bronze raw-copy table (nvd2mysqlloader.py:305-312); partitioned by
+# the CVE id's own year so bronze deletes are partition-selective
 NVD_JSON_SCHEMA = T.StructType([
     T.StructField("cve_id", T.StringType()),
     T.StructField("cve_item", T.StringType()),                 # raw JSON
+    T.StructField("feed_year", T.IntegerType()),               # partition
 ])
 
 # load-state / lineage table (nvd2mysqlloader.py:314-327)

@@ -530,6 +530,25 @@ def test_delta_passthrough_falls_back_without_bindings(spark, tmp_path):
         write_upsert_parquet(path, df2, ["k"], format="orc")
 
 
+def test_delta_strict_format_fails_fast_without_bindings(spark, tmp_path):
+    """strict_format=True: a deployment that REQUIRES the Delta layout
+    must fail at write time, not when a downstream format('delta') read
+    breaks far from the cause — and it must fail BEFORE writing
+    anything (no half-published non-Delta layout)."""
+    import os
+
+    from nvd2mysqlloader_spark.operators.upsert import delta_available
+
+    if delta_available():
+        pytest.skip("delta present: strict failure path not reachable")
+    path = str(tmp_path / "t_strict")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(RuntimeError, match="strict_format"):
+        write_upsert_parquet(path, df, ["k"], format="delta",
+                             strict_format=True)
+    assert not os.path.exists(path)
+
+
 def test_delta_native_merge(spark, tmp_path):
     """Native Delta MERGE path — import-gated: runs only where
     delta-spark + the Delta jar are installed (skipped in this
