@@ -25,8 +25,71 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nvd2mysqlloader_spark.plans import QUERIES            # noqa: E402
+from nvd2mysqlloader_spark.plans.registry import (         # noqa: E402
+    oracle_map, spark_queries)
 from nvd2mysqlloader_spark.session import get_spark        # noqa: E402
 from tests.oracle_harness import compare                   # noqa: E402
+
+# Every rows-only (oracle=None) registry entry must name the pytest
+# that pins it to an exact twin / recall bound — a new engine query
+# can never ship without either a DuckDB oracle or a named exact
+# check. check_registry() verifies the pinned test function EXISTS in
+# the named file and fails the run otherwise.
+ROWS_ONLY_PINS: dict[str, str] = {
+    "minhash_near_dup":
+        "tests/test_dedup.py::test_minhash_estimates_track_exact",
+    "minhash_near_dup_exact":
+        "tests/test_dedup.py::test_minhash_exact_verify_matches_allpairs",
+    "simhash_near_dup":
+        "tests/test_dedup.py::test_simhash_identical_zero_hamming",
+    "ann_topk_lsh": "tests/test_dedup.py::test_ann_recall_vs_bruteforce",
+    "ann_topk_ivf":
+        "tests/test_dedup.py::test_ivf_recall_beats_scan_fraction",
+    "ann_topk_pq": "tests/test_dedup.py::test_pq_recall_vs_bruteforce",
+    "kmeans_clusters":
+        "tests/test_kmeans.py::test_kmeans_matches_numpy_twin_exactly",
+    "bpe_pack_sequences":
+        "tests/test_corpus.py::test_tokenize_and_pack_matches_python_twin",
+}
+
+
+def check_registry() -> list[str]:
+    """Registry hygiene gate (VERDICT r5 #8). Returns a list of
+    problems (empty = clean):
+
+    * every oracle entry names a registered query (oracle_map ⊆
+      spark_queries — true by construction of the decorator, asserted
+      anyway so a future refactor cannot break it silently);
+    * every rows-only query has a ROWS_ONLY_PINS entry whose pinned
+      pytest function actually exists in the named file.
+    """
+    problems = []
+    missing = set(oracle_map()) - set(spark_queries())
+    if missing:
+        problems.append(f"oracle entries without a query: {sorted(missing)}")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for name, q in QUERIES.items():
+        if q.oracle is not None:
+            continue
+        pin = ROWS_ONLY_PINS.get(name)
+        if pin is None:
+            problems.append(
+                f"rows-only query {name!r} has no pytest pin in "
+                "ROWS_ONLY_PINS — add an exact-twin/recall test or an "
+                "oracle")
+            continue
+        fpath, _, func = pin.partition("::")
+        full = os.path.join(repo, fpath)
+        if not os.path.exists(full):
+            problems.append(f"{name}: pinned file {fpath} missing")
+        elif f"def {func}(" not in open(full).read():
+            problems.append(f"{name}: pinned test {pin} not found")
+    stale = set(ROWS_ONLY_PINS) - {n for n, q in QUERIES.items()
+                                   if q.oracle is None}
+    if stale:
+        problems.append(f"stale pins (query gained an oracle or was "
+                        f"removed): {sorted(stale)}")
+    return problems
 
 
 def run(sf_dir: str) -> dict:
@@ -71,6 +134,11 @@ def run(sf_dir: str) -> dict:
 
 
 def main() -> int:
+    problems = check_registry()
+    if problems:
+        for p in problems:
+            print(f"registry hygiene: {p}", file=sys.stderr)
+        return 2
     rnd = sys.argv[1] if len(sys.argv) > 1 else "0"
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     results = run(sf_dir)

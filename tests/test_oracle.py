@@ -25,6 +25,14 @@ def test_registry_nonempty():
     assert len(QUERIES) >= 10
 
 
+def test_registry_hygiene():
+    """Every rows-only query must carry a named, existing pytest pin
+    (local_oracle.ROWS_ONLY_PINS) — a new engine query cannot ship
+    without either a DuckDB oracle or an exact-twin test."""
+    import local_oracle
+    assert local_oracle.check_registry() == []
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
     df = e.entry(spark)
