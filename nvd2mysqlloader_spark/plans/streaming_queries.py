@@ -178,7 +178,12 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the dataset's time span so no row is dropped mid-drain; in "
         "production the watermark+bound is exactly what caps per-key "
         "join state (a click older than error_ts-bound-watermark can "
-        "never match and its state is evicted)."
+        "never match and its state is evicted) — TEST-ENFORCED under "
+        "a tight 1h watermark by tests/test_streaming.py::"
+        "test_stream_interval_join_tight_watermark_evicts_state, "
+        "which asserts via the statestore reader that pre-horizon "
+        "rows leave the store and an evicted error cannot be matched "
+        "late."
     ),
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +248,12 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hash-equal the events table with each row EXACTLY once. The "
         "watermark is what bounds the dedup state store at 100 TB/day: "
         "a key older than the watermark can be evicted because a "
-        "redelivery that late is dropped by the watermark itself."
+        "redelivery that late is dropped by the watermark itself — "
+        "TEST-ENFORCED under a tight 1h watermark by tests/"
+        "test_streaming.py::"
+        "test_stream_dedup_tight_watermark_drops_late_and_evicts "
+        "(late redelivery dropped, evicted keys absent from the "
+        "statestore read)."
     ),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
