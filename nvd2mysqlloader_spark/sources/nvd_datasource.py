@@ -176,6 +176,15 @@ class NvdFeedStreamReader(SimpleDataSourceStreamReader):
         if not path:
             raise ValueError("nvdfeed: option 'path' (landing dir) is required")
         self.landing = path
+        # opt-in: verify the sidecar's sha256 against the actual file
+        # bytes during REPLAY — catches a feed replaced in-place
+        # WITHOUT its sidecar (torn landing state the mark comparison
+        # cannot see). Off by default because the sidecar sha covers
+        # the uncompressed NVD feed, which only equals the landed
+        # .json when the fetcher stores feeds uncompressed (ours does;
+        # synthetic test fixtures carry non-matching shas).
+        self.verify_sha = str(options.get("verifySha", "false")
+                              ).lower() == "true"
 
     def _current(self) -> dict:
         marks = {}
@@ -235,11 +244,18 @@ class NvdFeedStreamReader(SimpleDataSourceStreamReader):
           no longer matches the committed ``end`` mark, the feed is
           flagged loudly (warning, not failure — the downstream keyed
           upsert is idempotent, so over-replay converges; a raise
-          would brick recovery on a condition the source cannot mend).
+          would brick recovery on a condition the source cannot mend);
+        * **replaced in-place without its sidecar** (mark unchanged,
+          content different) — invisible to the mark comparison; with
+          ``verifySha=true`` the file's sha256 is checked against the
+          sidecar's claim and a mismatching feed is WARNED about and
+          DROPPED from the replay (its bytes are not what the
+          committed batch read; the fetcher re-landing file+sidecar
+          together mends it).
         """
         for f in self._fresh(start, end):
             path = os.path.join(self.landing, f + ".json")
-            lm_now, _ = _read_meta(path)
+            lm_now, sha_now = _read_meta(path)
             if lm_now is not None and lm_now != end.get(f):
                 warnings.warn(
                     f"nvdfeed replay: feed '{f}' .meta mark is {lm_now!r} "
@@ -247,6 +263,31 @@ class NvdFeedStreamReader(SimpleDataSourceStreamReader):
                     "landing file changed after commit — replaying "
                     "current contents (exactly-once not reconstructible; "
                     "downstream keyed upsert makes this converge)")
+            elif self.verify_sha and sha_now is not None:
+                # mark UNCHANGED but content possibly replaced without
+                # the sidecar (torn replacement): hash the file and
+                # compare to the sidecar's claim. A mismatch means the
+                # bytes on disk are NOT what the committed batch read —
+                # replaying them would emit rows that never belonged to
+                # this offset range, so the feed is DROPPED from the
+                # replay (warn; the fetcher re-landing file+sidecar
+                # together mends it and the mark-advance picks it up).
+                import hashlib
+                try:
+                    with open(path, "rb") as fh:
+                        digest = hashlib.sha256(fh.read()).hexdigest()
+                except OSError:
+                    continue                  # vanished: replays nothing
+                if digest.lower() != sha_now.lower():
+                    warnings.warn(
+                        f"nvdfeed replay: feed '{f}' content sha256 "
+                        f"{digest[:12]}… does not match its sidecar's "
+                        f"{sha_now[:12]}… while the committed mark is "
+                        "unchanged — the file was replaced in-place "
+                        "without its sidecar; dropping this feed from "
+                        "the replay (its bytes are not the committed "
+                        "batch)")
+                    continue
             yield from _feed_rows(path)
 
     def commit(self, end: dict) -> None:

@@ -201,3 +201,73 @@ def test_replay_flags_feed_grown_after_commit(tmp_path):
         rows2 = list(reader.readBetweenOffsets({}, committed))
     assert rows2 and any("changed after commit" in str(c.message)
                          for c in caught)
+
+
+def test_replay_flags_feed_replaced_with_sidecar(tmp_path):
+    """VERDICT r5 #5 (contract-kept replacement): the feed file AND its
+    sidecar were both replaced between commit and recovery — the mark
+    comparison flags it, and the replay yields the CURRENT contents
+    (never silently pretending they are the committed batch; the keyed
+    upsert downstream converges)."""
+    import warnings as _w
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.json",
+                landing / "nvdcve-1.1-2024.json")
+    shutil.copy(f"{DATA}/nvdcve-1.1-2024.meta",
+                landing / "nvdcve-1.1-2024.meta")
+    reader = nvd_datasource.NvdFeedStreamReader({"path": str(landing)})
+    committed = reader._current()
+    old_rows = list(reader.readBetweenOffsets({}, committed))
+
+    # replace file + sidecar together (the fetch contract), new mark
+    shutil.copy(f"{DATA}/nvdcve-1.1-modified.json",
+                landing / "nvdcve-1.1-2024.json")
+    meta = (landing / "nvdcve-1.1-2024.meta").read_text()
+    (landing / "nvdcve-1.1-2024.meta").write_text(
+        meta.replace("lastModifiedDate:2024", "lastModifiedDate:2025"))
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        rows = list(reader.readBetweenOffsets({}, committed))
+    assert any("changed after commit" in str(c.message) for c in caught)
+    # replays the NEW file's rows, and says so — not the old batch
+    assert rows and {r[1] for r in rows} != {r[1] for r in old_rows}
+
+
+def test_replay_sha_mismatch_drops_torn_feed(tmp_path):
+    """VERDICT r5 #5 (torn replacement): the feed file was replaced
+    in-place WITHOUT its sidecar — mark unchanged, so the mark check
+    is blind. With verifySha=true the replay hashes the file, sees it
+    no longer matches the sidecar's sha256 claim, warns, and DROPS the
+    feed instead of silently replaying bytes the committed batch never
+    read."""
+    import hashlib
+    import warnings as _w
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = f"{DATA}/nvdcve-1.1-2024.json"
+    shutil.copy(src, landing / "nvdcve-1.1-2024.json")
+    # sidecar with the REAL sha of the landed file (the fetch contract)
+    sha = hashlib.sha256(open(src, "rb").read()).hexdigest()
+    (landing / "nvdcve-1.1-2024.meta").write_text(
+        "lastModifiedDate:2024-06-01T03:00:00-04:00\r\n"
+        f"sha256:{sha.upper()}\r\n")
+    reader = nvd_datasource.NvdFeedStreamReader(
+        {"path": str(landing), "verifySha": "true"})
+    committed = reader._current()
+
+    # clean replay first: real sha matches → rows flow, no warning
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert list(reader.readBetweenOffsets({}, committed))
+
+    # now tear the landing state: new content, sidecar untouched
+    shutil.copy(f"{DATA}/nvdcve-1.1-modified.json",
+                landing / "nvdcve-1.1-2024.json")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        rows = list(reader.readBetweenOffsets({}, committed))
+    assert rows == []
+    assert any("replaced in-place" in str(c.message) for c in caught)
