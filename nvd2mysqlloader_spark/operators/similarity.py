@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -337,7 +338,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 8, ksub: int = 16, fetch_k: int | None = None,
             train_n: int = 100_000, exclude_self: bool = True,
             max_queries: int = 65_536,
-            gather_bytes: int = 256 << 20) -> DataFrame:
+            gather_bytes: int = 256 << 20,
+            books: "list[np.ndarray] | None" = None) -> DataFrame:
     """PQ/ADC approximate top-k with exact rescoring.
 
     Plan shape: train codebooks on a bounded driver-side sample
@@ -360,17 +362,42 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     On unit vectors ADC approximates L2² = 2 − 2·cos, so ascending ADC
     order is descending approximate cosine.
+
+    ``books``: pass pre-trained codebooks (e.g. loaded from a
+    persisted index, :func:`write_pq_index`) to skip training — the
+    build-once/query-many path; otherwise codebooks are trained on a
+    bounded corpus sample per call.
     """
-    fetch_k = fetch_k or max(4 * k, 50)
-    dim = len(corpus.select(emb_col).first()[0])
-    bounds = np.cumsum([len(s) for s in np.array_split(np.arange(dim), m)])
-    splits = bounds[:-1].tolist()
-
-    mat = pq_training_sample(corpus, emb_col, id_col, train_n)
-    books = pq_train(mat, m, ksub)
-
+    if books is None:
+        mat = pq_training_sample(corpus, emb_col, id_col, train_n)
+        books = pq_train(mat, m, ksub)
+    splits = _book_splits(books)
     encoded = corpus.select(
         id_col, pq_encode_udf(books, splits)(emb_col).alias("code"))
+    return _pq_adc_rescore(corpus, encoded, books, queries, k, fetch_k,
+                           id_col, emb_col, query_id_col, exclude_self,
+                           max_queries, gather_bytes)
+
+
+def _book_splits(books: list[np.ndarray]) -> list[int]:
+    """Column split points of the full vector into the codebooks'
+    subspaces (np.split convention: cumulative, last omitted)."""
+    return np.cumsum([b.shape[1] for b in books])[:-1].tolist()
+
+
+def _pq_adc_rescore(corpus: DataFrame, encoded: DataFrame,
+                    books: list[np.ndarray], queries: DataFrame,
+                    k: int, fetch_k: int | None, id_col: str,
+                    emb_col: str, query_id_col: str, exclude_self: bool,
+                    max_queries: int, gather_bytes: int) -> DataFrame:
+    """Shared ADC tail of pq_topk and pq_topk_from_index: collect the
+    (bounded) query batch, build per-query LUTs, scan the codes with
+    one vectorized gather per (batch, query-chunk), rank, exact-cosine
+    rescore candidates against the corpus."""
+    m = len(books)
+    ksub = books[0].shape[0]
+    fetch_k = fetch_k or max(4 * k, 50)
+    splits = _book_splits(books)
 
     # limit(max+1) bounds the transfer even when the check fails —
     # the driver never materializes an unbounded query set
@@ -442,6 +469,186 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF / PQ indexes — build-once/query-many (VERDICT r5 #2),
+# completing the persisted-index story LSH (write_ann_signature_table)
+# and MinHash (dedup.write_signature_table) already have. At 100 TB
+# you train centroids/codebooks once, encode each corpus batch as it
+# arrives (append-only), and every query batch probes the persisted
+# index — no per-query re-derivation of anything corpus-sized.
+
+
+def _read_centroids(spark, cdir: str) -> "np.ndarray | None":
+    """Load a persisted (list_id, centroid) table as an ordered matrix;
+    None when the index doesn't exist yet. Bounded collect: nlist rows."""
+    try:
+        rows = spark.read.parquet(cdir).orderBy("list_id").collect()
+    except AnalysisException:
+        return None
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                     for r in rows])
+
+
+def write_ivf_index(corpus: DataFrame, path: str,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    nlist: int = 16,
+                    centroids: "np.ndarray | None" = None) -> np.ndarray:
+    """Build or extend a persisted IVF index at ``path``.
+
+    Layout — the inverted file IS the storage layout:
+
+    * ``{path}/centroids``: (list_id, centroid array<double>), written
+      once at build time;
+    * ``{path}/lists``: (id, embedding) PARTITIONED BY list_id — the
+      corpus vectors clustered by their nearest centroid, so a probe
+      with ``nprobe`` lists is a PARTITION-PRUNED scan of
+      ~nprobe/nlist of the data, never a full corpus pass.
+
+    First call trains/accepts centroids and creates both; later calls
+    APPEND the new batch's vectors to their lists using the PERSISTED
+    centroids (append-only incremental contract, mirror of
+    dedup.write_signature_table). Passing ``centroids`` that differ
+    from the persisted ones raises — mixed-centroid lists would make
+    probes silently miss neighbors. Returns the centroid matrix in
+    effect."""
+    spark = corpus.sparkSession
+    cdir, ldir = f"{path}/centroids", f"{path}/lists"
+    existing = _read_centroids(spark, cdir)
+    if existing is not None:
+        if centroids is not None and not np.array_equal(
+                np.asarray(centroids, dtype=np.float64), existing):
+            raise ValueError(
+                f"write_ivf_index: index at {path} was built with "
+                "different centroids — appending under new centroids "
+                "would split each logical list across incompatible "
+                "layouts; rebuild the index instead")
+        cents = existing
+    else:
+        cents = np.asarray(
+            centroids if centroids is not None
+            else _centroids_from_corpus(corpus, emb_col, id_col, nlist),
+            dtype=np.float64)
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+            "list_id int, centroid array<double>"
+        ).coalesce(1).write.parquet(cdir)
+    (corpus.select(
+        id_col, emb_col,
+        F.element_at(_assign_udf(cents, 1)(emb_col), 1).alias("list_id"))
+     .repartition("list_id")      # one file per list, not per task
+     .write.mode("append").partitionBy("list_id").parquet(ldir))
+    return cents
+
+
+def ivf_topk_from_index(index_path: str, queries: DataFrame, k: int = 10,
+                        id_col: str = "vec_id",
+                        emb_col: str = "embedding",
+                        query_id_col: str = "query_id",
+                        nprobe: int = 4,
+                        exclude_self: bool = True) -> DataFrame:
+    """``ivf_topk`` against a persisted index: identical results to the
+    direct call with the same centroids (same assignment → same probed
+    lists → same exact-cosine ranking), but the corpus side is a
+    partition-pruned read of the probed lists only — the index layout,
+    not a runtime filter, is what skips 1 − nprobe/nlist of the data.
+    No corpus DataFrame needed: the inverted file carries the vectors."""
+    spark = queries.sparkSession
+    cents = _read_centroids(spark, f"{index_path}/centroids")
+    if cents is None:
+        raise ValueError(f"ivf_topk_from_index: no index at {index_path}")
+    lists = spark.read.parquet(f"{index_path}/lists")
+    q_probe = (queries.select(query_id_col, F.col(emb_col).alias("q_emb"),
+                              F.explode(_assign_udf(cents, nprobe)(emb_col))
+                              .alias("list_id")))
+    scored = lists.join(F.broadcast(q_probe), "list_id")
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
+        query_id_col, F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col(emb_col)).alias("cos_sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"),
+                                                 F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _read_books(spark, bdir: str) -> "list[np.ndarray] | None":
+    """Load persisted PQ codebooks as the ordered list-of-matrices
+    pq_train produces; None when absent. Bounded collect: m·ksub rows."""
+    try:
+        rows = spark.read.parquet(bdir).orderBy("sub_idx",
+                                                "code_idx").collect()
+    except AnalysisException:
+        return None
+    books: dict[int, list] = {}
+    for r in rows:
+        books.setdefault(r["sub_idx"], []).append(
+            np.asarray(r["centroid"], dtype=np.float64))
+    return [np.stack(books[j]) for j in sorted(books)]
+
+
+def write_pq_index(corpus: DataFrame, path: str,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   m: int = 8, ksub: int = 16,
+                   train_n: int = 100_000) -> list[np.ndarray]:
+    """Build or extend a persisted PQ index at ``path``.
+
+    Layout: ``{path}/codebooks`` (sub_idx, code_idx, centroid
+    array<double>) written once; ``{path}/codes`` (id, code
+    array<int>) — m bytes of information per vector, appended per
+    corpus batch. First call trains codebooks on a bounded sample of
+    THIS batch; later calls encode with the PERSISTED codebooks
+    (training again would silently make old and new codes mutually
+    unreadable) and refuse an ``m``/``ksub`` that contradicts the
+    persisted shape. Returns the codebooks in effect."""
+    spark = corpus.sparkSession
+    bdir, codir = f"{path}/codebooks", f"{path}/codes"
+    books = _read_books(spark, bdir)
+    if books is not None:
+        if len(books) != m or books[0].shape[0] != ksub:
+            raise ValueError(
+                f"write_pq_index: index at {path} has m={len(books)}, "
+                f"ksub={books[0].shape[0]} but the call asked for "
+                f"m={m}, ksub={ksub} — codes would be mutually "
+                "unreadable; match the persisted shape or rebuild")
+    else:
+        mat = pq_training_sample(corpus, emb_col, id_col, train_n)
+        books = pq_train(mat, m, ksub)
+        spark.createDataFrame(
+            [(j, c, [float(x) for x in books[j][c]])
+             for j in range(m) for c in range(ksub)],
+            "sub_idx int, code_idx int, centroid array<double>"
+        ).coalesce(1).write.parquet(bdir)
+    enc = pq_encode_udf(books, _book_splits(books))
+    (corpus.select(id_col, enc(emb_col).alias("code"))
+     .write.mode("append").parquet(codir))
+    return books
+
+
+def pq_topk_from_index(corpus: DataFrame, index_path: str,
+                       queries: DataFrame, k: int = 10,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       query_id_col: str = "query_id",
+                       fetch_k: int | None = None,
+                       exclude_self: bool = True,
+                       max_queries: int = 65_536,
+                       gather_bytes: int = 256 << 20) -> DataFrame:
+    """``pq_topk`` against a persisted index: identical results to the
+    direct call with the same codebooks, but the ADC scan reads the
+    persisted code column (m small ints per vector — the only
+    corpus-sized thing touched) instead of re-encoding raw vectors.
+    ``corpus`` supplies vectors ONLY for the exact rescore of
+    candidates (broadcast-joined, never shuffled)."""
+    spark = corpus.sparkSession
+    books = _read_books(spark, f"{index_path}/codebooks")
+    if books is None:
+        raise ValueError(f"pq_topk_from_index: no index at {index_path}")
+    encoded = spark.read.parquet(f"{index_path}/codes")
+    return _pq_adc_rescore(corpus, encoded, books, queries, k, fetch_k,
+                           id_col, emb_col, query_id_col, exclude_self,
+                           max_queries, gather_bytes)
 
 
 _PAIR_SCHEMA = T.StructType([T.StructField("id_a", T.LongType()),
