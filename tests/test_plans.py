@@ -450,6 +450,10 @@ _SCALAR_BNLJ_OK = {
     "salted_skew_rollup",
     # 1-row grand-total scalar broadcast into the per-key rollup
     "heavy_hitter_keys",
+    # embed the cosine_topk exact-truth plan (its reviewed 5-row-query
+    # broadcast non-equi join) as the verdict's comparison side
+    "ann_lsh_recall_verdict", "ann_ivf_recall_verdict",
+    "ann_pq_recall_verdict",
 }
 
 
