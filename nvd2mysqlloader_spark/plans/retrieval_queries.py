@@ -99,6 +99,15 @@ _TERMS = ("spark", "join", "window")
     ),
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_bm25_scored(spark, sf_dir)
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(10))
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for every document containing ≥1 query term —
+    the full scored posting list bm25_search top-10s and
+    rrf_hybrid_search fuses."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", toks.alias("toks"))
@@ -144,9 +153,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return idf * (tf_d * F.lit(_K1 + 1.0)) / norm
 
     total = F.round((term_s(1) + term_s(2)) + term_s(3), 6)
-    return (scored.select("doc_id", total.alias("score"))
-            .orderBy(F.desc("score"), "doc_id")
-            .limit(10))
+    return scored.select("doc_id", total.alias("score"))
 
 
 @query(
@@ -255,3 +262,124 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored
             .withColumn("rk", F.row_number().over(rk_w))
             .filter(F.col("rk") <= 3))
+
+
+_RRF_K = 60       # classic reciprocal-rank-fusion constant
+_RRF_TOP = 100    # candidate-list depth per ranker
+
+# the bit-exact cosine fold shared with the vector query surface
+# (q./c. aliases match the semantic CTE below)
+from .vector_queries import _COS_SQL  # noqa: E402
+
+
+@query(
+    "rrf_hybrid_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS doclen FROM base),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS token FROM base)
+      WHERE token IN ('spark', 'join', 'window')
+      GROUP BY doc_id, token),
+    df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ln((CAST(c.n_docs - df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(tf.tf AS DOUBLE) * ({_K1} + 1.0))
+             / (CAST(tf.tf AS DOUBLE)
+                + {_K1} * (1.0 - {_B}
+                           + {_B} * (CAST(dl.doclen AS DOUBLE)
+                                     / c.avgdl))) AS s
+      FROM tf
+      JOIN df ON df.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus c),
+    per_doc AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN token = 'spark' THEN s END), 0.0) AS s1,
+             coalesce(max(CASE WHEN token = 'join' THEN s END), 0.0) AS s2,
+             coalesce(max(CASE WHEN token = 'window' THEN s END), 0.0) AS s3
+      FROM scored GROUP BY doc_id),
+    lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round((s1 + s2) + s3, 6) DESC,
+                                doc_id) AS lex_rank
+      FROM per_doc
+      QUALIFY row_number() OVER (ORDER BY round((s1 + s2) + s3, 6) DESC,
+                                 doc_id) <= {_RRF_TOP}),
+    sem AS (
+      SELECT c.vec_id AS doc_id, {_COS_SQL} AS cs
+      FROM embeddings c
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+    semr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
+      FROM sem
+      QUALIFY row_number() OVER (ORDER BY cs DESC, doc_id) <= {_RRF_TOP})
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           CAST(s.sem_rank AS BIGINT) AS sem_rank,
+           coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+             + coalesce(1.0 / ({_RRF_K} + s.sem_rank), 0.0) AS rrf_score
+    FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    ORDER BY coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + s.sem_rank), 0.0) DESC,
+             coalesce(l.doc_id, s.doc_id)
+    LIMIT 10
+    """,
+    doc=(
+        "hybrid retrieval via reciprocal-rank fusion (the standard "
+        "lexical+vector production shape): the BM25 posting ranking "
+        "and the exact-cosine ranking against a query-by-example "
+        "vector (vec_id 0, docs 1:1 with embeddings) are each cut to "
+        "a top-100 candidate list, full-outer fused on doc_id, and "
+        "re-ranked by sum(1/(60+rank)). Ranks are integers derived "
+        "from engine-exact scores (rounded BM25, bit-exact cosine "
+        "fold), so the fused doubles are identical across engines. "
+        "At 100 TB each candidate list is a bounded top-N retrieval "
+        "output (TakeOrdered/WindowGroupLimit — never a global sort "
+        "of the corpus) and the fusion join is candidate-sized."
+    ),
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine
+
+    lex = _bm25_scored(spark, sf_dir)
+    lex_w = Window.orderBy(F.desc("score"), "doc_id")
+    lexr = (lex.withColumn("lex_rank",
+                           F.row_number().over(lex_w).cast("bigint"))
+            .filter(F.col("lex_rank") <= _RRF_TOP)
+            .select("doc_id", "lex_rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (emb.filter(F.col("vec_id") == 0)
+          .select(F.col("embedding").alias("q_emb")))
+    sem = (emb.crossJoin(F.broadcast(qv))
+           .select(F.col("vec_id").alias("doc_id"),
+                   cosine(F.col("q_emb"), F.col("embedding")).alias("cs")))
+    sem_w = Window.orderBy(F.desc("cs"), "doc_id")
+    semr = (sem.withColumn("sem_rank",
+                           F.row_number().over(sem_w).cast("bigint"))
+            .filter(F.col("sem_rank") <= _RRF_TOP)
+            .select("doc_id", "sem_rank"))
+
+    fused = lexr.join(semr, "doc_id", "full_outer")
+    rrf = (F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")),
+                      F.lit(0.0))
+           + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("sem_rank")),
+                        F.lit(0.0)))
+    return (fused.select("doc_id", "lex_rank", "sem_rank",
+                         rrf.alias("rrf_score"))
+            .orderBy(F.desc("rrf_score"), "doc_id")
+            .limit(10))
