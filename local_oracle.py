@@ -50,6 +50,8 @@ ROWS_ONLY_PINS: dict[str, str] = {
         "tests/test_kmeans.py::test_kmeans_matches_numpy_twin_exactly",
     "bpe_pack_sequences":
         "tests/test_corpus.py::test_tokenize_and_pack_matches_python_twin",
+    "semantic_dedup_groups":
+        "tests/test_dedup.py::test_semantic_dedup_matches_python_twin",
 }
 
 

@@ -471,6 +471,87 @@ def _pq_adc_rescore(corpus: DataFrame, encoded: DataFrame,
             .filter(F.col("rank") <= k))
 
 
+def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
+                   iters: int = 3, id_col: str = "vec_id",
+                   emb_col: str = "embedding", margin: float = 1e-6,
+                   max_cluster_rows: int = 200_000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): k-means cluster the embedding space,
+    search for near-duplicate pairs ONLY within each cluster, collapse
+    pair groups transitively, keep one representative per group.
+
+    Returns (``id_col``, cluster, rep_id, keep): ``keep`` is True for
+    exactly one row per semantic-duplicate group — the min-id member —
+    and for every non-duplicated row; filtering on it IS the dedup.
+
+    Scale shape: the clustering is what bounds the quadratic — k
+    clusters turn the all-pairs O(n²) into O(Σ|c|²) ≈ O(n²/k), and at
+    100 TB ``k`` scales with the corpus so cluster sizes stay bounded
+    (a cluster above ``max_cluster_rows`` raises with instructions to
+    raise k rather than silently building an n²-sized task). Stages:
+    kmeans (broadcast-closure argmin, corpus never shuffled; see
+    operators.kmeans) → ONE shuffle grouping vectors by cluster → per-
+    cluster Arrow matmul prefilter (margin-padded, provably lossless
+    like cosine_candidate_pairs) → exact-fold rescore of candidates
+    (ids broadcast into two corpus scans, no vector shuffle) →
+    min-label connected components over the id-only pair edges.
+
+    The emitted pair relation is EXACT: {(a,b) in the same cluster :
+    cosine(a,b) >= threshold} — the "semantic" approximation relative
+    to a full near-dup pass is only that cross-cluster pairs are not
+    searched, which is SemDeDup's documented trade.
+    """
+    from .graph import connected_components
+    from .kmeans import kmeans
+
+    work = corpus.select(F.col(id_col).alias("vec_id"),
+                         F.col(emb_col).alias("embedding"))
+    assigned = kmeans(work, k=k, iters=iters)          # (vec_id, cluster)
+    clustered = work.join(assigned, "vec_id")
+    cut = threshold - margin
+
+    def pairs_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cluster of {len(pdf)} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows} — raise k so "
+                "per-cluster pair search stays bounded")
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                       1e-12, None)
+        ii, jj = np.nonzero(mat @ mat.T >= cut)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame({"id_a": ids[ii][keep].astype("int64"),
+                             "id_b": ids[jj][keep].astype("int64")})
+
+    cand = (clustered.groupBy("cluster")
+            .applyInPandas(pairs_in_cluster, "id_a long, id_b long"))
+    # exact rescore with the bit-deterministic fold + exact threshold
+    # (the matmul margin only widens the candidate set, never the
+    # result); candidates broadcast into both corpus scans
+    exact = (work.select(F.col("vec_id").alias("id_a"),
+                         F.col("embedding").alias("emb_a"))
+             .join(F.broadcast(cand), "id_a")
+             .join(work.select(F.col("vec_id").alias("id_b"),
+                               F.col("embedding").alias("emb_b")), "id_b")
+             .select("id_a", "id_b",
+                     cosine(F.col("emb_a"), F.col("emb_b"))
+                     .alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold))
+    comps = connected_components(
+        work.select(F.col("vec_id").alias("id")),
+        exact.select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
+    return (clustered.select("vec_id", "cluster")
+            .join(comps, F.col("vec_id") == F.col("id"))
+            .select(F.col("vec_id").alias(id_col), "cluster",
+                    F.col("component").alias("rep_id"),
+                    (F.col("vec_id") == F.col("component")).alias("keep")))
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF / PQ indexes — build-once/query-many (VERDICT r5 #2),
 # completing the persisted-index story LSH (write_ann_signature_table)

@@ -312,6 +312,25 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_groups",
+    oracle=None,
+    doc=(
+        "SemDeDup-style semantic deduplication (arXiv:2303.09540): "
+        "kmeans bounds the pair search to intra-cluster, exact-fold "
+        "cosine >= 0.35 pairs collapse transitively, min-id "
+        "representative kept per group. Rows-only (kmeans is "
+        "iterative, not SQL-expressible); pinned bit-exact to a "
+        "numpy/union-find twin in tests/test_dedup.py."
+    ),
+)
+def semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    return semantic_dedup(emb, k=8, threshold=0.35)
+
+
+@query(
     "approx_quantiles",
     oracle="""
     SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY "value") AS exact_p50,

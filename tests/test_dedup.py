@@ -309,6 +309,54 @@ def test_ann_signature_table_probe_matches_direct(spark, tmp_path):
     assert probed == direct and len(direct) > 0
 
 
+def test_semantic_dedup_matches_python_twin(spark):
+    """semantic_dedup == a pure numpy/union-find twin applied to the
+    same kmeans assignment (kmeans itself is pinned bit-exact to its
+    numpy twin in test_kmeans): per-cluster all-pairs cosine >=
+    threshold, transitive closure, min-id representative, keep flag
+    for exactly the representatives."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.operators.kmeans import kmeans
+    from nvd2mysqlloader_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    got = {r.vec_id: (r.cluster, r.rep_id, r.keep)
+           for r in semantic_dedup(emb, k=8, threshold=0.35).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                    for r in rows])
+    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                   1e-12, None)
+    clus = {r.vec_id: r.cluster
+            for r in kmeans(emb.select("vec_id", "embedding"),
+                            k=8, iters=3).collect()}
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sims = mat @ mat.T
+    ii, jj = np.nonzero(sims >= 0.35)
+    for a, b in zip(ids[ii], ids[jj]):
+        a, b = int(a), int(b)
+        if a < b and clus[a] == clus[b]:
+            ra, rb = find(a), find(b)
+            if ra != rb:                 # smaller root stays the root,
+                parent[max(ra, rb)] = min(ra, rb)   # so root == min id
+    want = {int(i): (clus[int(i)], find(int(i)), find(int(i)) == int(i))
+            for i in ids}
+    assert got == want and len(got) == len(ids)
+    # sanity: at threshold 0.35 the synthetic corpus HAS duplicates
+    assert any(not k for _, _, k in got.values())
+
+
 def test_ivf_index_probe_matches_direct(spark, tmp_path):
     """Persisted IVF index (VERDICT r5 #2): build once (centroids +
     vectors clustered into list_id partitions), append a second batch
