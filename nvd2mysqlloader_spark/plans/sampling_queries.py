@@ -187,3 +187,49 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (keyed.withColumn("shard", shard)
             .withColumn("pos", F.row_number().over(w).cast("long"))
             .select("shard", "doc_id", "pos", "n_chars"))
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(
+                      regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                      x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    mx AS (SELECT max(n_tokens) AS max_tokens FROM per)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           round(sqrt(CAST(p.n_tokens AS DOUBLE))
+                 / sqrt(CAST(m.max_tokens AS DOUBLE)), 6) AS rel_weight
+    FROM per p CROSS JOIN mx m
+    """,
+    doc=(
+        "temperature-based source mixture weights (the multilingual/"
+        "multi-domain sampling formula w_i ∝ n_i^α, here α=0.5): "
+        "per-source exact token counts roll up once, and each "
+        "source's sampling weight is emitted RELATIVE TO THE LARGEST "
+        "source — sqrt(n_i)/sqrt(n_max) — rather than sum-normalized, "
+        "deliberately: sqrt and one division are IEEE-correctly-"
+        "rounded (bit-exact across engines) while a sum of doubles "
+        "has engine-chosen accumulation order; the absolute "
+        "probability is one client-side constant away. The 1-row max "
+        "broadcasts back; at 100 TB this is a per-source metadata "
+        "rollup, the cheapest query in the pipeline."
+    ),
+)
+def mixture_temperature_weights(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.coalesce("text", F.lit("")), r"\s+"),
+                    lambda x: x != "")
+    per = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(toks)).cast("bigint").alias("n_tokens")))
+    mx = per.agg(F.max("n_tokens").alias("max_tokens"))
+    w = F.round(F.sqrt(F.col("n_tokens").cast("double"))
+                / F.sqrt(F.col("max_tokens").cast("double")), 6)
+    return (per.crossJoin(F.broadcast(mx))
+            .select("source", "n_docs", "n_tokens",
+                    w.alias("rel_weight")))

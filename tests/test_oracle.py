@@ -33,6 +33,22 @@ def test_registry_hygiene():
     assert local_oracle.check_registry() == []
 
 
+def test_registry_hygiene_catches_unpinned_rows_only():
+    """Negative check: an unpinned rows-only entry must actually fail
+    the gate (the gate itself is load-bearing, not decorative)."""
+    import local_oracle
+    from nvd2mysqlloader_spark.plans.registry import Query
+
+    QUERIES["__fake_rows_only"] = Query(
+        name="__fake_rows_only", fn=lambda s, d: None, oracle=None, doc="")
+    try:
+        problems = local_oracle.check_registry()
+        assert any("__fake_rows_only" in p for p in problems)
+    finally:
+        del QUERIES["__fake_rows_only"]
+    assert local_oracle.check_registry() == []
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
     df = e.entry(spark)
