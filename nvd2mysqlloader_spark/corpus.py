@@ -48,7 +48,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                   ngram: int = 5,
                   shards: int = 8,
                   span_min_df: int | None = None,
-                  span_seg_tokens: int = 8) -> dict:
+                  span_seg_tokens: int = 8,
+                  rejection_log_dir: str | None = None) -> dict:
     """Run the full curation pipeline over ``docs`` (needs doc_id,
     text, lang); export survivors to ``out_dir``; return per-stage row
     counts plus the export manifest.
@@ -56,7 +57,17 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
     Stage outputs that later stages (and the audit counts) re-read are
     persisted MEMORY_AND_DISK for the duration, so the expensive
     middle (LSH self-join, label propagation, gram joins) executes
-    once, not once per downstream action."""
+    once, not once per downstream action.
+
+    ``rejection_log_dir``: when set, a per-DOCUMENT provenance log
+    (doc_id, stage, detail) is written there — which stage dropped
+    each document and why (near-dup losers carry their keeper's id,
+    holdout docs are distinguished from contaminated ones). The log
+    partitions the input exactly: every input doc_id appears in the
+    export or in the log, never both, never twice — the invariant a
+    data-debugging session needs ("where did my document go?") and a
+    100 TB pipeline can afford, because each stage's rejected side is
+    an ids-only anti-join of already-persisted stage outputs."""
     from pyspark import StorageLevel
 
     persisted = []
@@ -65,6 +76,17 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(df)
         return df
+
+    rejections: list[DataFrame] = []
+
+    def _log_dropped(prev: DataFrame, cur: DataFrame, stage: str) -> None:
+        if rejection_log_dir is None:
+            return
+        rejections.append(
+            prev.select("doc_id")
+            .join(cur.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(stage).alias("stage"),
+                    F.lit(None).cast("string").alias("detail")))
 
     try:
         stats: dict = {"input": docs.count()}
@@ -83,6 +105,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         # most expensive narrow stage and both the count and the next
         # stage consume it — unpersisted it would execute twice
         stats["after_quality"] = quality.count()
+        _log_dropped(docs, quality, "quality")
 
         # 2. language allow-list (claimed lang; swap in lang_id
         # evidence argmax when labels are untrusted)
@@ -90,6 +113,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
             pre_lang = quality
             quality = _stage(quality.filter(F.col("lang").isin(list(langs))))
             stats["after_lang"] = quality.count()
+            _log_dropped(pre_lang, quality, "lang")
             # the stage-1 cache is a superset of stage 2 and nothing
             # downstream reads it again — release it now rather than
             # holding two corpus-sized caches through the LSH middle
@@ -107,6 +131,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         exact = _stage(quality.withColumn("__rk", F.row_number().over(w))
                        .filter(F.col("__rk") == 1).drop("__rk"))
         stats["after_exact_dedup"] = exact.count()
+        _log_dropped(quality, exact, "exact_dup")
 
         # 4. near-dup dedup — LSH candidates only (never all-pairs),
         # then transitive closure so A~B~C collapses to one keeper.
@@ -123,6 +148,16 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                      .select(F.col("id").alias("doc_id"))
         near = _stage(exact.join(losers, "doc_id", "left_anti"))
         stats["after_near_dedup"] = near.count()
+        if rejection_log_dir is not None:
+            # richer than the generic anti-join: a near-dup loser's
+            # most useful provenance is WHICH document it collapsed to
+            rejections.append(
+                comp.filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias("doc_id"),
+                        F.lit("near_dup").alias("stage"),
+                        F.concat(F.lit("kept="),
+                                 F.col("component").cast("string"))
+                        .alias("detail")))
 
         # 4b. (opt-in) corpus-wide duplicated-span removal — the
         # CCNet-style boilerplate pass AFTER document-level dedup (a
@@ -137,6 +172,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
             # the full operator's accounting columns would cost one
             # redundant corpus-wide join just to be discarded
             from .operators.dedup import duplicated_span_survivors
+            pre_span = near
             cleaned = duplicated_span_survivors(
                 near, seg_tokens=span_seg_tokens, min_df=span_min_df)
             near = _stage(
@@ -145,6 +181,7 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                                      F.col("clean_text").alias("text")),
                       "doc_id"))
             stats["after_span_dedup"] = near.count()
+            _log_dropped(pre_span, near, "all_boilerplate")
 
         # 5. decontamination — md5-prefix holdout is the eval set;
         # drop training docs sharing any word n-gram with it. Semi-
@@ -173,6 +210,25 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         clean = _stage(near.filter(~is_holdout_doc)
                        .join(dirty, "doc_id", "left_anti"))
         stats["after_decontaminate"] = clean.count()
+        if rejection_log_dir is not None:
+            # holdout (the eval set — withheld, not "bad") and
+            # contaminated (shares a gram with the holdout) are
+            # distinct fates and logged as such; together they are
+            # exactly near \ clean
+            rejections.append(
+                near.filter(is_holdout_doc)
+                .select("doc_id", F.lit("holdout").alias("stage"),
+                        F.lit(None).cast("string").alias("detail")))
+            rejections.append(
+                dirty.select("doc_id",
+                             F.lit("contaminated").alias("stage"),
+                             F.lit(None).cast("string").alias("detail")))
+            log = rejections[0]
+            for r in rejections[1:]:
+                log = log.unionByName(r)
+            log.write.mode("overwrite").parquet(rejection_log_dir)
+            stats["rejected_logged"] = \
+                spark.read.parquet(rejection_log_dir).count()
 
         # 6 + 7. scrub and export in one pass
         final = clean.withColumn("text", scrub_pii("text"))

@@ -82,6 +82,54 @@ def test_curate_corpus_near_dup_collapses_clusters(spark, tmp_path):
     assert sorted(r.doc_id for r in back.collect()) == [1, 4]
 
 
+def test_curate_corpus_rejection_log_partitions_input(spark, tmp_path):
+    """The per-document provenance log: every input doc_id is either
+    exported or logged with exactly one (stage, detail) — a partition
+    of the input, the "where did my document go?" invariant. Near-dup
+    losers carry their keeper's id; holdout and contaminated docs are
+    distinguished."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = str(tmp_path / "curated")
+    log_dir = str(tmp_path / "rejections")
+    stats = curate_corpus(spark, docs, out, shards=2,
+                          rejection_log_dir=log_dir)
+
+    log = spark.read.parquet(log_dir)
+    exported = spark.read.json(out).select("doc_id")
+    n_in = docs.count()
+
+    # partition: exported ⊎ logged == input, no overlap, no repeats
+    assert log.count() == stats["rejected_logged"]
+    assert log.count() + exported.count() == n_in
+    assert log.select("doc_id").distinct().count() == log.count()
+    assert log.join(exported, "doc_id", "inner").count() == 0
+    assert (log.select("doc_id").union(exported)
+            .distinct().count() == n_in)
+
+    # stage tallies reconcile with the pipeline's own counters
+    by_stage = {r["stage"]: r["n"] for r in
+                log.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    assert by_stage.get("quality", 0) == \
+        stats["input"] - stats["after_quality"]
+    assert by_stage.get("exact_dup", 0) == \
+        stats["after_lang"] - stats["after_exact_dedup"]
+    assert by_stage.get("near_dup", 0) == \
+        stats["after_exact_dedup"] - stats["after_near_dedup"]
+    assert (by_stage.get("holdout", 0) + by_stage.get("contaminated", 0)
+            == stats["after_near_dedup"] - stats["after_decontaminate"])
+
+    # near-dup losers name their keeper, and the keeper survived to
+    # the near-dup stage's output (it may drop later for other reasons)
+    near_rows = log.filter(F.col("stage") == "near_dup").collect()
+    for r in near_rows:
+        assert r["detail"].startswith("kept=")
+    if near_rows:
+        keepers = {int(r["detail"][5:]) for r in near_rows}
+        logged_near = {r["doc_id"] for r in near_rows}
+        assert not (keepers & logged_near)   # a keeper never also lost
+
+
 def test_tokenize_and_pack_matches_python_twin(spark):
     """tokenize_and_pack: every doc lands in exactly one pack of its
     group, assembly order is doc_id-ascending, and pack assignment
