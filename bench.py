@@ -79,9 +79,13 @@ HEADLINE = sorted([
     "text_quality",
     "bpe_learned_tokens",
     "bm25_search",
+    "rrf_hybrid_search",
     "decontaminate_ngrams",
     "chunk_documents",
     "dedup_spans",
+    # sketch-merge + mixture planning (round 6)
+    "hll_mergeable_tally",
+    "mixture_temperature_weights",
     # multimodal plumbing
     "multimodal_inventory",
     "video_frame_sample",
