@@ -84,8 +84,10 @@ def check_registry() -> list[str]:
         full = os.path.join(repo, fpath)
         if not os.path.exists(full):
             problems.append(f"{name}: pinned file {fpath} missing")
-        elif f"def {func}(" not in open(full).read():
-            problems.append(f"{name}: pinned test {pin} not found")
+        else:
+            with open(full) as fh:
+                if f"def {func}(" not in fh.read():
+                    problems.append(f"{name}: pinned test {pin} not found")
     stale = set(ROWS_ONLY_PINS) - {n for n, q in QUERIES.items()
                                    if q.oracle is None}
     if stale:

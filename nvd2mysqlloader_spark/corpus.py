@@ -205,6 +205,11 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         dirty = (grams.filter(~F.col("is_holdout"))
                  .join(hold_grams, "g", "left_semi")
                  .select("doc_id").distinct())
+        if rejection_log_dir is not None:
+            # dirty is consumed twice when logging (clean's anti-join
+            # AND the log write) — persist the tiny id set so the
+            # corpus-wide gram join doesn't execute a second time
+            dirty = _stage(dirty)
         is_holdout_doc = (F.substring(F.md5(F.col("doc_id").cast("string")),
                                       1, 2) < holdout_prefix)
         clean = _stage(near.filter(~is_holdout_doc)

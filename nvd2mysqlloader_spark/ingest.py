@@ -154,9 +154,7 @@ def _ingest_batch(spark, warehouse, fresh, items, names,
     # touched years instead of the whole raw-JSON table
     bronze = (last_writer_wins(bronze_src, ["cve_id"], ["__lmd"])
               .drop("__lmd")
-              .withColumn("feed_year",
-                          F.coalesce(F.substring("cve_id", 5, 4)
-                                     .try_cast("int"), F.lit(0))))
+              .withColumn("feed_year", _bronze_feed_year()))
 
     # batch row count observed on the write pass itself — no separate
     # count() action re-running the whole flatten (ref's cvecount loop,
@@ -167,6 +165,7 @@ def _ingest_batch(spark, warehouse, fresh, items, names,
     write_upsert_parquet(silver_path, silver, ["cve_id"],
                          partition_by=["published_year"])
     n_cves = obs.get["n_cves"]
+    _migrate_legacy_bronze(spark, bronze_path)
     write_upsert_parquet(bronze_path, bronze, ["cve_id"],
                          partition_by=["feed_year"])
 
@@ -187,6 +186,44 @@ def _ingest_batch(spark, warehouse, fresh, items, names,
             "nvd_json": compact_parquet(spark, bronze_path),
         }
     return stats
+
+
+def _bronze_feed_year(col: str = "cve_id"):
+    """feed_year derivation shared by ingest and migration: the CVE
+    id's own year ("CVE-2024-0001" → 2024), 0 for malformed ids."""
+    return F.coalesce(F.substring(col, 5, 4).try_cast("int"), F.lit(0))
+
+
+def _migrate_legacy_bronze(spark: SparkSession, bronze_path: str) -> bool:
+    """One-time in-place migration of a pre-``feed_year`` bronze table
+    (written before bronze was partitioned): derive the partition
+    column for every existing row from its cve_id and rewrite the
+    table partitioned, via the same atomic-publish upsert (the whole
+    re-derived table is the update batch, so the evolve-schema full
+    rewrite replaces every row — no NULL-partition stragglers).
+    Without this, the partition-selective merge/delete would crash on
+    the missing column and brick an upgraded deployment. Returns True
+    when a migration ran."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    if not os.path.exists(bronze_path):
+        return False
+    try:
+        existing = spark.read.parquet(bronze_path)
+    except AnalysisException:
+        return False
+    if "feed_year" in existing.columns:
+        return False
+    from .operators._lineage import cut_lineage
+    # materialize BEFORE the rewrite: a lazy plan would re-read the
+    # table mid-publish
+    migrated = cut_lineage(
+        existing.withColumn("feed_year", _bronze_feed_year()))
+    write_upsert_parquet(bronze_path, migrated, ["cve_id"],
+                         partition_by=["feed_year"], evolve_schema=True)
+    return True
 
 
 def purge_rejected(spark: SparkSession, warehouse: str) -> int:
@@ -224,6 +261,9 @@ def purge_rejected(spark: SparkSession, warehouse: str) -> int:
     # the retry rediscovers the ids and finishes bronze+silver. The
     # reverse order would strand the withdrawn CVEs' raw JSON in
     # bronze forever (silver purged → nothing to rediscover).
+    # a legacy (pre-feed_year) bronze is migrated before the
+    # partition-selective delete would touch the missing column
+    _migrate_legacy_bronze(spark, f"{warehouse}/nvd_json")
     write_delete_parquet(f"{warehouse}/nvd_json", rejected, ["cve_id"],
                          partition_by=["feed_year"])
     return write_delete_parquet(silver_path, rejected, ["cve_id"],

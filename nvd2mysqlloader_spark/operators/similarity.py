@@ -522,10 +522,23 @@ def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
                        1e-12, None)
-        ii, jj = np.nonzero(mat @ mat.T >= cut)
-        keep = ids[ii] < ids[jj]
-        return pd.DataFrame({"id_a": ids[ii][keep].astype("int64"),
-                             "id_b": ids[jj][keep].astype("int64")})
+        # CHUNKED matmul: a dense |c|×|c| similarity matrix is
+        # |c|²·8 bytes (320 GB at the 200k row cap) — the row guard
+        # bounds rows, this bounds the scoring buffer. Each block of
+        # rows scores against the whole cluster under a 256 MB
+        # budget; results are identical to the one-shot product.
+        n = len(ids)
+        block = max(1, (256 << 20) // (8 * n))
+        outs_a, outs_b = [], []
+        for s in range(0, n, block):
+            ii, jj = np.nonzero(mat[s:s + block] @ mat.T >= cut)
+            ia, jb = ids[s + ii], ids[jj]
+            keep = ia < jb
+            outs_a.append(ia[keep])
+            outs_b.append(jb[keep])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(outs_a).astype("int64"),
+             "id_b": np.concatenate(outs_b).astype("int64")})
 
     cand = (clustered.groupBy("cluster")
             .applyInPandas(pairs_in_cluster, "id_a long, id_b long"))
@@ -620,6 +633,16 @@ def write_ivf_index(corpus: DataFrame, path: str,
                 "different centroids — appending under new centroids "
                 "would split each logical list across incompatible "
                 "layouts; rebuild the index instead")
+        if centroids is None and nlist != existing.shape[0]:
+            # mirror write_pq_index's shape check: silently appending
+            # under the persisted 16 lists when the caller asked for
+            # 32 would hand back an index whose scan fraction and
+            # recall differ from what the caller tuned nprobe for
+            raise ValueError(
+                f"write_ivf_index: index at {path} has "
+                f"nlist={existing.shape[0]} but the call asked for "
+                f"nlist={nlist} — pass the matching nlist (appends "
+                "always use the persisted centroids) or rebuild")
         cents = existing
     else:
         cents = np.asarray(

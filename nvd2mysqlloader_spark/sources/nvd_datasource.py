@@ -275,7 +275,13 @@ class NvdFeedStreamReader(SimpleDataSourceStreamReader):
                 import hashlib
                 try:
                     with open(path, "rb") as fh:
-                        digest = hashlib.sha256(fh.read()).hexdigest()
+                        # chunked: yearly feeds run to hundreds of MB
+                        # uncompressed — never slurp the whole file
+                        # just to hash it
+                        h = hashlib.sha256()
+                        for chunk in iter(lambda: fh.read(1 << 20), b""):
+                            h.update(chunk)
+                        digest = h.hexdigest()
                 except OSError:
                     continue                  # vanished: replays nothing
                 if digest.lower() != sha_now.lower():

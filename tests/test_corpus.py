@@ -91,7 +91,13 @@ def test_curate_corpus_rejection_log_partitions_input(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     out = str(tmp_path / "curated")
     log_dir = str(tmp_path / "rejections")
+    # langs + span_min_df ON so the 'lang' and 'all_boilerplate'
+    # logging paths (stage 4b both rewrites text AND drops emptied
+    # docs — the likeliest to break the exactly-once invariant) are
+    # actually exercised, not skipped
     stats = curate_corpus(spark, docs, out, shards=2,
+                          langs=["en", "fr", "es", "de"],
+                          span_min_df=3,
                           rejection_log_dir=log_dir)
 
     log = spark.read.parquet(log_dir)
@@ -112,12 +118,17 @@ def test_curate_corpus_rejection_log_partitions_input(spark, tmp_path):
                 .collect()}
     assert by_stage.get("quality", 0) == \
         stats["input"] - stats["after_quality"]
+    assert by_stage.get("lang", 0) == \
+        stats["after_quality"] - stats["after_lang"]
+    assert by_stage.get("lang", 0) > 0           # zh docs dropped here
     assert by_stage.get("exact_dup", 0) == \
         stats["after_lang"] - stats["after_exact_dedup"]
     assert by_stage.get("near_dup", 0) == \
         stats["after_exact_dedup"] - stats["after_near_dedup"]
+    assert by_stage.get("all_boilerplate", 0) == \
+        stats["after_near_dedup"] - stats["after_span_dedup"]
     assert (by_stage.get("holdout", 0) + by_stage.get("contaminated", 0)
-            == stats["after_near_dedup"] - stats["after_decontaminate"])
+            == stats["after_span_dedup"] - stats["after_decontaminate"])
 
     # near-dup losers name their keeper, and the keeper survived to
     # the near-dup stage's output (it may drop later for other reasons)

@@ -388,6 +388,8 @@ def test_ivf_index_probe_matches_direct(spark, tmp_path):
 
     with pytest.raises(ValueError, match="different centroids"):
         write_ivf_index(emb, path, centroids=cents + 1.0)
+    with pytest.raises(ValueError, match="nlist=16"):
+        write_ivf_index(emb, path, nlist=32)
 
 
 def test_ivf_index_probe_plan_partition_prunes(spark, tmp_path):

@@ -454,6 +454,10 @@ _SCALAR_BNLJ_OK = {
     # broadcast non-equi join) as the verdict's comparison side
     "ann_lsh_recall_verdict", "ann_ivf_recall_verdict",
     "ann_pq_recall_verdict",
+    # 1-row scalar broadcasts: exact-tally anchor, max-tokens
+    # normalizer, query-by-example vector
+    "hll_mergeable_tally", "mixture_temperature_weights",
+    "rrf_hybrid_search",
 }
 
 
