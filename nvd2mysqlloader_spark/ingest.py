@@ -208,19 +208,28 @@ def _migrate_legacy_bronze(spark: SparkSession, bronze_path: str) -> bool:
 
     from pyspark.errors import AnalysisException
 
+    from .operators import table_io
+
     if not os.path.exists(bronze_path):
         return False
+    # read the PINNED current version dir, not the table symlink: the
+    # rewrite below migrates a legacy plain dir (rename + symlink) and
+    # publishes a new version while this plan executes, and version
+    # dirs are immutable — so the lazy read stays valid for the whole
+    # job with no driver-side materialization (a localCheckpoint here
+    # would copy the entire bronze table once per migration)
+    table_io.ensure_versioned(bronze_path)
+    table_io.cleanup_stale(bronze_path)
+    cur = table_io.current_version(bronze_path)
+    if cur is None:
+        return False
     try:
-        existing = spark.read.parquet(bronze_path)
+        existing = spark.read.parquet(cur)
     except AnalysisException:
         return False
     if "feed_year" in existing.columns:
         return False
-    from .operators._lineage import cut_lineage
-    # materialize BEFORE the rewrite: a lazy plan would re-read the
-    # table mid-publish
-    migrated = cut_lineage(
-        existing.withColumn("feed_year", _bronze_feed_year()))
+    migrated = existing.withColumn("feed_year", _bronze_feed_year())
     write_upsert_parquet(bronze_path, migrated, ["cve_id"],
                          partition_by=["feed_year"], evolve_schema=True)
     return True
