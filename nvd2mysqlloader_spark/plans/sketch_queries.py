@@ -7,6 +7,8 @@ tests/test_dedup.py verifies each against its exact baseline
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -366,6 +368,63 @@ def semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     emb = emb.repartition(spark.sparkContext.defaultParallelism)
     return semantic_dedup(emb, k=8, threshold=0.35)
+
+
+@query(
+    "kmeans_convergence_verdict",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS inertia_non_increasing
+    FROM embeddings
+    """,
+    doc=(
+        "Lloyd's-invariant verdict for the iterative k-means family "
+        "(the bound-verdict pattern applied to an ML loop): the "
+        "k-means objective evaluated at the INITIAL centroids and "
+        "after 3 assign/update rounds, in one plan over the corpus — "
+        "Lloyd guarantees the objective is monotone non-increasing, "
+        "and that claim rides as a TRUE boolean next to DuckDB's own "
+        "exact row-count anchor. The ||x||² term cancels between the "
+        "two evaluations, so the expanded-form partial objective "
+        "(||c||² − 2·x·c, the same expression the assignment UDF "
+        "uses) is compared; a generous epsilon absorbs the M-step's "
+        "fixed-point-micros quantization. The centroid trajectory "
+        "itself stays engine-specific (numpy-twin-pinned in "
+        "tests/test_kmeans.py) — this pins the CONVERGENCE claim."
+    ),
+)
+def kmeans_convergence_verdict(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import (init_centroids, lloyd_assignments,
+                                    update_centroids)
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding")
+           .repartition(spark.sparkContext.defaultParallelism))
+
+    def partial_obj_udf(cents: np.ndarray):
+        cn = (cents ** 2).sum(axis=1)
+
+        @F.pandas_udf("double")
+        def obj(col: pd.Series) -> pd.Series:
+            m = np.array(col.tolist(), dtype=np.float64)
+            d2 = cn[None, :] - 2.0 * (m @ cents.T)
+            return pd.Series(d2.min(axis=1))
+
+        return obj
+
+    cents0 = init_centroids(emb, 8)
+    cents = cents0
+    for _ in range(3):
+        cents = update_centroids(lloyd_assignments(emb, cents), cents)
+    scored = emb.select(
+        partial_obj_udf(cents0)("embedding").alias("o0"),
+        partial_obj_udf(cents)("embedding").alias("o3"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("o3")
+         <= F.sum("o0") + 1e-3 * F.abs(F.sum("o0")))
+        .alias("inertia_non_increasing"))
 
 
 @query(
