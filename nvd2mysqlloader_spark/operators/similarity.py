@@ -770,6 +770,187 @@ def pq_topk_from_index(corpus: DataFrame, index_path: str,
                            max_queries, gather_bytes)
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed billion-scale ANN structure (coarse inverted
+# lists + product-quantized RESIDUALS): the coarse centroid absorbs
+# the vector's position so the PQ codebooks only need to cover the
+# residual neighborhood (tighter cells than flat PQ at the same m),
+# and a probe touches nprobe/nlist of the codes — a partition-pruned
+# scan of m-byte codes, the FAISS IVFPQ layout re-expressed as
+# parquet tables.
+
+
+def write_ivfpq_index(corpus: DataFrame, path: str,
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      nlist: int = 16, m: int = 8, ksub: int = 16,
+                      train_n: int = 100_000) -> None:
+    """Build or extend a persisted IVF-PQ index at ``path``.
+
+    Layout: ``{path}/centroids`` (coarse, as write_ivf_index),
+    ``{path}/codebooks`` (trained on RESIDUALS x̂ − c_list of a
+    bounded sample), ``{path}/codes`` (id, code) PARTITIONED BY
+    list_id — probes prune to nprobe lists and read m small ints per
+    vector. Appends reuse the persisted centroids AND codebooks
+    (mismatched nlist/m/ksub refused), so incremental batches encode
+    consistently forever."""
+    spark = corpus.sparkSession
+    cdir, bdir = f"{path}/centroids", f"{path}/codebooks"
+    codir = f"{path}/codes"
+    existing = _read_centroids(spark, cdir)
+    if existing is not None and nlist != existing.shape[0]:
+        raise ValueError(
+            f"write_ivfpq_index: index at {path} has "
+            f"nlist={existing.shape[0]}, call asked nlist={nlist}")
+    if existing is None:
+        cents = np.asarray(_centroids_from_corpus(
+            corpus, emb_col, id_col, nlist), dtype=np.float64)
+        cents /= np.clip(np.linalg.norm(cents, axis=1, keepdims=True),
+                         1e-12, None)
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+            "list_id int, centroid array<double>"
+        ).coalesce(1).write.parquet(cdir)
+    else:
+        cents = existing
+
+    books = _read_books(spark, bdir)
+    if books is not None and (len(books) != m
+                              or books[0].shape[0] != ksub):
+        raise ValueError(
+            f"write_ivfpq_index: index at {path} has m={len(books)}, "
+            f"ksub={books[0].shape[0]}; call asked m={m}, ksub={ksub}")
+    if books is None:
+        sample = pq_training_sample(corpus, emb_col, id_col, train_n)
+        assign = np.argmax(sample @ cents.T, axis=1)
+        books = pq_train(sample - cents[assign], m, ksub)
+        spark.createDataFrame(
+            [(j, c, [float(x) for x in books[j][c]])
+             for j in range(m) for c in range(ksub)],
+            "sub_idx int, code_idx int, centroid array<double>"
+        ).coalesce(1).write.parquet(bdir)
+
+    splits = _book_splits(books)
+
+    @F.pandas_udf("struct<list_id: int, code: array<int>>")
+    def encode(embs: pd.Series) -> pd.DataFrame:
+        x = np.stack(embs.to_numpy()).astype(np.float64)
+        x /= np.clip(np.linalg.norm(x, axis=1, keepdims=True),
+                     1e-12, None)
+        lists = np.argmax(x @ cents.T, axis=1)
+        resid = x - cents[lists]
+        subs = np.split(resid, splits, axis=1)
+        codes = np.stack([
+            ((s[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+            .argmin(axis=1)
+            for s, b in zip(subs, books)], axis=1)
+        return pd.DataFrame({
+            "list_id": lists.astype("int32"),
+            "code": [row.astype("int32").tolist() for row in codes]})
+
+    (corpus.select(id_col, encode(emb_col).alias("e"))
+     .select(id_col, F.col("e.list_id").alias("list_id"),
+             F.col("e.code").alias("code"))
+     .repartition("list_id")
+     .write.mode("append").partitionBy("list_id").parquet(codir))
+
+
+def ivfpq_topk(corpus: DataFrame, index_path: str, queries: DataFrame,
+               k: int = 10, id_col: str = "vec_id",
+               emb_col: str = "embedding",
+               query_id_col: str = "query_id",
+               nprobe: int = 4, fetch_k: int | None = None,
+               exclude_self: bool = True,
+               max_queries: int = 65_536) -> DataFrame:
+    """IVF-PQ probe: queries assign to their ``nprobe`` nearest coarse
+    lists, the pruned codes scan is ADC-scored against PER-(query,
+    list) residual LUTs (the query's residual differs per probed
+    list), local top ``fetch_k`` per partition, global rank, exact
+    rescore against the corpus. The closure carries nq·nprobe LUTs of
+    m·ksub doubles — bounded by ``max_queries`` exactly like pq_topk."""
+    spark = corpus.sparkSession
+    cents = _read_centroids(spark, f"{index_path}/centroids")
+    books = _read_books(spark, f"{index_path}/codebooks")
+    if cents is None or books is None:
+        raise ValueError(f"ivfpq_topk: no index at {index_path}")
+    m = len(books)
+    fetch_k = fetch_k or max(4 * k, 50)
+    splits = _book_splits(books)
+
+    q_rows = (queries.select(query_id_col, emb_col)
+              .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk: query batch exceeds max_queries={max_queries}")
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64)
+                      for r in q_rows])
+    q_mat /= np.clip(np.linalg.norm(q_mat, axis=1, keepdims=True),
+                     1e-12, None)
+    probe_lists = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    # LUTs per (query, probed list): residual q − c_list vs codebooks
+    luts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for li in np.unique(probe_lists):
+        qi = np.nonzero((probe_lists == li).any(axis=1))[0]
+        resid = q_mat[qi] - cents[li]
+        r_subs = np.split(resid, splits, axis=1)
+        lut = np.stack([
+            np.stack([((r_subs[j][t] - books[j]) ** 2).sum(axis=1)
+                      for j in range(m)])
+            for t in range(len(qi))])                # (nq_l, m, ksub)
+        luts[int(li)] = (q_ids[qi], lut)
+
+    probed = sorted(int(x) for x in np.unique(probe_lists))
+    codes_df = (spark.read.parquet(f"{index_path}/codes")
+                .filter(F.col("list_id").isin(probed)))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("adc_d2", T.DoubleType()),
+    ])
+    jj = np.arange(m)
+
+    def scan(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            for li, grp in b.groupby("list_id"):
+                ent = luts.get(int(li))
+                if ent is None:
+                    continue
+                gq_ids, lut = ent
+                codes = np.stack(grp["code"].to_numpy())     # (n, m)
+                ids = grp[id_col].to_numpy()
+                k_eff = min(fetch_k, len(ids))
+                d2 = lut[:, jj[None, :], codes].sum(axis=2)  # (nq_l, n)
+                top = np.argsort(d2, axis=1, kind="stable")[:, :k_eff]
+                yield pd.DataFrame({
+                    "query_id": np.repeat(gq_ids, k_eff),
+                    "neighbor_id": ids[top].ravel(),
+                    "adc_d2": np.take_along_axis(d2, top,
+                                                 axis=1).ravel()})
+
+    cand = codes_df.mapInPandas(scan, out_schema)
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"),
+                                                F.asc("neighbor_id"))
+    cand = (cand.withColumn("r", F.row_number().over(wq))
+            .filter(F.col("r") <= fetch_k).drop("r", "adc_d2"))
+    q_emb = queries.select(F.col(query_id_col).alias("query_id"),
+                           F.col(emb_col).alias("q_emb"))
+    scored = (corpus.select(F.col(id_col).alias("neighbor_id"), emb_col)
+              .join(F.broadcast(cand), "neighbor_id")
+              .join(F.broadcast(q_emb), "query_id")
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("q_emb"),
+                             F.col(emb_col)).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 _PAIR_SCHEMA = T.StructType([T.StructField("id_a", T.LongType()),
                              T.StructField("id_b", T.LongType())])
 

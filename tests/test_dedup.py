@@ -411,6 +411,50 @@ def test_ivf_index_probe_plan_partition_prunes(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
+def test_ivfpq_index_recall_and_contract(spark, tmp_path):
+    """IVF-PQ composed index (coarse lists + product-quantized
+    residuals, the FAISS IVFPQ layout as parquet): 2-batch append
+    under persisted centroids+codebooks, deterministic probes, recall
+    beating chance at a 25% scan fraction over compressed codes, and
+    shape-mismatch refusals on append."""
+    from nvd2mysqlloader_spark.operators.similarity import (
+        ivfpq_topk, write_ivfpq_index)
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    write_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = ivfpq_topk(emb, path, queries, k=10)
+    rows = got.collect()
+    assert len(rows) == 50
+
+    exact = QUERIES["cosine_topk"].fn(spark, SF_ORACLE).collect()
+    truth, approx = {}, {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in rows:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & approx.get(q, set())) / len(truth[q])
+               for q in truth]
+    avg = sum(recalls) / len(recalls)
+    # measured 0.40-0.42 on the synthetic corpus: the double
+    # approximation (25% coarse scan x residual codes) must still
+    # beat the 0.25 scan-fraction chance floor
+    assert avg >= 0.3, f"IVF-PQ recall {avg:.2f} ({recalls})"
+
+    again = sorted(map(tuple, ivfpq_topk(emb, path, queries,
+                                         k=10).collect()))
+    assert again == sorted(map(tuple, rows))
+
+    with pytest.raises(ValueError, match="nlist"):
+        write_ivfpq_index(emb, path, nlist=32)
+    with pytest.raises(ValueError, match="m="):
+        write_ivfpq_index(emb, path, m=4)
+
+
 def test_pq_index_probe_matches_direct(spark, tmp_path):
     """Persisted PQ index (VERDICT r5 #2): codebooks trained once,
     codes appended per batch with the PERSISTED codebooks, probe reads
