@@ -553,3 +553,43 @@ def test_cosine_pairs_empty_and_allnull_corpus(spark):
     assert cosine_candidate_pairs(empty, 0.5).count() == 0
     allnull = spark.createDataFrame([(1, None), (2, None)], schema)
     assert cosine_candidate_pairs(allnull, 0.5).count() == 0
+
+
+def test_persisted_hll_sketch_table_incremental(spark, tmp_path):
+    """Persisted mergeable distinct-count sketches: two batch appends
+    over disjoint halves of orders, the merged estimate lands within
+    the HLL error bound of the exact distinct over the UNION — the
+    incremental tally that never rescans raw data. A mismatched-lgk
+    append is refused at write time."""
+    from nvd2mysqlloader_spark.operators.sketches import (
+        distinct_estimate, write_distinct_sketch)
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    path = str(tmp_path / "sk")
+    write_distinct_sketch(orders.filter(F.col("o_orderkey") % 2 == 0),
+                          path, "o_custkey")
+    write_distinct_sketch(orders.filter(F.col("o_orderkey") % 2 == 1),
+                          path, "o_custkey")
+
+    est = distinct_estimate(spark, path).first()
+    exact = orders.select("o_custkey").distinct().count()
+    assert est["n_rows"] == orders.count()
+    assert abs(est["approx_distinct"] - exact) <= max(1, 0.06 * exact)
+
+    # grouped variant: per-priority sketches merge per group
+    gpath = str(tmp_path / "skg")
+    write_distinct_sketch(orders.filter(F.col("o_orderkey") % 2 == 0),
+                          gpath, "o_custkey", ["o_orderpriority"])
+    write_distinct_sketch(orders.filter(F.col("o_orderkey") % 2 == 1),
+                          gpath, "o_custkey", ["o_orderpriority"])
+    got = {r["o_orderpriority"]: r["approx_distinct"] for r in
+           distinct_estimate(spark, gpath, ["o_orderpriority"]).collect()}
+    want = {r["o_orderpriority"]: r["n"] for r in
+            orders.groupBy("o_orderpriority")
+            .agg(F.count_distinct("o_custkey").alias("n")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= max(1, 0.06 * want[k]), (k, got[k])
+
+    with pytest.raises(ValueError, match="lgk=14"):
+        write_distinct_sketch(orders, path, "o_custkey", lgk=12)
