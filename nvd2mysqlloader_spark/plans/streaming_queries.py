@@ -265,3 +265,59 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .dropDuplicatesWithinWatermark(["event_id"])
                .drop("ts"))
     return _drain(spark, deduped, mode="append")
+
+
+@query(
+    "stream_latest_state_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           CAST(value AS DOUBLE) AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc=(
+        "STREAMING continuous MERGE materialization under the "
+        "value-hash oracle — the CDC/latest-state-per-key topology: "
+        "the event stream drains through foreachBatch into the "
+        "engine's own keyed upsert (write_upsert_parquet, "
+        "order_col-conditional so a late or replayed batch can never "
+        "overwrite a fresher row — the struct(ts, event_id) total "
+        "order makes ties deterministic), and the materialized table "
+        "read back must hash-equal DuckDB's top-1-per-user over the "
+        "same events. At 100 TB/day this is exactly how a silver "
+        "'current state' table is maintained: per micro-batch "
+        "last-writer-wins dedup, then an atomic-publish MERGE whose "
+        "rewrite is bounded by touched partitions, with readers "
+        "always seeing a complete snapshot."
+    ),
+)
+def stream_latest_state_upsert(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.upsert import last_writer_wins, write_upsert_parquet
+
+    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    atexit.register(shutil.rmtree, root, True)
+    tbl = f"{root}/latest_state"
+    stream = (_stream_events(spark, sf_dir)
+              .select("event_id", "user_id", "value", "ts"))
+
+    def sink(batch_df, batch_id):
+        batch = (last_writer_wins(
+                     batch_df, ["user_id"],
+                     [F.struct("ts", "event_id").desc()])
+                 .withColumn("__ord", F.struct("ts", "event_id")))
+        write_upsert_parquet(tbl, batch, ["user_id"], order_col="__ord")
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(tbl)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("ts").alias("last_ts"),
+                    F.col("value").alias("last_value")))

@@ -385,6 +385,49 @@ def test_stream_interval_join_tight_watermark_evicts_state(spark, tmp_path):
     assert not {100, 103, 200} & set(buffered), buffered
 
 
+def test_stream_upsert_materialization_out_of_order_batches(
+        spark, events_parquet, tmp_path):
+    """foreachBatch → keyed conditional upsert across MULTIPLE
+    micro-batches whose files are NOT time-ordered: a later batch
+    carrying older events must not overwrite a fresher materialized
+    row (order_col merge), and the final table equals the batch
+    top-1-per-user exactly."""
+    from pyspark.sql import Window
+
+    from nvd2mysqlloader_spark.operators.upsert import (
+        last_writer_wins, write_upsert_parquet)
+
+    tbl = str(tmp_path / "latest")
+    schema = spark.read.parquet(events_parquet).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)      # 4 unordered batches
+              .parquet(events_parquet)
+              .select("event_id", "user_id", "value", "ts"))
+
+    def sink(batch_df, batch_id):
+        batch = (last_writer_wins(batch_df, ["user_id"],
+                                  [F.struct("ts", "event_id").desc()])
+                 .withColumn("__ord", F.struct("ts", "event_id")))
+        write_upsert_parquet(tbl, batch, ["user_id"], order_col="__ord")
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r.user_id, r.event_id, r.ts)
+           for r in spark.read.parquet(tbl)
+           .select("user_id", "event_id", "ts").collect()}
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    want = {(r.user_id, r.event_id, r.ts)
+            for r in spark.read.parquet(events_parquet)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "event_id", "ts").collect()}
+    assert got == want and len(want) > 0
+
+
 def test_state_store_reader_matches_sink(spark, events_parquet, tmp_path):
     """Streaming-state observability (streaming/observe.py): the
     statestore batch read over a windowed query's checkpoint must hold
