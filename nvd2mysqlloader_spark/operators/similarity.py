@@ -385,79 +385,69 @@ def _book_splits(books: list[np.ndarray]) -> list[int]:
     return np.cumsum([b.shape[1] for b in books])[:-1].tolist()
 
 
-def _pq_adc_rescore(corpus: DataFrame, encoded: DataFrame,
-                    books: list[np.ndarray], queries: DataFrame,
-                    k: int, fetch_k: int | None, id_col: str,
-                    emb_col: str, query_id_col: str, exclude_self: bool,
-                    max_queries: int, gather_bytes: int) -> DataFrame:
-    """Shared ADC tail of pq_topk and pq_topk_from_index: collect the
-    (bounded) query batch, build per-query LUTs, scan the codes with
-    one vectorized gather per (batch, query-chunk), rank, exact-cosine
-    rescore candidates against the corpus."""
-    m = len(books)
-    ksub = books[0].shape[0]
-    fetch_k = fetch_k or max(4 * k, 50)
-    splits = _book_splits(books)
+_ADC_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType()),
+    T.StructField("neighbor_id", T.LongType()),
+    T.StructField("adc_d2", T.DoubleType()),
+])
 
-    # limit(max+1) bounds the transfer even when the check fails —
-    # the driver never materializes an unbounded query set
+
+def _collect_query_batch(queries: DataFrame, query_id_col: str,
+                         emb_col: str, max_queries: int,
+                         caller: str) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded driver-side query collection shared by every ADC path:
+    (ids, L2-normalized float64 matrix). limit(max+1) bounds the
+    transfer even when the check fails — the driver never materializes
+    an unbounded query set."""
     q_rows = (queries.select(query_id_col, emb_col)
               .limit(max_queries + 1).collect())
     if len(q_rows) > max_queries:
         raise ValueError(
-            f"pq_topk: query batch exceeds max_queries={max_queries} "
+            f"{caller}: query batch exceeds max_queries={max_queries} "
             "(the query side is driver-collected and closure-broadcast; "
             "chunk the query set or raise max_queries deliberately)")
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_mat = q_mat / np.clip(np.linalg.norm(q_mat, axis=1, keepdims=True),
                             1e-12, None)
-    # LUT[q, j, c] = ||q_sub_j − books[j][c]||²
-    q_subs = np.split(q_mat, splits, axis=1)          # m × (nq, dsub_j)
-    luts = np.stack([
-        np.stack([((q_subs[j][i] - books[j]) ** 2).sum(axis=1)
-                  for j in range(m)])
-        for i in range(len(q_rows))])                 # (nq, m, ksub)
+    return q_ids, q_mat
 
-    out_schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("adc_d2", T.DoubleType()),
-    ])
+
+def _adc_gather(luts: np.ndarray, g_ids: np.ndarray, codes: np.ndarray,
+                ids: np.ndarray, fetch_k: int, gather_bytes: int):
+    """ONE vectorized gather per (code block, query chunk):
+    lut_c[:, jj, codes] broadcasts the (n, m) code matrix against the
+    chunk's (c, m, ksub) LUTs into a (c, n, m) gather summed over
+    subspaces; queries are chunked so the gather stays under the byte
+    budget. Yields local-top candidate frames. Shared by the flat-PQ
+    and IVF-PQ scans so the budget discipline cannot drift."""
+    n, m = codes.shape
     jj = np.arange(m)
-    gather_budget = gather_bytes     # bytes for the (chunk, n, m) gather
+    k_eff = min(fetch_k, n)
+    chunk = max(1, gather_bytes // (8 * n * m))
+    for s in range(0, len(g_ids), chunk):
+        lut_c = luts[s:s + chunk]                     # (c, m, ksub)
+        d2 = lut_c[:, jj[None, :], codes].sum(axis=2)  # (c, n)
+        top = np.argsort(d2, axis=1, kind="stable")[:, :k_eff]
+        yield pd.DataFrame({
+            "query_id": np.repeat(g_ids[s:s + chunk], k_eff),
+            "neighbor_id": ids[top].ravel(),
+            "adc_d2": np.take_along_axis(d2, top, axis=1).ravel()})
 
-    def scan(batches):
-        # ONE vectorized gather per (batch, query-chunk) instead of a
-        # python loop over every query: lut_c[:, jj, codes] broadcasts
-        # the (n, m) code matrix against the chunk's (c, m, ksub) LUTs
-        # into a (c, n, m) gather summed over subspaces. Queries are
-        # chunked so that gather stays under a fixed byte budget.
-        for b in batches:
-            if len(b) == 0:
-                continue
-            codes = np.stack(b["code"].to_numpy())            # (n, m)
-            ids = b[id_col].to_numpy()
-            n = codes.shape[0]
-            k_eff = min(fetch_k, n)
-            chunk = max(1, gather_budget // (8 * n * m))
-            for s in range(0, len(q_ids), chunk):
-                lut_c = luts[s:s + chunk]                     # (c, m, ksub)
-                d2 = lut_c[:, jj[None, :], codes].sum(axis=2)  # (c, n)
-                top = np.argsort(d2, axis=1, kind="stable")[:, :k_eff]
-                yield pd.DataFrame({
-                    "query_id": np.repeat(q_ids[s:s + chunk], k_eff),
-                    "neighbor_id": ids[top].ravel(),
-                    "adc_d2": np.take_along_axis(d2, top, axis=1).ravel()})
 
-    cand = encoded.mapInPandas(scan, out_schema)
+def _rank_and_rescore(cand: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, k: int, fetch_k: int,
+                      id_col: str, emb_col: str, query_id_col: str,
+                      exclude_self: bool) -> DataFrame:
+    """Shared candidate tail of every ADC path: global rank of the
+    local-top (id, adc_d2) pairs, then broadcast exact-cosine rescore
+    against the corpus and final top-k."""
     if exclude_self:        # queries drawn from the corpus (shared ids)
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     wq = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"),
-                                               F.asc("neighbor_id"))
+                                                F.asc("neighbor_id"))
     cand = (cand.withColumn("r", F.row_number().over(wq))
             .filter(F.col("r") <= fetch_k).drop("r", "adc_d2"))
-
     q_emb = queries.select(F.col(query_id_col).alias("query_id"),
                            F.col(emb_col).alias("q_emb"))
     scored = (corpus.select(F.col(id_col).alias("neighbor_id"), emb_col)
@@ -469,6 +459,42 @@ def _pq_adc_rescore(corpus: DataFrame, encoded: DataFrame,
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def _pq_adc_rescore(corpus: DataFrame, encoded: DataFrame,
+                    books: list[np.ndarray], queries: DataFrame,
+                    k: int, fetch_k: int | None, id_col: str,
+                    emb_col: str, query_id_col: str, exclude_self: bool,
+                    max_queries: int, gather_bytes: int) -> DataFrame:
+    """Shared ADC tail of pq_topk and pq_topk_from_index: collect the
+    (bounded) query batch, build per-query LUTs, scan the codes with
+    one vectorized gather per (batch, query-chunk), rank, exact-cosine
+    rescore candidates against the corpus."""
+    m = len(books)
+    fetch_k = fetch_k or max(4 * k, 50)
+    splits = _book_splits(books)
+
+    q_ids, q_mat = _collect_query_batch(queries, query_id_col, emb_col,
+                                        max_queries, "pq_topk")
+    # LUT[q, j, c] = ||q_sub_j − books[j][c]||²
+    q_subs = np.split(q_mat, splits, axis=1)          # m × (nq, dsub_j)
+    luts = np.stack([
+        np.stack([((q_subs[j][i] - books[j]) ** 2).sum(axis=1)
+                  for j in range(m)])
+        for i in range(len(q_ids))])                  # (nq, m, ksub)
+
+    def scan(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            codes = np.stack(b["code"].to_numpy())            # (n, m)
+            ids = b[id_col].to_numpy()
+            yield from _adc_gather(luts, q_ids, codes, ids,
+                                   fetch_k, gather_bytes)
+
+    cand = encoded.mapInPandas(scan, _ADC_SCHEMA)
+    return _rank_and_rescore(cand, corpus, queries, k, fetch_k,
+                             id_col, emb_col, query_id_col, exclude_self)
 
 
 def semantic_dedup(corpus: DataFrame, k: int = 8, threshold: float = 0.9,
@@ -600,6 +626,25 @@ def _read_centroids(spark, cdir: str) -> "np.ndarray | None":
                      for r in rows])
 
 
+def _write_centroids(spark, cdir: str, cents: np.ndarray) -> None:
+    """Persist the coarse centroid matrix (one tiny single-file table
+    — shared by the IVF and IVF-PQ builders)."""
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>"
+    ).coalesce(1).write.parquet(cdir)
+
+
+def _write_books(spark, bdir: str, books: list[np.ndarray]) -> None:
+    """Persist PQ codebooks (m·ksub rows — shared by the flat-PQ and
+    IVF-PQ builders)."""
+    spark.createDataFrame(
+        [(j, c, [float(x) for x in books[j][c]])
+         for j in range(len(books)) for c in range(books[0].shape[0])],
+        "sub_idx int, code_idx int, centroid array<double>"
+    ).coalesce(1).write.parquet(bdir)
+
+
 def write_ivf_index(corpus: DataFrame, path: str,
                     id_col: str = "vec_id", emb_col: str = "embedding",
                     nlist: int = 16,
@@ -649,10 +694,7 @@ def write_ivf_index(corpus: DataFrame, path: str,
             centroids if centroids is not None
             else _centroids_from_corpus(corpus, emb_col, id_col, nlist),
             dtype=np.float64)
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
-            "list_id int, centroid array<double>"
-        ).coalesce(1).write.parquet(cdir)
+        _write_centroids(spark, cdir, cents)
     (corpus.select(
         id_col, emb_col,
         F.element_at(_assign_udf(cents, 1)(emb_col), 1).alias("list_id"))
@@ -735,11 +777,7 @@ def write_pq_index(corpus: DataFrame, path: str,
     else:
         mat = pq_training_sample(corpus, emb_col, id_col, train_n)
         books = pq_train(mat, m, ksub)
-        spark.createDataFrame(
-            [(j, c, [float(x) for x in books[j][c]])
-             for j in range(m) for c in range(ksub)],
-            "sub_idx int, code_idx int, centroid array<double>"
-        ).coalesce(1).write.parquet(bdir)
+        _write_books(spark, bdir, books)
     enc = pq_encode_udf(books, _book_splits(books))
     (corpus.select(id_col, enc(emb_col).alias("code"))
      .write.mode("append").parquet(codir))
@@ -806,10 +844,7 @@ def write_ivfpq_index(corpus: DataFrame, path: str,
             corpus, emb_col, id_col, nlist), dtype=np.float64)
         cents /= np.clip(np.linalg.norm(cents, axis=1, keepdims=True),
                          1e-12, None)
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
-            "list_id int, centroid array<double>"
-        ).coalesce(1).write.parquet(cdir)
+        _write_centroids(spark, cdir, cents)
     else:
         cents = existing
 
@@ -823,11 +858,7 @@ def write_ivfpq_index(corpus: DataFrame, path: str,
         sample = pq_training_sample(corpus, emb_col, id_col, train_n)
         assign = np.argmax(sample @ cents.T, axis=1)
         books = pq_train(sample - cents[assign], m, ksub)
-        spark.createDataFrame(
-            [(j, c, [float(x) for x in books[j][c]])
-             for j in range(m) for c in range(ksub)],
-            "sub_idx int, code_idx int, centroid array<double>"
-        ).coalesce(1).write.parquet(bdir)
+        _write_books(spark, bdir, books)
 
     splits = _book_splits(books)
 
@@ -860,13 +891,16 @@ def ivfpq_topk(corpus: DataFrame, index_path: str, queries: DataFrame,
                query_id_col: str = "query_id",
                nprobe: int = 4, fetch_k: int | None = None,
                exclude_self: bool = True,
-               max_queries: int = 65_536) -> DataFrame:
+               max_queries: int = 65_536,
+               gather_bytes: int = 256 << 20) -> DataFrame:
     """IVF-PQ probe: queries assign to their ``nprobe`` nearest coarse
     lists, the pruned codes scan is ADC-scored against PER-(query,
     list) residual LUTs (the query's residual differs per probed
     list), local top ``fetch_k`` per partition, global rank, exact
-    rescore against the corpus. The closure carries nq·nprobe LUTs of
-    m·ksub doubles — bounded by ``max_queries`` exactly like pq_topk."""
+    rescore against the corpus. The query side is bounded by
+    ``max_queries`` and the per-task gather by ``gather_bytes``,
+    through the same shared helpers pq_topk uses — the disciplines
+    cannot drift apart."""
     spark = corpus.sparkSession
     cents = _read_centroids(spark, f"{index_path}/centroids")
     books = _read_books(spark, f"{index_path}/codebooks")
@@ -876,16 +910,8 @@ def ivfpq_topk(corpus: DataFrame, index_path: str, queries: DataFrame,
     fetch_k = fetch_k or max(4 * k, 50)
     splits = _book_splits(books)
 
-    q_rows = (queries.select(query_id_col, emb_col)
-              .limit(max_queries + 1).collect())
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"ivfpq_topk: query batch exceeds max_queries={max_queries}")
-    q_ids = np.array([r[0] for r in q_rows])
-    q_mat = np.stack([np.asarray(r[1], dtype=np.float64)
-                      for r in q_rows])
-    q_mat /= np.clip(np.linalg.norm(q_mat, axis=1, keepdims=True),
-                     1e-12, None)
+    q_ids, q_mat = _collect_query_batch(queries, query_id_col, emb_col,
+                                        max_queries, "ivfpq_topk")
     probe_lists = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
     # LUTs per (query, probed list): residual q − c_list vs codebooks
     luts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -903,13 +929,6 @@ def ivfpq_topk(corpus: DataFrame, index_path: str, queries: DataFrame,
     codes_df = (spark.read.parquet(f"{index_path}/codes")
                 .filter(F.col("list_id").isin(probed)))
 
-    out_schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("adc_d2", T.DoubleType()),
-    ])
-    jj = np.arange(m)
-
     def scan(batches):
         for b in batches:
             if len(b) == 0:
@@ -921,34 +940,12 @@ def ivfpq_topk(corpus: DataFrame, index_path: str, queries: DataFrame,
                 gq_ids, lut = ent
                 codes = np.stack(grp["code"].to_numpy())     # (n, m)
                 ids = grp[id_col].to_numpy()
-                k_eff = min(fetch_k, len(ids))
-                d2 = lut[:, jj[None, :], codes].sum(axis=2)  # (nq_l, n)
-                top = np.argsort(d2, axis=1, kind="stable")[:, :k_eff]
-                yield pd.DataFrame({
-                    "query_id": np.repeat(gq_ids, k_eff),
-                    "neighbor_id": ids[top].ravel(),
-                    "adc_d2": np.take_along_axis(d2, top,
-                                                 axis=1).ravel()})
+                yield from _adc_gather(lut, gq_ids, codes, ids,
+                                       fetch_k, gather_bytes)
 
-    cand = codes_df.mapInPandas(scan, out_schema)
-    if exclude_self:
-        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    wq = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"),
-                                                F.asc("neighbor_id"))
-    cand = (cand.withColumn("r", F.row_number().over(wq))
-            .filter(F.col("r") <= fetch_k).drop("r", "adc_d2"))
-    q_emb = queries.select(F.col(query_id_col).alias("query_id"),
-                           F.col(emb_col).alias("q_emb"))
-    scored = (corpus.select(F.col(id_col).alias("neighbor_id"), emb_col)
-              .join(F.broadcast(cand), "neighbor_id")
-              .join(F.broadcast(q_emb), "query_id")
-              .select("query_id", "neighbor_id",
-                      cosine(F.col("q_emb"),
-                             F.col(emb_col)).alias("cos_sim")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    cand = codes_df.mapInPandas(scan, _ADC_SCHEMA)
+    return _rank_and_rescore(cand, corpus, queries, k, fetch_k,
+                             id_col, emb_col, query_id_col, exclude_self)
 
 
 _PAIR_SCHEMA = T.StructType([T.StructField("id_a", T.LongType()),

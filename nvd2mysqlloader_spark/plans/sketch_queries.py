@@ -413,18 +413,38 @@ def kmeans_convergence_verdict(spark: SparkSession,
 
         return obj
 
-    cents0 = init_centroids(emb, 8)
-    cents = cents0
-    for _ in range(3):
-        cents = update_centroids(lloyd_assignments(emb, cents), cents)
-    scored = emb.select(
-        partial_obj_udf(cents0)("embedding").alias("o0"),
-        partial_obj_udf(cents)("embedding").alias("o3"))
-    return scored.agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        (F.sum("o3")
-         <= F.sum("o0") + 1e-3 * F.abs(F.sum("o0")))
-        .alias("inertia_non_increasing"))
+    # persist the working set for the loop + final scoring — the same
+    # iters+1-scans-become-one discipline operators.kmeans.kmeans
+    # documents as mandatory for this pattern; materialize the 1-row
+    # verdict via cut_lineage so unpersisting here cannot force the
+    # driver's later action to recompute uncached
+    from pyspark import StorageLevel
+
+    from ..operators._lineage import cut_lineage
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents0 = init_centroids(emb, 8)
+        cents = cents0
+        for _ in range(3):
+            cents = update_centroids(lloyd_assignments(emb, cents), cents)
+        scored = emb.select(
+            partial_obj_udf(cents0)("embedding").alias("o0"),
+            partial_obj_udf(cents)("embedding").alias("o3"))
+        # epsilon has BOTH a relative term and an absolute floor tied
+        # to the row count: the partial objective omits the constant
+        # Σ||x||² and can cancel toward zero, where a purely relative
+        # slack would vanish while the fixed-point M-step's
+        # quantization error stays absolute (~1e-6 per coordinate)
+        verdict = scored.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("o3")
+             <= F.sum("o0") + 1e-3 * F.abs(F.sum("o0"))
+             + 1e-6 * F.count(F.lit(1)))
+            .alias("inertia_non_increasing"))
+        return cut_lineage(verdict)
+    finally:
+        emb.unpersist()
 
 
 @query(
