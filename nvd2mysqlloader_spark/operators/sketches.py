@@ -32,6 +32,103 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def cms_bucket(value_col: str, d: int, width: int):
+    """Count-min-sketch bucket for hash row ``d``: 52 bits of
+    md5("{d}:{value}") mod width. md5 over the value's string form is
+    the repo's shared cross-engine hash (weighted_sample,
+    training_order): DuckDB computes the IDENTICAL bucket with
+    ``('0x' || substr(md5(...), 1, 13))::BIGINT % width``, so CMS
+    estimates — unlike library sketches whose serialized form is
+    engine-specific — are exactly reproducible by the oracle."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{d}:"),
+                           F.col(value_col).cast("string"))), 1, 13),
+        16, 10).cast("bigint")
+    return h % width
+
+
+def cms_rows(df: DataFrame, value_col: str,
+             group_cols: Sequence[str] = (),
+             depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch of ``value_col`` frequencies as a SPARSE keyed
+    table: (group..., d, bucket, cnt) with ≤ depth·width rows per
+    group REGARDLESS of input volume — the bound is by construction,
+    so at 100 TB the rollup's map-side combine collapses each task to
+    at most depth·width partial rows before the (tiny) shuffle.
+
+    The sparse form makes merging trivially Spark-shaped: CMS is
+    linear, so union+groupBy-sum of two sketch tables IS the merged
+    sketch (see write_cms_sketch / cms_point_estimate)."""
+    entries = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 cms_bucket(value_col, d, width).alias("bucket"))
+        for d in range(depth)])
+    return (df.select(*group_cols, F.explode(entries).alias("e"))
+            .groupBy(*group_cols, F.col("e.d").alias("d"),
+                     F.col("e.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def write_cms_sketch(df: DataFrame, path: str, value_col: str,
+                     group_cols: Sequence[str] = (),
+                     depth: int = 4, width: int = 1024) -> None:
+    """Append this batch's CMS rows: (group..., d, bucket, cnt,
+    depth, width). Like write_distinct_sketch, the geometry is
+    stamped per row and a mismatched append is refused at WRITE time:
+    sketches of different (depth, width) do not merge."""
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path).select("depth", "width").first()
+    except AnalysisException:
+        existing = None
+    if existing is not None and (existing["depth"] != depth
+                                 or existing["width"] != width):
+        raise ValueError(
+            f"write_cms_sketch: table at {path} was built with "
+            f"depth={existing['depth']}, width={existing['width']} but "
+            f"the batch was encoded with depth={depth}, width={width} — "
+            "mixed geometries cannot merge; match the table's shape or "
+            "rebuild")
+    (cms_rows(df, value_col, group_cols, depth, width)
+     .withColumn("depth", F.lit(depth))
+     .withColumn("width", F.lit(width))
+     .write.mode("append").parquet(path))
+
+
+def cms_point_estimate(spark: SparkSession, path: str, probes: DataFrame,
+                       probe_col: str,
+                       group_cols: Sequence[str] = ()) -> DataFrame:
+    """Estimated frequency of each probe key from the persisted sketch
+    table: merge = groupBy-sum over the appended batches (CMS
+    linearity), estimate = min over the depth hash rows of the probe's
+    bucket counters (0 when a bucket was never touched). The merged
+    sketch is ≤ depth·width rows per group — broadcast-joined, so the
+    probe never shuffles. Estimates are biased high only:
+    est ≥ true count always; E[overshoot] ≤ Σcnt / width per hash row."""
+    sk = spark.read.parquet(path)
+    geo = sk.select("depth", "width").first()
+    depth, width = geo["depth"], geo["width"]
+    merged = (sk.groupBy(*group_cols, "d", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    entries = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 cms_bucket(probe_col, d, width).alias("bucket"))
+        for d in range(depth)])
+    exploded = (probes
+                .select(*probes.columns, F.explode(entries).alias("e"))
+                .alias("p"))
+    cond = ((F.col("p.e.d") == F.col("m.d"))
+            & (F.col("p.e.bucket") == F.col("m.bucket")))
+    for g in group_cols:
+        cond = cond & (F.col(f"p.{g}") == F.col(f"m.{g}"))
+    probed = exploded.join(F.broadcast(merged.alias("m")), cond, "left")
+    return (probed.groupBy(*[F.col(f"p.{g}").alias(g) for g in group_cols],
+                           F.col(f"p.{probe_col}").alias(probe_col))
+            .agg(F.min(F.coalesce(F.col("m.cnt"), F.lit(0)))
+                 .alias("est_count")))
+
+
 def write_distinct_sketch(df: DataFrame, path: str, value_col: str,
                           group_cols: Sequence[str] = (),
                           lgk: int = 14) -> None:

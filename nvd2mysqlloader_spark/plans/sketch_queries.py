@@ -352,6 +352,74 @@ def hll_mergeable_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH cms AS (
+      SELECT r.d,
+             CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' ||
+                                      CAST(e.user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 256 AS bucket,
+             count(*) AS cnt
+      FROM events e CROSS JOIN range(0, 4) r(d)
+      GROUP BY 1, 2
+    ), top10 AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events
+      GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 10
+    ), probed AS (
+      SELECT t.user_id, t.exact_cnt, c.cnt
+      FROM top10 t CROSS JOIN range(0, 4) r(d)
+      JOIN cms c
+        ON c.d = r.d
+       AND c.bucket = CAST(('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' ||
+                                   CAST(t.user_id AS VARCHAR)), 1, 13))
+                           AS BIGINT) % 256
+    )
+    SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(cnt) AS BIGINT) AS cms_est
+    FROM probed GROUP BY user_id, exact_cnt
+    ORDER BY exact_cnt DESC, user_id
+    """,
+    doc=(
+        "count-min-sketch heavy-hitter estimates, EXACTLY "
+        "oracle-checked (not just bound-verdicted): the CMS buckets "
+        "derive from the repo's shared md5 arithmetic, so DuckDB "
+        "rebuilds the identical sketch and the identical estimates — "
+        "a hash match proves the full sketch construction, not only "
+        "its error bound. depth=4 × width=256 counters bound the "
+        "sketch to ≤1024 rows per batch regardless of input volume "
+        "(the 100 TB frequency-tracking shape: map-side combine "
+        "collapses each task before a kilobyte-scale shuffle; see "
+        "operators/sketches.write_cms_sketch for the persisted "
+        "mergeable form — CMS is linear, merge = groupBy-sum). "
+        "Probe: the exact top-10 users ride as anchors beside the "
+        "min-over-depth estimates, est ≥ exact by construction."
+    ),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_bucket, cms_rows
+    depth, width = 4, 256
+    events = load_table(spark, sf_dir, "events")
+    cms = cms_rows(events, "user_id", depth=depth, width=width)
+    top10 = (events.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), "user_id").limit(10))
+    entries = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 cms_bucket("user_id", d, width).alias("bucket"))
+        for d in range(depth)])
+    probed = (top10.select("user_id", "exact_cnt",
+                           F.explode(entries).alias("e"))
+              .alias("p")
+              .join(F.broadcast(cms.alias("m")),
+                    (F.col("p.e.d") == F.col("m.d"))
+                    & (F.col("p.e.bucket") == F.col("m.bucket"))))
+    return (probed.groupBy(F.col("p.user_id").alias("user_id"),
+                           F.col("p.exact_cnt").alias("exact_cnt"))
+            .agg(F.min(F.col("m.cnt")).alias("cms_est"))
+            .orderBy(F.desc("exact_cnt"), "user_id"))
+
+
+@query(
     "semantic_dedup_groups",
     oracle=None,
     doc=(

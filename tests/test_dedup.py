@@ -593,3 +593,53 @@ def test_persisted_hll_sketch_table_incremental(spark, tmp_path):
 
     with pytest.raises(ValueError, match="lgk=14"):
         write_distinct_sketch(orders, path, "o_custkey", lgk=12)
+
+
+def test_persisted_cms_sketch_table_incremental(spark, tmp_path):
+    """Persisted mergeable count-min sketch: CMS is LINEAR, so a
+    two-batch append over disjoint halves of events must produce the
+    EXACT same estimates as a one-shot sketch of the union (groupBy-sum
+    is the merge). Estimates never undershoot the true count, and with
+    a wide enough sketch (no collisions) they are exactly the true
+    count. Mismatched geometry appends are refused at write time."""
+    from nvd2mysqlloader_spark.operators.sketches import (
+        cms_point_estimate, write_cms_sketch)
+
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    probes = events.select("user_id").distinct()
+    exact = {r["user_id"]: r["n"] for r in
+             events.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    # incremental = one-shot, element for element
+    inc, full = str(tmp_path / "cms_inc"), str(tmp_path / "cms_full")
+    write_cms_sketch(events.filter(F.col("event_id") % 2 == 0),
+                     inc, "user_id", depth=4, width=64)
+    write_cms_sketch(events.filter(F.col("event_id") % 2 == 1),
+                     inc, "user_id", depth=4, width=64)
+    write_cms_sketch(events, full, "user_id", depth=4, width=64)
+    got_inc = {r["user_id"]: r["est_count"] for r in
+               cms_point_estimate(spark, inc, probes, "user_id").collect()}
+    got_full = {r["user_id"]: r["est_count"] for r in
+                cms_point_estimate(spark, full, probes, "user_id").collect()}
+    assert got_inc == got_full
+    # narrow sketch (64 buckets, ~150 keys): overshoot only, never under
+    assert set(got_inc) == set(exact)
+    assert all(got_inc[k] >= exact[k] for k in exact)
+
+    # wide sketch: no collisions at this cardinality -> est == exact
+    wide = str(tmp_path / "cms_wide")
+    write_cms_sketch(events, wide, "user_id", depth=4, width=65536)
+    got_wide = {r["user_id"]: r["est_count"] for r in
+                cms_point_estimate(spark, wide, probes, "user_id").collect()}
+    assert got_wide == exact
+
+    # unseen probe key estimates 0 on the wide sketch
+    ghost = spark.createDataFrame([(999_999_999,)], "user_id bigint")
+    assert (cms_point_estimate(spark, wide, ghost, "user_id")
+            .first()["est_count"]) == 0
+
+    with pytest.raises(ValueError, match="depth=4"):
+        write_cms_sketch(events, inc, "user_id", depth=5, width=64)
+    with pytest.raises(ValueError, match="width=64"):
+        write_cms_sketch(events, inc, "user_id", depth=4, width=128)
