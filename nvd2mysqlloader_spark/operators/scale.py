@@ -68,6 +68,107 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     writer.saveAsTable(table)
 
 
+def _bloom_pos(key, i: int, m_bits: int):
+    """Bit position for hash row ``i``: 52 bits of md5("{i}:{key}")
+    mod m_bits — the repo's shared cross-engine hash family, and
+    identical arithmetic on the build and probe sides (which is all a
+    bloom filter needs for zero false negatives)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))),
+                    1, 13), 16, 10).cast("bigint")
+    return h % m_bits
+
+
+def build_bloom_words(keys: DataFrame, key: str, m_bits: int,
+                      k_hashes: int) -> list[int]:
+    """Distributed bloom-filter build: every key sets ``k_hashes`` bit
+    positions; positions fold into 64-bit words with a bit_or
+    aggregate (map-side combine collapses each task to ≤ m_bits/64
+    partial words). The driver collect is bounded by the FILTER SIZE
+    (m_bits/64 words — 16 KiB at the default 2^20 bits), never by the
+    key count: that asymmetry is the whole point — a dim side too big
+    to broadcast raw still compresses to a constant-size bit array."""
+    if m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    entries = F.array(*[_bloom_pos(F.col(key), i, m_bits)
+                        for i in range(k_hashes)])
+    words = (keys.filter(F.col(key).isNotNull())
+             .select(F.explode(entries).alias("pos"))
+             .select(F.shiftright("pos", 6).alias("w"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pos % 64 AS INT))").alias("mask"))
+             .groupBy("w").agg(F.bit_or("mask").alias("bits"))
+             .collect())
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    return dense
+
+
+def bloom_filtered_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                        dim_key: str, how: str = "left_semi",
+                        m_bits: int = 1 << 20,
+                        k_hashes: int = 4) -> DataFrame:
+    """Semi/anti join where the fact side is pre-filtered by a bloom
+    filter of the dim keys BEFORE any shuffle — the 100 TB
+    decontamination/existence-probe shape when the dim side exceeds
+    the broadcast threshold: the bit array (m_bits/8 bytes, key-count
+    independent) rides to every task where the raw key set cannot, and
+    only bloom-positive rows (true matches + the ~(1-e^{-kn/m})^k
+    false-positive sliver) reach the exact residual join. Results are
+    IDENTICAL to a plain semi/anti join: blooms have no false
+    negatives, and the residual join removes the false positives.
+
+    Membership is pure JVM expressions (element_at on an array
+    literal + bit masks) — no Python in the per-row path. The literal
+    array ships inside the plan like a broadcast; at the default 2^20
+    bits that is 128 KiB. Size m_bits ≳ 10×|dim keys| for a sub-1% FP
+    rate at k=4; past ~2^26 bits prefer Spark's runtime row-level
+    bloom (spark.sql.optimizer.runtime.bloomFilter.enabled), which
+    this operator complements for the explicit, reusable case.
+
+    NULL fact keys are routed to the exact join unconditionally (their
+    md5 is NULL, not a bit position), preserving null semantics: a
+    semi join drops them, an anti join keeps them."""
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(
+            f"bloom_filtered_join supports left_semi/left_anti, got "
+            f"{how!r}: outer/inner shapes need the dim PAYLOAD, which "
+            "a bloom filter cannot carry — broadcast or shuffle those")
+    dense = build_bloom_words(dim.select(dim_key), dim_key,
+                              m_bits, k_hashes)
+    # explicit element type: F.lit would infer array<int> for an
+    # all-small-word filter and the bitwiseAND below must be 64-bit
+    arr = F.lit(dense).cast("array<bigint>")
+    key = F.col(fact_key)
+    member = F.lit(True)
+    for i in range(k_hashes):
+        pos = _bloom_pos(key, i, m_bits)
+        word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + 1)
+        member = member & (word.bitwiseAND(
+            _shiftleft_col(pos % 64)) != 0)
+    # NULL key -> NULL membership -> route to the exact join
+    maybe = F.coalesce(member, F.lit(True))
+    dim_keys = dim.select(dim_key)
+    cond = F.col(fact_key) == F.col(dim_key)
+    if how == "left_semi":
+        return fact.filter(maybe).join(dim_keys, cond, "left_semi")
+    # anti: bloom-negative rows are DEFINITELY absent -> keep outright;
+    # only the bloom-positive sliver pays the exact anti join
+    negatives = fact.filter(~maybe)
+    positives = fact.filter(maybe).join(dim_keys, cond, "left_anti")
+    return negatives.unionByName(positives)
+
+
+def _shiftleft_col(nbits_col):
+    """shiftleft with a COLUMN bit count (the pyspark function only
+    accepts a literal): SQL-side shiftleft accepts expressions."""
+    from pyspark.sql import Column
+    assert isinstance(nbits_col, Column)
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), nbits_col.cast("int"))
+
+
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
                   key: str, how: str = "inner") -> DataFrame:
     """Join two same-bucketed tables on their bucket key — with equal

@@ -249,6 +249,50 @@ def anti_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_semi_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "bloom-prefiltered existence probe "
+        "(operators/scale.bloom_filtered_join): the semi join's dim "
+        "keys compress to a 2^17-bit md5-hashed bloom built with a "
+        "distributed bit_or word aggregate (driver collect bounded by "
+        "FILTER size, never key count) and the fact side is filtered "
+        "by pure-JVM bit tests BEFORE the shuffle — the 100 TB "
+        "decontamination shape when the key set exceeds the broadcast "
+        "threshold: only true matches plus the (1-e^{-kn/m})^k "
+        "false-positive sliver pay the exact residual join, which "
+        "makes the result IDENTICAL to the plain semi join (blooms "
+        "never false-negative) — so the oracle is ordinary SQL with "
+        "no bloom in sight, and the hash match proves the rewrite is "
+        "transparent. Complements the salting/bucketing scale "
+        "toolkit and Spark's runtime row-level bloom conf."
+    ),
+)
+def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import bloom_filtered_join
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING"))
+    hits = bloom_filtered_join(orders, cust, "o_custkey", "c_custkey",
+                               "left_semi", m_bits=1 << 17)
+    return (hits.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").cast("double").alias("revenue"))
+            .orderBy("o_orderpriority"))
+
+
+@query(
     "unpivot_metrics",
     oracle="""
     WITH a AS (
