@@ -516,6 +516,63 @@ def kmeans_convergence_verdict(spark: SparkSession,
 
 
 @query(
+    "linear_probe_verdict",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(label) AS BIGINT) AS label_sum,
+           TRUE AS beats_mean_predictor
+    FROM embeddings
+    """,
+    doc=(
+        "closed-form linear probe (ridge) over the embedding column — "
+        "the 'is this signal linearly decodable?' curation tool "
+        "(operators/linear_probe.py): training is ONE distributed "
+        "pass emitting <= (d+1)^2+(d+1) exact int64/DECIMAL Gram "
+        "partials per task (map-side combined; the corpus is never "
+        "collected), the (d+1)x(d+1) solve runs on the driver, and "
+        "scoring is a pure-JVM zip_with/aggregate fold of the "
+        "broadcast weights. The bound-verdict surface: exact row and "
+        "label-sum anchors DuckDB recomputes, plus the mathematical "
+        "guarantee that ridge with an unpenalized bias cannot lose to "
+        "the mean predictor (SSE(w*) + lambda*||w*||^2 <= SSE(mean)) "
+        "riding as TRUE; epsilon absorbs the fixed-point quantization "
+        "(measured margin ~12% at sf0.01). Weights are "
+        "partitioning-independent by exact integer accumulation — "
+        "pinned bit-for-bit to a numpy twin in tests/test_probe.py."
+    ),
+)
+def linear_probe_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linear_probe import ridge_fit, ridge_predict
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   F.col("label").cast("double").alias("y"))
+           .repartition(spark.sparkContext.defaultParallelism))
+    from pyspark import StorageLevel
+
+    from ..operators._lineage import cut_lineage
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        w, bias = ridge_fit(emb, "embedding", "y")
+        scored = emb.select(
+            "y", ridge_predict("embedding", w, bias).alias("pred"))
+        stats = scored.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("y").cast("bigint")).alias("label_sum"),
+            F.sum((F.col("y") - F.col("pred")) ** 2).alias("sse_probe"),
+            F.sum("y").alias("ys"), F.sum(F.col("y") ** 2).alias("y2"))
+        # SSE(mean) = Σy² − (Σy)²/n, from the same single pass
+        verdict = stats.select(
+            "n_vecs", "label_sum",
+            (F.col("sse_probe")
+             <= (F.col("y2") - F.col("ys") ** 2 / F.col("n_vecs"))
+             * (1 + 1e-6) + 1e-6 * F.col("n_vecs"))
+            .alias("beats_mean_predictor"))
+        return cut_lineage(verdict)
+    finally:
+        emb.unpersist()
+
+
+@query(
     "approx_quantiles",
     oracle="""
     SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY "value") AS exact_p50,
