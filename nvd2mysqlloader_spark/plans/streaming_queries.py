@@ -29,10 +29,19 @@ from ._helpers import dsum
 from .registry import query
 
 
+def _normalize_ts(stream: DataFrame, ts_type) -> DataFrame:
+    """The same ts normalization the batch loader applies (NTZ/nanos →
+    session-UTC TIMESTAMP, see sources.tpch.load_table)."""
+    if isinstance(ts_type, T.LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as an unbounded source with the same ts
-    normalization the batch loader applies (NTZ/nanos → session-UTC
-    TIMESTAMP, see sources.tpch.load_table)."""
+    """events.parquet as an unbounded source."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -41,13 +50,63 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
-    ts_type = schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(ts_type, T.TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return _normalize_ts(stream, schema["ts"].dataType)
+
+
+def _stream_events_with_horizon(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """events.parquet staged alongside a far-future SENTINEL pair
+    (user_id = -1, one 'error' + one 'click', ts = max + ~10 years) so
+    the final watermark passes every real row. Outer stream-stream
+    joins only emit their null-padded side once the watermark CLOSES a
+    row's match window — with a source that simply ends, rows near the
+    tail would sit in state forever and an availableNow drain would
+    under-produce. In production the stream never ends, so the
+    watermark keeps advancing on its own; the sentinel reproduces that
+    inside a finite fixture (the streaming analog of the feed marks
+    the reference polls at nvd2mysqlloader.py:508-531 going quiet).
+    Consumers must drop user_id < 0 rows after the drain."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="stream_horizon_")
+    shutil.copy(src, f"{stage}/events.parquet")
+
+    t = pq.read_table(src)
+    arrow_schema = t.schema
+    ts_field = arrow_schema.field("ts")
+    import pyarrow.compute as pc
+    tmax = pc.max(t.column("ts")).as_py()
+    import datetime
+    horizon = tmax + datetime.timedelta(days=3650)
+    cols = {}
+    for field in arrow_schema:
+        if field.name == "event_id":
+            vals = [-1, -2]
+        elif field.name == "ts":
+            vals = [horizon, horizon]
+        elif field.name == "user_id":
+            vals = [-1, -1]
+        elif field.name == "event_type":
+            vals = ["error", "click"]
+        elif field.name == "value":
+            vals = [0.0, 0.0]
+        else:
+            vals = [None, None]
+        cols[field.name] = pa.array(vals, type=field.type)
+    pq.write_table(pa.table(cols, schema=arrow_schema),
+                   f"{stage}/zz_watermark_sentinel.parquet")
+
+    schema = spark.read.parquet(stage).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(stage))
+    return _normalize_ts(stream, schema["ts"].dataType)
 
 
 def _drain(spark: SparkSession, stream_df: DataFrame,
@@ -192,6 +251,44 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_events(spark, sf_dir), bound="1 hour",
         watermark="87600 hours")
     return _drain(spark, joined, mode="append")
+
+
+@query(
+    "stream_left_outer_join",
+    oracle="""
+    SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+    WHERE e.event_type = 'error'
+    """,
+    doc=(
+        "STREAMING stream-stream LEFT OUTER interval join under the "
+        "value-hash oracle — the 7th drained topology, completing the "
+        "join family: errors with no click in their 1-hour window "
+        "emit null-padded, which in streaming happens only when the "
+        "WATERMARK closes the error's match window (a future click "
+        "could otherwise still arrive). A finite fixture would strand "
+        "the tail's unmatched errors in state forever, so the staged "
+        "source appends a far-future watermark-horizon sentinel "
+        "(_stream_events_with_horizon) — the drain's output must then "
+        "hash-equal DuckDB's batch LEFT JOIN exactly: matched AND "
+        "unmatched rows, proving the null-emission path, not just the "
+        "inner matches. State bounds are the inner join's: "
+        "watermark + bound per key per side."
+    ),
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import stream_error_click_interval_join
+    joined = stream_error_click_interval_join(
+        _stream_events_with_horizon(spark, sf_dir), bound="1 hour",
+        watermark="1 hour", how="left_outer")
+    drained = _drain(spark, joined, mode="append")
+    # the sentinel pair exists only to advance the watermark
+    return drained.filter(F.col("user_id") >= 0)
 
 
 @query(

@@ -23,10 +23,19 @@ from pyspark.sql import functions as F
 
 def stream_error_click_interval_join(events: DataFrame,
                                      bound: str = "1 hour",
-                                     watermark: str = "2 hours") -> DataFrame:
+                                     watermark: str = "2 hours",
+                                     how: str = "inner") -> DataFrame:
     """Each error event joined to the same user's clicks in the
-    ``bound`` interval before it (inclusive) — inner join, append-mode
-    capable. ``events`` may be streaming or batch."""
+    ``bound`` interval before it (inclusive) — append-mode capable.
+    ``events`` may be streaming or batch.
+
+    ``how="left_outer"`` additionally emits errors with NO click in
+    their window, null-padded — but only once the watermark passes the
+    error's match window (before that a matching click could still
+    arrive), so a finite drain needs the source's watermark to close
+    over the data (see plans.streaming_queries
+    ._stream_events_with_horizon). State bounds are identical to the
+    inner join: watermark + bound per key per side."""
     errors = (events.filter(F.col("event_type") == "error")
               .select(F.col("event_id").alias("error_id"),
                       "user_id",
@@ -42,7 +51,7 @@ def stream_error_click_interval_join(events: DataFrame,
         AND click_ts >= error_ts - INTERVAL {bound}
         AND click_ts <= error_ts
     """)
-    return (errors.join(clicks, cond, "inner")
+    return (errors.join(clicks, cond, how)
             .select("error_id", "user_id", "error_ts",
                     "click_id", "click_ts"))
 

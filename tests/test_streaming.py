@@ -155,6 +155,56 @@ def test_stream_interval_join_equals_batch(spark, events_parquet):
     assert set(got) == want
 
 
+def test_stream_left_outer_join_needs_watermark_horizon(spark):
+    """The left-outer drain's null-padded rows emit only when the
+    watermark CLOSES an error's match window. Pins both directions:
+    (a) with the far-future sentinel the drain equals the batch left
+    join exactly (incl. >0 unmatched rows — the null-emission path is
+    really exercised); (b) WITHOUT it, the same topology strands every
+    unmatched error in state — the under-production the sentinel
+    exists to prevent, asserted so the mechanism stays documented by
+    evidence rather than narration."""
+    from nvd2mysqlloader_spark.plans.streaming_queries import (
+        _stream_events, _stream_events_with_horizon)
+    from nvd2mysqlloader_spark.sources.tpch import load_table
+    from nvd2mysqlloader_spark.streaming.joins import (
+        stream_error_click_interval_join)
+
+    batch = load_table(spark, SF_ORACLE, "events")
+    want = {tuple(r) for r in stream_error_click_interval_join(
+        batch, how="left_outer").collect()}
+    n_unmatched = sum(1 for r in want if r[3] is None)
+    assert n_unmatched > 0
+
+    with_h = _run_stream(
+        spark,
+        stream_error_click_interval_join(
+            _stream_events_with_horizon(spark, SF_ORACLE),
+            watermark="1 hour", how="left_outer"),
+        "louter_horizon_sink", mode="append")
+    got = {tuple(r) for r in with_h.collect() if r["user_id"] >= 0}
+    assert got == want
+
+    without = _run_stream(
+        spark,
+        stream_error_click_interval_join(
+            _stream_events(spark, SF_ORACLE),
+            watermark="1 hour", how="left_outer"),
+        "louter_plain_sink", mode="append")
+    emitted = {tuple(r) for r in without.collect()}
+    # the fixture's own max ts advances the watermark far enough to
+    # close MOST windows — what stays stranded in state is exactly the
+    # tail: unmatched errors whose window the final watermark never
+    # passed (matches always emit; only null-padding waits)
+    assert emitted < want                              # strict under-production
+    missing = want - emitted
+    assert missing and all(r[3] is None for r in missing)
+    max_ts = max(r[2] for r in want)
+    import datetime
+    horizon = max_ts - datetime.timedelta(hours=3)     # watermark+bound slack
+    assert all(r[2] >= horizon for r in missing)
+
+
 def test_tws_running_totals_exact(spark, events_parquet):
     """transformWithStateInPandas (Spark 4 typed-state API): per-user
     lifetime totals carried in a ValueState slot across micro-batches;
