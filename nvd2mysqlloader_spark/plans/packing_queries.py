@@ -103,6 +103,68 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bfd_packing_verdict",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS no_overflow,
+           TRUE AS each_doc_packed_once,
+           TRUE AS half_full_bound
+    FROM documents WHERE n_chars <= {_PACK}
+    """,
+    doc=(
+        "best-fit-decreasing sequence packing "
+        "(operators/packing.bfd_pack) — the padding-minimizing "
+        "context-window assembler, verdict-oracled: the packing "
+        "itself is algorithmic (not SQL-expressible), but its "
+        "guarantees are exactly checkable — no pack exceeds capacity, "
+        "every doc lands in exactly one pack, and BFD's classic "
+        "quality bound (at most ONE bin per shard ≤ half full, hence "
+        "n_packs ≤ 2·total/capacity + n_shards) rides as TRUE beside "
+        "exact doc-count and char-sum anchors DuckDB recomputes. "
+        "Scale shape: deterministic md5 shards → independent "
+        "applyInPandas BFD per shard (one exchange), bin count within "
+        "one-per-shard of a global pack."
+    ),
+)
+def bfd_packing_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators._lineage import cut_lineage
+    from ..operators.packing import bfd_pack
+    n_shards = 16
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("n_chars") <= _PACK))
+    packed = bfd_pack(docs, "doc_id", "n_chars", _PACK,
+                      n_shards=n_shards).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        per_pack = (packed.groupBy("pack_id")
+                    .agg(F.sum("n_chars").alias("fill")))
+        pack_stats = per_pack.agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.max("fill").alias("max_fill"),
+            F.sum("fill").alias("sum_fill"))
+        doc_stats = packed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("doc_id").alias("n_ids"),
+            F.sum("n_chars").alias("sum_chars"))
+        verdict = (doc_stats.crossJoin(F.broadcast(pack_stats))
+                   .select(
+                       F.col("n_rows").alias("n_docs"),
+                       "sum_chars",
+                       (F.col("max_fill") <= _PACK).alias("no_overflow"),
+                       ((F.col("n_ids") == F.col("n_rows"))
+                        & (F.col("sum_fill") == F.col("sum_chars")))
+                       .alias("each_doc_packed_once"),
+                       (F.col("n_packs")
+                        <= 2.0 * F.col("sum_chars") / _PACK + n_shards)
+                       .alias("half_full_bound")))
+        return cut_lineage(verdict)
+    finally:
+        packed.unpersist()
+
+
+@query(
     "embedding_centroids",
     oracle=f"""
     SELECT label, i AS dim,

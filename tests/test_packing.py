@@ -1,0 +1,100 @@
+"""Best-fit-decreasing packing — the distributed per-shard BFD must
+match an independent quadratic best-fit twin bin-for-bin, stay
+deterministic under repartitioning, honor its guarantees, and beat
+the naive streaming packer on heterogeneous sizes."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nvd2mysqlloader_spark.operators.packing import SHARD_BITS, bfd_pack
+from nvd2mysqlloader_spark.sources.tpch import load_table
+
+from .conftest import SF_ORACLE
+
+CAP = 4096
+
+
+def _twin_bfd(items: list[tuple[int, int]], capacity: int) -> dict[int, int]:
+    """Quadratic reference: scan ALL bins for the tightest fit."""
+    order = sorted(items, key=lambda t: (-t[1], t[0]))
+    fills: list[int] = []
+    out = {}
+    for i, s in order:
+        best, best_rem = None, None
+        for b, f in enumerate(fills):
+            rem = capacity - f
+            if rem >= s and (best_rem is None or rem < best_rem):
+                best, best_rem = b, rem
+        if best is None:
+            best = len(fills)
+            fills.append(0)
+        fills[best] += s
+        out[i] = best
+    return out
+
+
+def _shard_of(i: int, n_shards: int) -> int:
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % n_shards
+
+
+def test_bfd_matches_quadratic_twin_per_shard(spark):
+    docs = (load_table(spark, SF_ORACLE, "documents")
+            .filter(F.col("n_chars") <= CAP)
+            .select("doc_id", "n_chars"))
+    items = [(r["doc_id"], r["n_chars"]) for r in docs.collect()]
+    got = {r["doc_id"]: r["pack_id"]
+           for r in bfd_pack(docs, "doc_id", "n_chars", CAP,
+                             n_shards=4).collect()}
+    assert set(got) == {i for i, _ in items}
+    for shard in range(4):
+        mine = [(i, s) for i, s in items if _shard_of(i, 4) == shard]
+        want = _twin_bfd(mine, CAP)
+        for i, b in want.items():
+            assert got[i] == (shard << SHARD_BITS) | b, (shard, i)
+
+
+def test_bfd_deterministic_and_guarantees(spark):
+    docs = (load_table(spark, SF_ORACLE, "documents")
+            .filter(F.col("n_chars") <= CAP)
+            .select("doc_id", "n_chars"))
+    a = {tuple(r) for r in bfd_pack(docs.repartition(3), "doc_id",
+                                    "n_chars", CAP).collect()}
+    b = {tuple(r) for r in bfd_pack(docs.repartition(17), "doc_id",
+                                    "n_chars", CAP).collect()}
+    assert a == b and a
+    fills = {}
+    for _, s, p in a:
+        fills[p] = fills.get(p, 0) + s
+    assert max(fills.values()) <= CAP
+    total = sum(s for _, s, _ in a)
+    assert len(fills) <= 2.0 * total / CAP + 16
+
+
+def test_bfd_beats_naive_streaming_packer(spark):
+    # heterogeneous sizes where order-arrival packing wastes badly:
+    # all the big items arrive before the small ones, so a streaming
+    # fill-then-open packer strands each 3000 alone while BFD pairs
+    # every 3000 with a 1096 for a perfectly full bin
+    rows = [(i, 3000) for i in range(100)] + [(i, 1096)
+                                              for i in range(100, 200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    packed = bfd_pack(df, "doc_id", "n_chars", CAP, n_shards=1)
+    n_bfd = packed.select("pack_id").distinct().count()
+    fill, naive = 0, 1
+    for _, s in sorted(rows):
+        if fill + s > CAP:
+            naive += 1
+            fill = 0
+        fill += s
+    assert n_bfd == 100          # every bin exactly 3000+1096 = CAP
+    assert n_bfd < naive         # the streaming packer needs ~133
+
+
+def test_bfd_refuses_oversized_items(spark):
+    df = spark.createDataFrame([(1, 5000)], "doc_id bigint, n_chars bigint")
+    with pytest.raises(Exception, match="exceeds"):
+        bfd_pack(df, "doc_id", "n_chars", CAP).collect()
