@@ -129,6 +129,73 @@ def cms_point_estimate(spark: SparkSession, path: str, probes: DataFrame,
                  .alias("est_count")))
 
 
+def hist_bin(value_col: str, scale_bits: int):
+    """Fixed-width histogram bin: floor(value · 2^scale_bits). The
+    scale is a power of two, so the product is EXACT in IEEE doubles
+    and the bin id is engine-independent — no boundary drift (the
+    zorder/winnow determinism discipline applied to binning)."""
+    return F.floor(F.col(value_col) * float(1 << scale_bits))
+
+
+def write_histogram_sketch(df: DataFrame, path: str, value_col: str,
+                           group_cols: Sequence[str] = (),
+                           scale_bits: int = 4) -> None:
+    """Append this batch's histogram rows: (group..., bin, cnt,
+    scale_bits). The mergeable-quantile member of the sketch family
+    (HLL = distinct, CMS = frequency, histogram = quantiles): bin
+    counts are linear, so merge = groupBy-sum, and the per-batch
+    contribution is bounded by the VALUE RANGE / bin width, never the
+    row count. Quantile estimates from the merged table carry a hard
+    ±2^-scale_bits error bound (the answer lies inside its bin). A
+    mismatched scale_bits append is refused at write time."""
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path).select("scale_bits").first()
+    except AnalysisException:
+        existing = None
+    if existing is not None and existing["scale_bits"] != scale_bits:
+        raise ValueError(
+            f"write_histogram_sketch: table at {path} was built with "
+            f"scale_bits={existing['scale_bits']} but the batch was "
+            f"encoded with scale_bits={scale_bits} — mixed bin widths "
+            "cannot merge; match the table's scale or rebuild")
+    (df.groupBy(*group_cols, hist_bin(value_col, scale_bits).alias("bin"))
+       .agg(F.count(F.lit(1)).alias("cnt"),
+            F.lit(scale_bits).alias("scale_bits"))
+       .write.mode("append").parquet(path))
+
+
+def histogram_quantile(spark: SparkSession, path: str,
+                       quantiles: Sequence[float],
+                       group_cols: Sequence[str] = ()) -> DataFrame:
+    """Quantile estimates from the persisted histogram: merge the
+    appended batches (groupBy-sum), walk each group's cumulative
+    counts, and return the LOWER EDGE of the first bin whose
+    cumulative count reaches ceil(q·n): (group..., q, est). The true
+    percentile_disc(q) lies in that bin, so
+    est <= exact < est + 2^-scale_bits — a hard bound, not
+    probabilistic. The scan reads only the sketch table."""
+    from pyspark.sql import Window
+    sk = spark.read.parquet(path)
+    bits = sk.select("scale_bits").first()["scale_bits"]
+    merged = (sk.groupBy(*group_cols, "bin")
+              .agg(F.sum("cnt").alias("cnt")))
+    w = (Window.partitionBy(*group_cols).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = merged.withColumn("cum", F.sum("cnt").over(w))
+    tot = merged.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles],
+                                "q double")
+    joined = (cum.join(tot, list(group_cols) if group_cols else None,
+                       "inner") if group_cols
+              else cum.crossJoin(F.broadcast(tot)))
+    picked = (joined.crossJoin(F.broadcast(qdf))
+              .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+              .groupBy(*group_cols, "q")
+              .agg((F.min("bin") / float(1 << bits)).alias("est")))
+    return picked
+
+
 def write_distinct_sketch(df: DataFrame, path: str, value_col: str,
                           group_cols: Sequence[str] = (),
                           lgk: int = 14) -> None:

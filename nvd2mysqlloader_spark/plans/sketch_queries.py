@@ -516,6 +516,96 @@ def kmeans_convergence_verdict(spark: SparkSession,
 
 
 @query(
+    "histogram_quantile_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(floor(value * 16) AS BIGINT) AS bin,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, sum(c) AS n FROM h GROUP BY 1
+    ), cum AS (
+      SELECT event_type, bin,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM h
+    ), qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+    est AS (
+      SELECT c.event_type, qs.q, min(c.bin) / 16.0 AS hist_est
+      FROM cum c JOIN tot t ON c.event_type = t.event_type
+      CROSS JOIN qs
+      WHERE c.cum >= ceil(qs.q * t.n)
+      GROUP BY 1, 2
+    ), ex AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS e50,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS e90,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS e99
+      FROM events GROUP BY 1
+    ), exl AS (
+      SELECT event_type, CAST(0.5 AS DOUBLE) AS q, e50 AS exact_disc
+      FROM ex
+      UNION ALL SELECT event_type, CAST(0.9 AS DOUBLE), e90 FROM ex
+      UNION ALL SELECT event_type, CAST(0.99 AS DOUBLE), e99 FROM ex
+    )
+    SELECT e.event_type, e.q, e.hist_est, x.exact_disc,
+           TRUE AS within_bin
+    FROM est e JOIN exl x ON e.event_type = x.event_type AND e.q = x.q
+    """,
+    doc=(
+        "mergeable HISTOGRAM quantile sketch, exactly oracle-checked "
+        "like cms_heavy_hitters: bins are floor(value·2^4) — a "
+        "power-of-two scale, so the bin id is engine-exact — and the "
+        "p50/p90/p99 estimates (lower edge of the first bin whose "
+        "cumulative count reaches ceil(q·n)) are values DuckDB "
+        "recomputes identically, hash-matched, NOT just "
+        "bound-verdicted. The exact percentile_disc anchors ride "
+        "alongside with the hard containment guarantee "
+        "(est <= exact < est + 1/16) pinned TRUE. Completes the "
+        "mergeable sketch family (HLL distinct / CMS frequency / "
+        "histogram quantiles — operators/sketches.py): bin counts "
+        "are linear, merge = groupBy-sum, per-batch size bounded by "
+        "value range / bin width, never rows; contrast "
+        "approx_quantiles, whose GK buffer is engine-specific and "
+        "not persistable."
+    ),
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sketches import hist_bin
+    bits = 4
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type", hist_bin("value", bits).alias("bin"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = h.withColumn("cum", F.sum("c").over(w))
+    tot = h.groupBy("event_type").agg(F.sum("c").alias("n"))
+    qdf = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    est = (cum.join(tot, "event_type")
+           .crossJoin(F.broadcast(qdf))
+           .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+           .groupBy("event_type", "q")
+           .agg((F.min("bin") / float(1 << bits)).alias("hist_est")))
+    ex = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .alias("e50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")
+        .alias("e90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
+        .alias("e99"))
+    exl = ex.selectExpr(
+        "event_type",
+        "stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) AS (q, exact_disc)")
+    return (est.join(exl, ["event_type", "q"])
+            .select("event_type", "q", "hist_est", "exact_disc",
+                    ((F.col("exact_disc") >= F.col("hist_est"))
+                     & (F.col("exact_disc")
+                        < F.col("hist_est") + 1.0 / (1 << bits)))
+                    .alias("within_bin")))
+
+
+@query(
     "linear_probe_verdict",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_vecs,

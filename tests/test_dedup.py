@@ -643,3 +643,51 @@ def test_persisted_cms_sketch_table_incremental(spark, tmp_path):
         write_cms_sketch(events, inc, "user_id", depth=5, width=64)
     with pytest.raises(ValueError, match="width=64"):
         write_cms_sketch(events, inc, "user_id", depth=4, width=128)
+
+
+def test_persisted_histogram_sketch_quantiles(spark, tmp_path):
+    """Mergeable histogram quantiles: incremental appends estimate
+    exactly like a one-shot sketch (bin counts are linear), and every
+    estimate obeys the hard containment bound
+    est <= percentile_disc < est + bin_width. Mismatched bin widths
+    are refused at write time."""
+    from nvd2mysqlloader_spark.operators.sketches import (
+        histogram_quantile, write_histogram_sketch)
+
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    qs = [0.5, 0.9, 0.99]
+
+    inc, full = str(tmp_path / "h_inc"), str(tmp_path / "h_full")
+    write_histogram_sketch(events.filter(F.col("event_id") % 2 == 0),
+                           inc, "value", scale_bits=4)
+    write_histogram_sketch(events.filter(F.col("event_id") % 2 == 1),
+                           inc, "value", scale_bits=4)
+    write_histogram_sketch(events, full, "value", scale_bits=4)
+    got_inc = {r["q"]: r["est"]
+               for r in histogram_quantile(spark, inc, qs).collect()}
+    got_full = {r["q"]: r["est"]
+                for r in histogram_quantile(spark, full, qs).collect()}
+    assert got_inc == got_full and len(got_inc) == 3
+
+    exact = events.agg(*[
+        F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)")
+        .alias(f"p{i}") for i, q in enumerate(qs)]).first()
+    for i, q in enumerate(qs):
+        est = got_inc[q]
+        assert est <= exact[f"p{i}"] < est + 1.0 / 16, (q, est)
+
+    # grouped variant merges per group
+    g = str(tmp_path / "h_grp")
+    write_histogram_sketch(events, g, "value", ["event_type"],
+                           scale_bits=4)
+    grouped = histogram_quantile(spark, g, [0.5], ["event_type"])
+    per_type = {r["event_type"]: r["est"] for r in grouped.collect()}
+    want = {r["event_type"]: r["m"] for r in events.groupBy("event_type")
+            .agg(F.expr("percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY value)").alias("m")).collect()}
+    assert set(per_type) == set(want)
+    for k in want:
+        assert per_type[k] <= want[k] < per_type[k] + 1.0 / 16, k
+
+    with pytest.raises(ValueError, match="scale_bits=4"):
+        write_histogram_sketch(events, inc, "value", scale_bits=6)

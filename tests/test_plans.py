@@ -458,6 +458,10 @@ _SCALAR_BNLJ_OK = {
     # normalizer, query-by-example vector
     "hll_mergeable_tally", "mixture_temperature_weights",
     "rrf_hybrid_search",
+    # 3-row quantile side broadcast into the per-group cumulative walk
+    "histogram_quantile_sketch",
+    # 1-row doc-stats x 1-row pack-stats verdict assembly
+    "bfd_packing_verdict",
 }
 
 
