@@ -49,6 +49,13 @@ def _gram_partials(df: DataFrame, feature_col: str,
             y = pdf[target_col].to_numpy(dtype=np.float64)
             if x.size == 0:
                 continue
+            # isfinite also rejects NaN/None rows: NaN slides past a
+            # plain > comparison and np.rint(nan) lands INT64_MIN —
+            # silent garbage where the module promises exactness
+            if not (np.isfinite(x).all() and np.isfinite(y).all()):
+                raise ValueError(
+                    "linear_probe: non-finite feature/target — clean "
+                    "NaN/NULL rows before fitting")
             if np.abs(x).max() > _MAX_ABS or np.abs(y).max() > _MAX_ABS * 16:
                 raise ValueError(
                     "linear_probe: feature/target magnitude exceeds the "
@@ -58,17 +65,23 @@ def _gram_partials(df: DataFrame, feature_col: str,
             xq = np.rint(x * SCALE).astype(np.int64)
             xq = np.hstack([xq, np.full((n, 1), SCALE, dtype=np.int64)])
             yq = np.rint(y * SCALE).astype(np.int64)
-            g = np.zeros((d + 1, d + 1), dtype=np.int64)
-            b = np.zeros(d + 1, dtype=np.int64)
+            # one partial EMISSION per chunk: accumulating chunks into
+            # a batch-level int64 would overflow silently at the bound
+            # magnitudes (b element worst case per chunk is already
+            # ~2^62); the groupBy below sums chunk partials in
+            # DECIMAL(38,0), which is where cross-chunk growth belongs
+            idx = np.indices((d + 1, d + 1)).reshape(2, -1)
+            parts = []
             for lo in range(0, n, _CHUNK):
                 cx, cy = xq[lo:lo + _CHUNK], yq[lo:lo + _CHUNK]
-                g += cx.T @ cx
-                b += (cx * cy[:, None]).sum(axis=0)
-            ii, jj = np.nonzero(np.ones_like(g))
-            out = pd.DataFrame({"i": ii, "j": jj, "v": g[ii, jj]})
-            tgt = pd.DataFrame({"i": np.arange(d + 1),
-                                "j": np.full(d + 1, d + 1), "v": b})
-            yield pd.concat([out, tgt], ignore_index=True)
+                g = cx.T @ cx
+                b = (cx * cy[:, None]).sum(axis=0)
+                parts.append(pd.DataFrame(
+                    {"i": idx[0], "j": idx[1], "v": g.ravel()}))
+                parts.append(pd.DataFrame(
+                    {"i": np.arange(d + 1),
+                     "j": np.full(d + 1, d + 1), "v": b}))
+            yield pd.concat(parts, ignore_index=True)
 
     return (df.select(feature_col, target_col)
             .mapInPandas(emit, "i int, j int, v long")

@@ -49,24 +49,26 @@ def bfd_pack(df: DataFrame, id_col: str, size_col: str,
                 f"capacity {capacity} — chunk oversized documents "
                 "before packing")
         shard = int(pdf["__shard"].iloc[0])
-        remaining: list[int] = []     # sorted remaining capacities
-        bin_of_slot: list[int] = []   # parallel: bin index per slot
+        # sorted (remaining, bin_index) slots: the tuple order makes
+        # the tie-break DETERMINISTIC AND CANONICAL — among bins with
+        # equal remaining capacity, the lowest bin index wins, exactly
+        # what a linear best-fit scan picks (pinned against the
+        # quadratic twin in tests, including tie-heavy inputs)
+        slots: list[tuple[int, int]] = []
         fills: list[int] = []         # remaining capacity per bin id
         assigned = []
         for s in sizes:
             s = int(s)
             # best fit = the TIGHTEST remaining capacity that fits
-            k = bisect.bisect_left(remaining, s)
-            if k < len(remaining):
-                b = bin_of_slot[k]
-                del remaining[k], bin_of_slot[k]
+            k = bisect.bisect_left(slots, (s, -1))
+            if k < len(slots):
+                b = slots[k][1]
+                del slots[k]
             else:
                 b = len(fills)
                 fills.append(capacity)
             fills[b] -= s
-            j = bisect.bisect_left(remaining, fills[b])
-            remaining.insert(j, fills[b])
-            bin_of_slot.insert(j, b)
+            bisect.insort(slots, (fills[b], b))
             assigned.append(b)
         return pd.DataFrame({
             id_col: pdf[id_col].to_numpy(),

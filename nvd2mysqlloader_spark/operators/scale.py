@@ -149,12 +149,20 @@ def bloom_filtered_join(fact: DataFrame, dim: DataFrame, fact_key: str,
             _shiftleft_col(pos % 64)) != 0)
     # NULL key -> NULL membership -> route to the exact join
     maybe = F.coalesce(member, F.lit(True))
-    dim_keys = dim.select(dim_key)
-    cond = F.col(fact_key) == F.col(dim_key)
+    # rename the dim key: with fact_key == dim_key (the common shape —
+    # user_id vs user_id) two bare F.col references would be ambiguous
+    dim_keys = dim.select(F.col(dim_key).alias("__bloom_dim_key"))
+    cond = F.col(fact_key) == F.col("__bloom_dim_key")
     if how == "left_semi":
         return fact.filter(maybe).join(dim_keys, cond, "left_semi")
     # anti: bloom-negative rows are DEFINITELY absent -> keep outright;
-    # only the bloom-positive sliver pays the exact anti join
+    # only the bloom-positive sliver pays the exact anti join. This IS
+    # two scans of the fact (Spark does not CSE across union branches
+    # without materialization) — deliberately: two pruned columnar
+    # reads beat one full-fact shuffle, which is what a single-pass
+    # left_anti with the membership folded into the condition would
+    # cost once the dim side exceeds broadcast. Callers with the fact
+    # already cached pay nothing extra.
     negatives = fact.filter(~maybe)
     positives = fact.filter(maybe).join(dim_keys, cond, "left_anti")
     return negatives.unionByName(positives)

@@ -111,6 +111,17 @@ def cms_point_estimate(spark: SparkSession, path: str, probes: DataFrame,
     depth, width = geo["depth"], geo["width"]
     merged = (sk.groupBy(*group_cols, "d", "bucket")
               .agg(F.sum("cnt").alias("cnt")))
+    return cms_estimate_from(merged, probes, probe_col, depth, width,
+                             group_cols)
+
+
+def cms_estimate_from(merged: DataFrame, probes: DataFrame,
+                      probe_col: str, depth: int, width: int,
+                      group_cols: Sequence[str] = ()) -> DataFrame:
+    """The probe against an in-plan merged sketch (group..., d,
+    bucket, cnt) — shared by the persisted-table path above and the
+    oracle-checked cms_heavy_hitters query, so the estimation
+    algorithm exists exactly once."""
     entries = F.array(*[
         F.struct(F.lit(d).alias("d"),
                  cms_bucket(probe_col, d, width).alias("bucket"))
@@ -123,8 +134,11 @@ def cms_point_estimate(spark: SparkSession, path: str, probes: DataFrame,
     for g in group_cols:
         cond = cond & (F.col(f"p.{g}") == F.col(f"m.{g}"))
     probed = exploded.join(F.broadcast(merged.alias("m")), cond, "left")
+    keep = [c for c in probes.columns
+            if c != probe_col and c not in group_cols]
     return (probed.groupBy(*[F.col(f"p.{g}").alias(g) for g in group_cols],
-                           F.col(f"p.{probe_col}").alias(probe_col))
+                           F.col(f"p.{probe_col}").alias(probe_col),
+                           *[F.col(f"p.{c}").alias(c) for c in keep])
             .agg(F.min(F.coalesce(F.col("m.cnt"), F.lit(0)))
                  .alias("est_count")))
 
@@ -159,7 +173,11 @@ def write_histogram_sketch(df: DataFrame, path: str, value_col: str,
             f"scale_bits={existing['scale_bits']} but the batch was "
             f"encoded with scale_bits={scale_bits} — mixed bin widths "
             "cannot merge; match the table's scale or rebuild")
-    (df.groupBy(*group_cols, hist_bin(value_col, scale_bits).alias("bin"))
+    # NULLs are excluded like percentile_disc excludes them: a null
+    # bin would sort first, inflate n and every cumulative count, and
+    # silently break the containment bound the sketch advertises
+    (df.filter(F.col(value_col).isNotNull())
+       .groupBy(*group_cols, hist_bin(value_col, scale_bits).alias("bin"))
        .agg(F.count(F.lit(1)).alias("cnt"),
             F.lit(scale_bits).alias("scale_bits"))
        .write.mode("append").parquet(path))
@@ -175,25 +193,34 @@ def histogram_quantile(spark: SparkSession, path: str,
     percentile_disc(q) lies in that bin, so
     est <= exact < est + 2^-scale_bits — a hard bound, not
     probabilistic. The scan reads only the sketch table."""
-    from pyspark.sql import Window
     sk = spark.read.parquet(path)
     bits = sk.select("scale_bits").first()["scale_bits"]
     merged = (sk.groupBy(*group_cols, "bin")
               .agg(F.sum("cnt").alias("cnt")))
+    return histogram_quantile_from(merged, quantiles, bits, group_cols)
+
+
+def histogram_quantile_from(merged: DataFrame,
+                            quantiles: Sequence[float], scale_bits: int,
+                            group_cols: Sequence[str] = ()) -> DataFrame:
+    """The cumulative walk against an in-plan merged histogram
+    (group..., bin, cnt) — shared by the persisted-table path above
+    and the oracle-checked histogram_quantile_sketch query, so the
+    pick-first-bin-at-ceil(q·n) algorithm exists exactly once."""
+    from pyspark.sql import Window
+    spark = merged.sparkSession
     w = (Window.partitionBy(*group_cols).orderBy("bin")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = merged.withColumn("cum", F.sum("cnt").over(w))
     tot = merged.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
     qdf = spark.createDataFrame([(float(q),) for q in quantiles],
                                 "q double")
-    joined = (cum.join(tot, list(group_cols) if group_cols else None,
-                       "inner") if group_cols
+    joined = (cum.join(tot, list(group_cols)) if group_cols
               else cum.crossJoin(F.broadcast(tot)))
-    picked = (joined.crossJoin(F.broadcast(qdf))
-              .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-              .groupBy(*group_cols, "q")
-              .agg((F.min("bin") / float(1 << bits)).alias("est")))
-    return picked
+    return (joined.crossJoin(F.broadcast(qdf))
+            .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+            .groupBy(*group_cols, "q")
+            .agg((F.min("bin") / float(1 << scale_bits)).alias("est")))
 
 
 def write_distinct_sketch(df: DataFrame, path: str, value_col: str,

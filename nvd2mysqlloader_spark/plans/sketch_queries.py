@@ -396,26 +396,16 @@ def hll_mergeable_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import cms_bucket, cms_rows
+    from ..operators.sketches import cms_estimate_from, cms_rows
     depth, width = 4, 256
     events = load_table(spark, sf_dir, "events")
     cms = cms_rows(events, "user_id", depth=depth, width=width)
     top10 = (events.groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("exact_cnt"))
              .orderBy(F.desc("exact_cnt"), "user_id").limit(10))
-    entries = F.array(*[
-        F.struct(F.lit(d).alias("d"),
-                 cms_bucket("user_id", d, width).alias("bucket"))
-        for d in range(depth)])
-    probed = (top10.select("user_id", "exact_cnt",
-                           F.explode(entries).alias("e"))
-              .alias("p")
-              .join(F.broadcast(cms.alias("m")),
-                    (F.col("p.e.d") == F.col("m.d"))
-                    & (F.col("p.e.bucket") == F.col("m.bucket"))))
-    return (probed.groupBy(F.col("p.user_id").alias("user_id"),
-                           F.col("p.exact_cnt").alias("exact_cnt"))
-            .agg(F.min(F.col("m.cnt")).alias("cms_est"))
+    est = cms_estimate_from(cms, top10, "user_id", depth, width)
+    return (est.select("user_id", "exact_cnt",
+                       F.col("est_count").alias("cms_est"))
             .orderBy(F.desc("exact_cnt"), "user_id"))
 
 
@@ -521,7 +511,7 @@ def kmeans_convergence_verdict(spark: SparkSession,
     WITH h AS (
       SELECT event_type, CAST(floor(value * 16) AS BIGINT) AS bin,
              count(*) AS c
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ), tot AS (
       SELECT event_type, sum(c) AS n FROM h GROUP BY 1
     ), cum AS (
@@ -570,23 +560,15 @@ def kmeans_convergence_verdict(spark: SparkSession,
     ),
 )
 def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..operators.sketches import hist_bin
+    from ..operators.sketches import hist_bin, histogram_quantile_from
     bits = 4
-    ev = load_table(spark, sf_dir, "events")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
     h = (ev.groupBy("event_type", hist_bin("value", bits).alias("bin"))
-         .agg(F.count(F.lit(1)).alias("c")))
-    w = (Window.partitionBy("event_type").orderBy("bin")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = h.withColumn("cum", F.sum("c").over(w))
-    tot = h.groupBy("event_type").agg(F.sum("c").alias("n"))
-    qdf = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
-    est = (cum.join(tot, "event_type")
-           .crossJoin(F.broadcast(qdf))
-           .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-           .groupBy("event_type", "q")
-           .agg((F.min("bin") / float(1 << bits)).alias("hist_est")))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    est = (histogram_quantile_from(h, [0.5, 0.9, 0.99], bits,
+                                   ["event_type"])
+           .withColumnRenamed("est", "hist_est"))
     ex = ev.groupBy("event_type").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
         .alias("e50"),

@@ -691,3 +691,13 @@ def test_persisted_histogram_sketch_quantiles(spark, tmp_path):
 
     with pytest.raises(ValueError, match="scale_bits=4"):
         write_histogram_sketch(events, inc, "value", scale_bits=6)
+
+    # regression: NULL values must not enter the histogram — a null
+    # bin sorts first, inflates n, and breaks the containment bound
+    # (percentile_disc ignores nulls)
+    nulls = spark.createDataFrame([(None,), (1.0,), (2.0,), (3.0,)],
+                                  "value double")
+    npath = str(tmp_path / "h_null")
+    write_histogram_sketch(nulls, npath, "value", scale_bits=4)
+    est = histogram_quantile(spark, npath, [0.5]).first()["est"]
+    assert est <= 2.0 < est + 1.0 / 16      # percentile_disc(0.5) == 2.0

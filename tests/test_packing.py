@@ -57,6 +57,27 @@ def test_bfd_matches_quadratic_twin_per_shard(spark):
             assert got[i] == (shard << SHARD_BITS) | b, (shard, i)
 
 
+def test_bfd_tie_break_matches_twin_on_tie_heavy_input(spark):
+    """Regression: on EQUAL remaining capacities the operator must
+    pick the lowest bin index, like a linear best-fit scan — the
+    slot list used to return the most-recently-touched bin instead,
+    diverging from the twin on any tie (fuzz showed 81% of tie-heavy
+    inputs diverged)."""
+    import random
+    rng = random.Random(7)
+    rows = ([(1, 6), (2, 6), (3, 4)]       # the minimal diverging case
+            + [(i, rng.choice([2, 3, 4, 6])) for i in range(10, 400)])
+    df = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    got = {r["doc_id"]: r["pack_id"]
+           for r in bfd_pack(df, "doc_id", "n_chars", 10,
+                             n_shards=2).collect()}
+    for shard in range(2):
+        mine = [(i, s) for i, s in rows if _shard_of(i, 2) == shard]
+        want = _twin_bfd(mine, 10)
+        for i, b in want.items():
+            assert got[i] == (shard << SHARD_BITS) | b, (shard, i)
+
+
 def test_bfd_deterministic_and_guarantees(spark):
     docs = (load_table(spark, SF_ORACLE, "documents")
             .filter(F.col("n_chars") <= CAP)

@@ -69,6 +69,35 @@ def test_ridge_never_loses_to_mean_and_jvm_scoring_matches(spark):
     assert np.allclose(jvm, pred, rtol=1e-12, atol=1e-12)
 
 
+def test_ridge_exact_at_bound_magnitudes_single_partition(spark):
+    """Regression: per-chunk partials must EMIT per chunk, not
+    accumulate across a whole Arrow batch in int64 — 10k rows at the
+    guard-edge magnitudes (|x|=8, |y|=128) in ONE partition used to
+    wrap b past 2^63 and return garbage weights silently."""
+    rows = [([8.0 if i % 2 else -8.0, -8.0 if i % 2 else 8.0],
+             128.0 if i % 2 else -128.0) for i in range(10_000)]
+    df = (spark.createDataFrame(rows, "embedding: array<double>, y: double")
+          .coalesce(1))
+    w, bias = ridge_fit(df, "embedding", "y")
+    # y = 8*x0 exactly (x1 = -x0): the fit must recover a perfect
+    # predictor (up to ridge shrinkage), nowhere near sign-flipped
+    pred0 = w[0] * 8.0 + w[1] * -8.0 + bias
+    assert abs(pred0 - 128.0) < 1.0, (w, bias)
+
+
+def test_ridge_rejects_non_finite(spark):
+    bad = spark.createDataFrame(
+        [([1.0, float("nan")], 1.0), ([0.5, 0.5], 2.0)],
+        "embedding: array<double>, y: double")
+    with pytest.raises(Exception, match="non-finite"):
+        ridge_fit(bad, "embedding", "y")
+    bad_y = spark.createDataFrame(
+        [([1.0, 0.0], None), ([0.5, 0.5], 2.0)],
+        "embedding: array<double>, y: double")
+    with pytest.raises(Exception, match="non-finite"):
+        ridge_fit(bad_y, "embedding", "y")
+
+
 def test_ridge_fit_guards(spark):
     bad = spark.createDataFrame([([100.0, 0.0], 1.0)], "embedding: array<double>, y: double")
     with pytest.raises(Exception, match="exact-arithmetic bound"):

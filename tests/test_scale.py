@@ -154,6 +154,22 @@ def test_bloom_prefilter_actually_prunes(spark):
     assert true_hits <= passed <= true_hits + int(0.05 * (5000 - true_hits))
 
 
+def test_bloom_filtered_join_same_key_name(spark):
+    """Regression: fact_key == dim_key (user_id vs user_id, the common
+    decontamination shape) used to raise AMBIGUOUS_REFERENCE in the
+    residual join condition."""
+    from nvd2mysqlloader_spark.operators.scale import bloom_filtered_join
+    fact = spark.range(100).select((F.col("id") % 20).alias("k"),
+                                   F.col("id").alias("v"))
+    dim = spark.range(5).select((F.col("id") * 4).alias("k"))
+    got = {(r.k, r.v) for r in bloom_filtered_join(
+        fact, dim, "k", "k", "left_semi", m_bits=1 << 10).collect()}
+    want = {(r.k, r.v) for r in fact.join(
+        dim.withColumnRenamed("k", "dk"),
+        F.col("k") == F.col("dk"), "left_semi").collect()}
+    assert got == want and got
+
+
 def test_bloom_filtered_join_rejects_payload_shapes(spark):
     import pytest
 
