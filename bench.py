@@ -86,6 +86,13 @@ HEADLINE = sorted([
     # sketch-merge + mixture planning (round 6)
     "hll_mergeable_tally",
     "mixture_temperature_weights",
+    "cms_heavy_hitters",
+    "histogram_quantile_sketch",
+    # bloom prefilter, linear probe, BFD packing, outer-join drain (r6)
+    "bloom_semi_revenue",
+    "linear_probe_verdict",
+    "bfd_packing_verdict",
+    "stream_left_outer_join",
     # multimodal plumbing
     "multimodal_inventory",
     "video_frame_sample",
