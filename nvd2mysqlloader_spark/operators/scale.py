@@ -92,6 +92,7 @@ def build_bloom_words(keys: DataFrame, key: str, m_bits: int,
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     entries = F.array(*[_bloom_pos(F.col(key), i, m_bits)
                         for i in range(k_hashes)])
+    import numpy as np
     words = (keys.filter(F.col(key).isNotNull())
              .select(F.explode(entries).alias("pos"))
              .select(F.shiftright("pos", 6).alias("w"),
@@ -99,10 +100,10 @@ def build_bloom_words(keys: DataFrame, key: str, m_bits: int,
                             "CAST(pos % 64 AS INT))").alias("mask"))
              .groupBy("w").agg(F.bit_or("mask").alias("bits"))
              .collect())
-    dense = [0] * (m_bits // 64)
-    for r in words:
-        dense[r["w"]] = r["bits"]
-    return dense
+    dense = np.zeros(m_bits // 64, dtype=np.int64)
+    if words:
+        dense[[r["w"] for r in words]] = [r["bits"] for r in words]
+    return dense.tolist()
 
 
 def bloom_filtered_join(fact: DataFrame, dim: DataFrame, fact_key: str,
@@ -137,9 +138,13 @@ def bloom_filtered_join(fact: DataFrame, dim: DataFrame, fact_key: str,
             "a bloom filter cannot carry — broadcast or shuffle those")
     dense = build_bloom_words(dim.select(dim_key), dim_key,
                               m_bits, k_hashes)
-    # explicit element type: F.lit would infer array<int> for an
-    # all-small-word filter and the bitwiseAND below must be 64-bit
-    arr = F.lit(dense).cast("array<bigint>")
+    # the literal rides as a parsed SQL array, NOT F.lit(list):
+    # Py4J converts python lists element-by-element (~1 s of SERIAL
+    # driver time for 2^17 bits, at any data scale), while parsing a
+    # numeric array() string is milliseconds and constant-folds to
+    # the same array<bigint> literal
+    arr = F.expr("cast(array(" + ",".join(map(str, dense))
+                 + ") as array<bigint>)")
     key = F.col(fact_key)
     member = F.lit(True)
     for i in range(k_hashes):
