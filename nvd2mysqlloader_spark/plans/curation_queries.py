@@ -69,6 +69,11 @@ _HOLD = "10"     # md5-prefix holdout: first 2 hex < '10' → ~6% test set
     ),
 )
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decontaminate(spark, sf_dir, probe="broadcast")
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str,
+                   probe: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = (docs.select("doc_id", "lang", F.split("text", " ").alias("ws"))
          .filter(F.size("ws") >= _N))
@@ -84,14 +89,42 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollups dedup downstream, and a distinct here would shuffle the
     # full gram relation — the one thing that must not happen at 100 TB
     train = grams.filter(holdout >= _HOLD).select("doc_id", "lang", "gram")
-    cont = (train.join(F.broadcast(test), "gram", "left_semi")
-            .select("doc_id", "lang").distinct()
+    if probe == "broadcast":
+        hits = train.join(F.broadcast(test), "gram", "left_semi")
+    else:
+        from ..operators.scale import bloom_filtered_join
+        hits = bloom_filtered_join(train, test, "gram", "gram",
+                                   "left_semi", m_bits=1 << 17)
+    cont = (hits.select("doc_id", "lang").distinct()
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
     tr = train.groupBy("lang").agg(
         F.count_distinct("doc_id").alias("n_train_docs"))
     return (tr.join(F.broadcast(cont), "lang", "left")
             .select("lang", "n_train_docs",
                     F.coalesce("n", F.lit(0)).alias("n_contaminated")))
+
+
+from .registry import QUERIES as _Q  # noqa: E402  (after base registration)
+
+
+@query(
+    "decontaminate_ngrams_bloom",
+    oracle=_Q["decontaminate_ngrams"].oracle,
+    doc=(
+        "decontaminate_ngrams with the probe swapped for the explicit "
+        "bloom prefilter (operators/scale.bloom_filtered_join) under "
+        "the IDENTICAL oracle — realizing the base query's '100 TB: "
+        "hold the test grams in a bloom filter' docstring claim as a "
+        "checked query rather than narration. When the distinct "
+        "test-gram relation outgrows the broadcast threshold, the "
+        "2^17-bit filter still ships to every task at constant size; "
+        "the exact residual semi join keeps the answer bit-identical "
+        "(hash-proved by sharing the SQL verbatim)."
+    ),
+)
+def decontaminate_ngrams_bloom(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    return _decontaminate(spark, sf_dir, probe="bloom")
 
 
 # --- Z-order (Morton) layout -------------------------------------------

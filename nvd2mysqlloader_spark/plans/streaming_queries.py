@@ -292,6 +292,37 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_full_outer_join",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           coalesce(e.user_id, c.user_id) AS user_id,
+           e.ts AS error_ts, c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+    """,
+    doc=(
+        "STREAMING stream-stream FULL OUTER interval join under the "
+        "value-hash oracle — null emission on BOTH sides: unmatched "
+        "errors AND clicks that preceded no error each flush when the "
+        "watermark closes their window (same horizon-sentinel staging "
+        "as the left-outer drain). Hash-equals DuckDB's batch FULL "
+        "JOIN over the same rows; with the inner and left-outer "
+        "drains this completes the watermarked stream-stream join "
+        "family."
+    ),
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import stream_error_click_interval_join
+    joined = stream_error_click_interval_join(
+        _stream_events_with_horizon(spark, sf_dir), bound="1 hour",
+        watermark="1 hour", how="full_outer")
+    drained = _drain(spark, joined, mode="append")
+    return drained.filter(F.col("user_id") >= 0)
+
+
+@query(
     "stream_static_enrich",
     oracle="""
     SELECT c.c_mktsegment AS segment,

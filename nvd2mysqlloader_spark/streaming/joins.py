@@ -34,8 +34,10 @@ def stream_error_click_interval_join(events: DataFrame,
     error's match window (before that a matching click could still
     arrive), so a finite drain needs the source's watermark to close
     over the data (see plans.streaming_queries
-    ._stream_events_with_horizon). State bounds are identical to the
-    inner join: watermark + bound per key per side."""
+    ._stream_events_with_horizon). ``how="full_outer"`` does the same
+    on BOTH sides (unmatched clicks too; their user_id is carried by
+    the coalesce below). State bounds are identical to the inner
+    join: watermark + bound per key per side."""
     errors = (events.filter(F.col("event_type") == "error")
               .select(F.col("event_id").alias("error_id"),
                       "user_id",
@@ -51,9 +53,13 @@ def stream_error_click_interval_join(events: DataFrame,
         AND click_ts >= error_ts - INTERVAL {bound}
         AND click_ts <= error_ts
     """)
+    # coalesce is a no-op for inner/left (the errors side always has
+    # user_id); for full_outer it carries the key of unmatched CLICKS
     return (errors.join(clicks, cond, how)
-            .select("error_id", "user_id", "error_ts",
-                    "click_id", "click_ts"))
+            .select("error_id",
+                    F.coalesce("user_id", "click_user_id")
+                    .alias("user_id"),
+                    "error_ts", "click_id", "click_ts"))
 
 
 def stream_static_enrich(events: DataFrame, dim: DataFrame,
