@@ -471,7 +471,17 @@ def _pq_adc_rescore(corpus: DataFrame, encoded: DataFrame,
     one vectorized gather per (batch, query-chunk), rank, exact-cosine
     rescore candidates against the corpus."""
     m = len(books)
-    fetch_k = fetch_k or max(4 * k, 50)
+    # the candidate budget is the recall knob and must scale as a
+    # corpus FRACTION (like IVF's nprobe/nlist), not a constant: a
+    # fixed 50 candidates was 10% of a 500-vector corpus (recall
+    # 0.76) but 2.5% of the 2000-vector sf0.1 one (recall 0.36 —
+    # measured; the sf0.1 oracle sweep caught it). A uniform 10%
+    # rescore fraction holds recall at 0.76 on BOTH fixture scales
+    # (8-byte m=8/ksub=16 codes over d=64 are coarse — the ADC
+    # ranking needs that margin); for sublinear scan AND candidate
+    # growth use the composed IVF-PQ index instead.
+    if fetch_k is None:
+        fetch_k = max(4 * k, 50, -(-corpus.count() // 10))
     splits = _book_splits(books)
 
     q_ids, q_mat = _collect_query_batch(queries, query_id_col, emb_col,
