@@ -917,7 +917,17 @@ def ivfpq_topk(corpus: DataFrame, index_path: str, queries: DataFrame,
     if cents is None or books is None:
         raise ValueError(f"ivfpq_topk: no index at {index_path}")
     m = len(books)
-    fetch_k = fetch_k or max(4 * k, 50)
+    # like flat PQ's fetch_k, the candidate budget scales as a
+    # FRACTION — here of the SCANNED codes (n·nprobe/nlist), which the
+    # coarse lists already bound sublinearly. A fixed 50 was 40% of
+    # the scanned sf0.01 codes (recall 0.46) but 10% at sf0.1 (recall
+    # 0.24 — measured); half the scanned codes rescored holds recall
+    # at 0.5-0.58 across both scales. Residual-quantized ADC ranks are
+    # noisier than flat PQ's, hence the larger fraction; the exact
+    # rescore still touches only nprobe/(2·nlist) of the corpus.
+    if fetch_k is None:
+        scanned = corpus.count() * nprobe // cents.shape[0]
+        fetch_k = max(4 * k, 50, -(-scanned // 2))
     splits = _book_splits(books)
 
     q_ids, q_mat = _collect_query_batch(queries, query_id_col, emb_col,
