@@ -92,7 +92,6 @@ def build_bloom_words(keys: DataFrame, key: str, m_bits: int,
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     entries = F.array(*[_bloom_pos(F.col(key), i, m_bits)
                         for i in range(k_hashes)])
-    import numpy as np
     words = (keys.filter(F.col(key).isNotNull())
              .select(F.explode(entries).alias("pos"))
              .select(F.shiftright("pos", 6).alias("w"),
@@ -100,10 +99,10 @@ def build_bloom_words(keys: DataFrame, key: str, m_bits: int,
                             "CAST(pos % 64 AS INT))").alias("mask"))
              .groupBy("w").agg(F.bit_or("mask").alias("bits"))
              .collect())
-    dense = np.zeros(m_bits // 64, dtype=np.int64)
-    if words:
-        dense[[r["w"] for r in words]] = [r["bits"] for r in words]
-    return dense.tolist()
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    return dense
 
 
 def bloom_filtered_join(fact: DataFrame, dim: DataFrame, fact_key: str,

@@ -472,16 +472,21 @@ def _pq_adc_rescore(corpus: DataFrame, encoded: DataFrame,
     rescore candidates against the corpus."""
     m = len(books)
     # the candidate budget is the recall knob and must scale as a
-    # corpus FRACTION (like IVF's nprobe/nlist), not a constant: a
-    # fixed 50 candidates was 10% of a 500-vector corpus (recall
-    # 0.76) but 2.5% of the 2000-vector sf0.1 one (recall 0.36 —
-    # measured; the sf0.1 oracle sweep caught it). A uniform 10%
-    # rescore fraction holds recall at 0.76 on BOTH fixture scales
-    # (8-byte m=8/ksub=16 codes over d=64 are coarse — the ADC
-    # ranking needs that margin); for sublinear scan AND candidate
-    # growth use the composed IVF-PQ index instead.
+    # corpus FRACTION at small corpora, not a constant: a fixed 50
+    # candidates was 10% of a 500-vector corpus (recall 0.76) but
+    # 2.5% of the 2000-vector sf0.1 one (recall 0.36 — measured; the
+    # sf0.1 oracle sweep caught it). A 10% rescore fraction holds
+    # recall at 0.76 on both fixture scales (8-byte m=8/ksub=16 codes
+    # over d=64 are coarse — the ADC ranking needs that margin). The
+    # fraction is CAPPED at 4096: the candidate relation downstream
+    # is broadcast (nq · fetch_k rows), so an uncapped linear default
+    # would trade the recall cliff for a driver-OOM cliff at 10^8+
+    # vectors. Past ~40k vectors the default stops growing and recall
+    # becomes an explicit choice: raise fetch_k, use finer codes
+    # (m/ksub), or the composed IVF-PQ index. The count() here is one
+    # extra metadata-cheap job, default path only.
     if fetch_k is None:
-        fetch_k = max(4 * k, 50, -(-corpus.count() // 10))
+        fetch_k = max(4 * k, 50, min(4096, -(-corpus.count() // 10)))
     splits = _book_splits(books)
 
     q_ids, q_mat = _collect_query_batch(queries, query_id_col, emb_col,
@@ -918,16 +923,21 @@ def ivfpq_topk(corpus: DataFrame, index_path: str, queries: DataFrame,
         raise ValueError(f"ivfpq_topk: no index at {index_path}")
     m = len(books)
     # like flat PQ's fetch_k, the candidate budget scales as a
-    # FRACTION — here of the SCANNED codes (n·nprobe/nlist), which the
-    # coarse lists already bound sublinearly. A fixed 50 was 40% of
-    # the scanned sf0.01 codes (recall 0.46) but 10% at sf0.1 (recall
-    # 0.24 — measured); half the scanned codes rescored holds recall
-    # at 0.5-0.58 across both scales. Residual-quantized ADC ranks are
-    # noisier than flat PQ's, hence the larger fraction; the exact
-    # rescore still touches only nprobe/(2·nlist) of the corpus.
+    # FRACTION — here of the SCANNED codes, estimated as
+    # n·nprobe/nlist (uniform-list approximation; skewed argmax
+    # assignments make this an estimate, and the cap below bounds the
+    # error's blast radius). A fixed 50 was 40% of the scanned
+    # sf0.01 codes (recall 0.46) but 10% at sf0.1 (recall 0.24 —
+    # measured); half the scanned codes rescored holds recall at
+    # 0.5-0.58 across both scales (residual-quantized ADC ranks are
+    # noisier than flat PQ's, hence the larger fraction). Scanned
+    # volume is sublinear in n only when nlist grows with the corpus
+    # (production IVF sizing, nlist ~ sqrt(n)); with a FIXED nlist it
+    # is linear, so the same 4096 cap as flat PQ bounds the broadcast
+    # candidate relation — past that, recall is an explicit knob.
     if fetch_k is None:
         scanned = corpus.count() * nprobe // cents.shape[0]
-        fetch_k = max(4 * k, 50, -(-scanned // 2))
+        fetch_k = max(4 * k, 50, min(4096, -(-scanned // 2)))
     splits = _book_splits(books)
 
     q_ids, q_mat = _collect_query_batch(queries, query_id_col, emb_col,

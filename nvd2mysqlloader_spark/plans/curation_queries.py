@@ -93,8 +93,16 @@ def _decontaminate(spark: SparkSession, sf_dir: str,
         hits = train.join(F.broadcast(test), "gram", "left_semi")
     else:
         from ..operators.scale import bloom_filtered_join
+        # size the filter from the ACTUAL test-gram count (>= 16 bits
+        # per key, rounded to words) — a fixture-sized constant would
+        # saturate on a real corpus, pass every train row, and
+        # silently degrade the residual join to the full-shuffle plan
+        # this query exists to avoid; the count() is one extra job on
+        # the SMALL side
+        n_test = test.count()
+        m_bits = max(1 << 17, ((16 * n_test + 63) // 64) * 64)
         hits = bloom_filtered_join(train, test, "gram", "gram",
-                                   "left_semi", m_bits=1 << 17)
+                                   "left_semi", m_bits=m_bits)
     cont = (hits.select("doc_id", "lang").distinct()
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
     tr = train.groupBy("lang").agg(

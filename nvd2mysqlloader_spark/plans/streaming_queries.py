@@ -66,6 +66,7 @@ def _stream_events_with_horizon(spark: SparkSession,
     inside a finite fixture (the streaming analog of the feed marks
     the reference polls at nvd2mysqlloader.py:508-531 going quiet).
     Consumers must drop user_id < 0 rows after the drain."""
+    import atexit
     import shutil
     import tempfile
 
@@ -75,6 +76,10 @@ def _stream_events_with_horizon(spark: SparkSession,
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/events.parquet"
     stage = tempfile.mkdtemp(prefix="stream_horizon_")
+    # bench loops / oracle sweeps call this repeatedly — without the
+    # atexit hook each call leaks a full events.parquet copy in /tmp
+    # (same discipline as stream_latest_state_upsert's staging dir)
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     shutil.copy(src, f"{stage}/events.parquet")
 
     t = pq.read_table(src)
