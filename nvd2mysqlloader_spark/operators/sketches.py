@@ -50,12 +50,19 @@ def cms_bucket(value_col: str, d: int, width: int):
 
 def cms_rows(df: DataFrame, value_col: str,
              group_cols: Sequence[str] = (),
-             depth: int = 4, width: int = 1024) -> DataFrame:
+             depth: int = 4, width: int = 1024,
+             weight_col: str | None = None) -> DataFrame:
     """Count-min sketch of ``value_col`` frequencies as a SPARSE keyed
     table: (group..., d, bucket, cnt) with ≤ depth·width rows per
     group REGARDLESS of input volume — the bound is by construction,
     so at 100 TB the rollup's map-side combine collapses each task to
     at most depth·width partial rows before the (tiny) shuffle.
+
+    ``weight_col`` switches the sketch from occurrence counting to
+    WEIGHTED frequency (e.g. total bytes per key, revenue per
+    customer) — CMS supports any non-negative additive weight with
+    the same overshoot-only guarantee; negative weights would break
+    the min-over-rows bound, so they are the caller's contract.
 
     The sparse form makes merging trivially Spark-shaped: CMS is
     linear, so union+groupBy-sum of two sketch tables IS the merged
@@ -64,19 +71,25 @@ def cms_rows(df: DataFrame, value_col: str,
         F.struct(F.lit(d).alias("d"),
                  cms_bucket(value_col, d, width).alias("bucket"))
         for d in range(depth)])
-    return (df.select(*group_cols, F.explode(entries).alias("e"))
+    agg = (F.sum(weight_col).alias("cnt") if weight_col
+           else F.count(F.lit(1)).alias("cnt"))
+    cols = [*group_cols] + ([weight_col] if weight_col else [])
+    return (df.select(*cols, F.explode(entries).alias("e"))
             .groupBy(*group_cols, F.col("e.d").alias("d"),
                      F.col("e.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt")))
+            .agg(agg))
 
 
 def write_cms_sketch(df: DataFrame, path: str, value_col: str,
                      group_cols: Sequence[str] = (),
-                     depth: int = 4, width: int = 1024) -> None:
+                     depth: int = 4, width: int = 1024,
+                     weight_col: str | None = None) -> None:
     """Append this batch's CMS rows: (group..., d, bucket, cnt,
     depth, width). Like write_distinct_sketch, the geometry is
     stamped per row and a mismatched append is refused at WRITE time:
-    sketches of different (depth, width) do not merge."""
+    sketches of different (depth, width) do not merge. ``weight_col``
+    appends a weighted sketch (see cms_rows); counted and weighted
+    batches must not share a table."""
     spark = df.sparkSession
     try:
         existing = spark.read.parquet(path).select("depth", "width").first()
@@ -90,7 +103,7 @@ def write_cms_sketch(df: DataFrame, path: str, value_col: str,
             f"the batch was encoded with depth={depth}, width={width} — "
             "mixed geometries cannot merge; match the table's shape or "
             "rebuild")
-    (cms_rows(df, value_col, group_cols, depth, width)
+    (cms_rows(df, value_col, group_cols, depth, width, weight_col)
      .withColumn("depth", F.lit(depth))
      .withColumn("width", F.lit(width))
      .write.mode("append").parquet(path))

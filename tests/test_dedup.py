@@ -645,6 +645,42 @@ def test_persisted_cms_sketch_table_incremental(spark, tmp_path):
         write_cms_sketch(events, inc, "user_id", depth=4, width=128)
 
 
+def test_weighted_cms_sketch(spark, tmp_path):
+    """Weighted CMS (frequency = sum of a non-negative weight, e.g.
+    bytes per key): same linearity (incremental == one-shot), same
+    overshoot-only guarantee vs the exact weighted rollup, exact on a
+    wide sketch."""
+    from nvd2mysqlloader_spark.operators.sketches import (
+        cms_point_estimate, write_cms_sketch)
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = {r["lang"]: r["w"] for r in
+             docs.groupBy("lang")
+             .agg(F.sum("n_chars").alias("w")).collect()}
+    probes = docs.select("lang").distinct()
+
+    inc, wide = str(tmp_path / "wcms_inc"), str(tmp_path / "wcms_wide")
+    write_cms_sketch(docs.filter(F.col("doc_id") % 2 == 0), inc,
+                     "lang", depth=4, width=8, weight_col="n_chars")
+    write_cms_sketch(docs.filter(F.col("doc_id") % 2 == 1), inc,
+                     "lang", depth=4, width=8, weight_col="n_chars")
+    one = str(tmp_path / "wcms_one")
+    write_cms_sketch(docs, one, "lang", depth=4, width=8,
+                     weight_col="n_chars")
+    got_inc = {r["lang"]: r["est_count"] for r in
+               cms_point_estimate(spark, inc, probes, "lang").collect()}
+    got_one = {r["lang"]: r["est_count"] for r in
+               cms_point_estimate(spark, one, probes, "lang").collect()}
+    assert got_inc == got_one
+    assert all(got_inc[k] >= exact[k] for k in exact)   # narrow: overshoot
+
+    write_cms_sketch(docs, wide, "lang", depth=4, width=4096,
+                     weight_col="n_chars")
+    got_wide = {r["lang"]: r["est_count"] for r in
+                cms_point_estimate(spark, wide, probes, "lang").collect()}
+    assert got_wide == exact
+
+
 def test_persisted_histogram_sketch_quantiles(spark, tmp_path):
     """Mergeable histogram quantiles: incremental appends estimate
     exactly like a one-shot sketch (bin counts are linear), and every
