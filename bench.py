@@ -88,6 +88,8 @@ HEADLINE = sorted([
     "mixture_temperature_weights",
     "cms_heavy_hitters",
     "histogram_quantile_sketch",
+    # link-graph ranking (r6)
+    "pagerank_scores",
     # bloom prefilter, linear probe, BFD packing, outer-join drain (r6)
     "bloom_semi_revenue",
     "linear_probe_verdict",

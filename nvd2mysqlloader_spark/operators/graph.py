@@ -195,3 +195,96 @@ def connected_components_alternating(nodes: DataFrame, edges: DataFrame,
             .groupBy("node")
             .agg(F.min(F.coalesce("label", "node")).alias("component"))
             .select(F.col("node").alias(id_col), "component"))
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "id",
+             iters: int = 6, total: int = 1_000_000_000_000,
+             damping_pct: int = 85) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer fixed-point — the
+    link-graph importance score web-scale curation pipelines attach to
+    documents (Common Crawl ranks its host graph this way to pick what
+    to fetch/keep; the same score is a standard pretraining quality
+    prior). The reference has no graph surface (its query layer is
+    single-table SELECTs, nvd2mysqlloader.py:452-506); north-star op.
+
+    All arithmetic is BIGINT: the unit rank mass is ``total`` (1e12 by
+    default, so ranks are "micro-pageranks" ×1e6 at ppm precision),
+    per-edge contributions use integer division ``rank div outdeg``,
+    and the damping step is ``(85 · x) div 100``. Integer sums are
+    exact and order-independent, so the result is bit-identical under
+    ANY partitioning and hash-matches a DuckDB oracle computing the
+    same recurrence — no floating-point summation-order hazard. All
+    quantities are non-negative, so Spark's ``div`` (truncate) and
+    DuckDB's ``//`` (floor) agree. Truncation leaks ≤1 unit of mass
+    per node per step — at the default scale a relative error of
+    ~n/1e12 per iteration, far below ranking resolution; the recurrence
+    is the spec, exactly reproduced by the oracle.
+
+    Recurrence (checked against the float power iteration in
+    tests/test_graph.py)::
+
+        base      = total div n
+        teleport  = ((100-d)·base) div 100
+        rank'(v)  = teleport
+                  + (d · (Σ_{u→v} rank(u) div outdeg(u)
+                          + dangling div n)) div 100
+
+    where ``dangling`` is the summed rank of nodes with no out-edges
+    (their mass teleports uniformly — the standard dangling-node fix,
+    so dangling-heavy graphs like bipartite source→sink link sets do
+    not evaporate to the teleport floor).
+
+    ``nodes``: one column (``id_col``); endpoints absent from it are
+    unioned in (same tolerance as the CC variants). ``edges``:
+    directed src→dst; parallel duplicates count as parallel links
+    (they raise outdeg and contribute once each — pre-``distinct`` to
+    get simple-graph semantics); self-loops are legal.
+
+    Scale (100 TB): per iteration one edges⋈ranks shuffle join keyed
+    on src + one sum keyed on dst — both linear in |E| and AQE-
+    coalesced; the dangling mass is a broadcast singleton (no driver
+    collect in the loop); iteration state is one (node, rank) pair per
+    node; ``cut_lineage`` truncates the doubling plan exactly as the
+    CC loops do. The only driver scalar is the one-time node count.
+
+    Returns DataFrame[id_col, rank_fp] (BIGINT fixed-point rank).
+    """
+    all_nodes = (nodes.select(F.col(id_col).alias("node"))
+                 .union(edges.select(F.col("src").alias("node")))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+    n = all_nodes.count()                     # bounded one-time scalar
+    if n == 0:
+        return all_nodes.select(F.col("node").alias(id_col),
+                                F.lit(0).cast("long").alias("rank_fp"))
+    base = total // n
+    teleport = (100 - damping_pct) * base // 100
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edeg = edges.select("src", "dst").join(deg, "src").persist()
+    edeg.count()
+
+    ranks = cut_lineage(
+        all_nodes.withColumn("rank_fp", F.lit(base).cast("long")))
+    for _ in range(iters):
+        contrib = (edeg.join(ranks, edeg["src"] == ranks["node"])
+                   .select(F.col("dst").alias("node"),
+                           F.expr("rank_fp div outdeg").alias("c")))
+        incoming = contrib.groupBy("node").agg(
+            F.sum("c").cast("long").alias("inc"))
+        dangling = (ranks.join(deg, ranks["node"] == deg["src"],
+                               "left_anti")
+                    .agg(F.coalesce(F.sum("rank_fp"), F.lit(0))
+                         .cast("long").alias("dang")))
+        ranks = cut_lineage(
+            ranks.select("node")
+            .join(incoming, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node",
+                    (F.lit(teleport) + F.expr(
+                        f"({damping_pct} * (coalesce(inc, 0L)"
+                        f" + dang div {n})) div 100"))
+                    .cast("long").alias("rank_fp")))
+
+    edeg.unpersist()
+    return ranks.select(F.col("node").alias(id_col), "rank_fp")

@@ -28,3 +28,4 @@ from . import streaming_queries  # noqa: F401,E402
 from . import graph_queries      # noqa: F401,E402
 from . import bpe_queries        # noqa: F401,E402
 from . import variant_queries    # noqa: F401,E402
+from . import linkgraph_queries  # noqa: F401,E402

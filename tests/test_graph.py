@@ -156,3 +156,99 @@ print("RELIABLE_OK")
                          capture_output=True, text=True, timeout=300)
     assert "RELIABLE_OK" in out.stdout, (out.stdout[-2000:],
                                          out.stderr[-2000:])
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _pagerank_twin(nodes, edges, iters=6, total=10**12, d=85):
+    """Pure-Python twin of operators/graph.pagerank — the identical
+    BIGINT fixed-point recurrence, driver-side, dict arithmetic."""
+    nodes = sorted(set(nodes) | {s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    base = total // n
+    teleport = (100 - d) * base // 100
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: base for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, t in edges:
+            inc[t] += rank[s] // outdeg[s]
+        dang = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {v: teleport + (d * (inc[v] + dang // n)) // 100
+                for v in nodes}
+    return rank
+
+
+def _pr(spark, nodes, edges, **kw):
+    from nvd2mysqlloader_spark.operators.graph import pagerank
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id BIGINT")
+    edf = (spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+           if edges else spark.createDataFrame([], "src BIGINT, dst BIGINT"))
+    out = pagerank(ndf, edf, **kw).collect()
+    return {r["id"]: r["rank_fp"] for r in out}
+
+
+def test_pagerank_matches_python_twin_exactly(spark):
+    """Seeded random digraph with every edge-case shape at once:
+    dangling nodes (no out-edges), an isolated vertex, parallel
+    edges (weighted links), a self-loop, and endpoints absent from
+    the node list. Ranks must be BIT-IDENTICAL to the driver-side
+    twin — integer fixed-point has no summation-order slack."""
+    import random
+    rng = random.Random(7)
+    nodes = list(range(30))            # 25..29 get no out-edges
+    edges = [(rng.randrange(25), rng.randrange(30)) for _ in range(120)]
+    edges += [(3, 4), (3, 4), (5, 5)]  # parallel edges + self-loop
+    edges += [(2, 31), (31, 1)]        # 31 not in `nodes`
+    nodes_listed = [v for v in nodes if v != 29] + [99]  # 99 isolated
+    got = _pr(spark, nodes_listed, edges)
+    want = _pagerank_twin(nodes_listed, edges)
+    assert got == want
+
+
+def test_pagerank_approximates_float_power_iteration(spark):
+    """The fixed-point recurrence tracks the standard float PageRank:
+    after 6 iterations every rank agrees within the truncation slack
+    (per-node leak ≤ (|V|+1 drops)·1 unit/step, amortized ≪ 1e-6
+    relative at total=1e12 — assert a generous 1e-6 band)."""
+    import random
+    rng = random.Random(11)
+    nodes = list(range(40))
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(200)})
+    got = _pr(spark, nodes, edges)
+    # float reference
+    n = len(nodes)
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(6):
+        inc = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            inc[t] += rank[s] / outdeg[s]
+        dang = sum(rank[v] for v in nodes if v not in outdeg)
+        rank = {v: 0.15 / n + 0.85 * (inc[v] + dang / n) for v in nodes}
+    for v in nodes:
+        assert abs(got[v] / 10**12 - rank[v]) < 1e-6, (v, got[v], rank[v])
+
+
+def test_pagerank_mass_and_floor_invariants(spark):
+    """Total mass stays within truncation leak of 1.0 and every node
+    keeps at least the teleport floor (dangling redistribution means
+    sinks do NOT evaporate: a pure source→sink bipartite graph keeps
+    the sink above the floor)."""
+    got = _pr(spark, [1, 2, 3, 4], [(1, 4), (2, 4), (3, 4)])
+    total = sum(got.values())
+    assert 0.999 * 10**12 < total <= 10**12
+    base = 10**12 // 4
+    floor = 15 * base // 100
+    assert all(r >= floor for r in got.values())
+    # the sink concentrates the mass; sources only hold teleport+dangling
+    assert got[4] > got[1] == got[2] == got[3] > floor
+
+
+def test_pagerank_empty_graph(spark):
+    assert _pr(spark, [], []) == {}
