@@ -197,7 +197,7 @@ def connected_components_alternating(nodes: DataFrame, edges: DataFrame,
             .select(F.col("node").alias(id_col), "component"))
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "id",
+def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
              iters: int = 6, total: int = 1_000_000_000_000,
              damping_pct: int = 85) -> DataFrame:
     """Fixed-iteration PageRank in exact integer fixed-point — the
@@ -234,11 +234,12 @@ def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "id",
     so dangling-heavy graphs like bipartite source→sink link sets do
     not evaporate to the teleport floor).
 
-    ``nodes``: one column (``id_col``); endpoints absent from it are
-    unioned in (same tolerance as the CC variants). ``edges``:
-    directed src→dst; parallel duplicates count as parallel links
-    (they raise outdeg and contribute once each — pre-``distinct`` to
-    get simple-graph semantics); self-loops are legal.
+    ``nodes``: one column (``id_col``), or ``None`` to take the vertex
+    set as exactly the edge endpoints; endpoints absent from a given
+    node list are unioned in (same tolerance as the CC variants).
+    ``edges``: directed src→dst; parallel duplicates count as parallel
+    links (they raise outdeg and contribute once each — pre-
+    ``distinct`` to get simple-graph semantics); self-loops are legal.
 
     Scale (100 TB): per iteration one edges⋈ranks shuffle join keyed
     on src + one sum keyed on dst — both linear in |E| and AQE-
@@ -246,41 +247,74 @@ def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "id",
     collect in the loop); iteration state is one (node, rank) pair per
     node; ``cut_lineage`` truncates the doubling plan exactly as the
     CC loops do. The only driver scalar is the one-time node count.
+    The (possibly expensive) upstream edge plan is persisted and
+    evaluated ONCE — node set, degree table, and the degree-annotated
+    edge list all derive from the cache (before this, each iteration
+    silently re-ran the whole upstream derivation — a 6× recompute
+    the sf0.1 timing sweep caught); danglingness is folded into the
+    iteration state as a static boolean so the dangling mass costs a
+    filter+sum, not a per-iteration anti-join.
 
     Returns DataFrame[id_col, rank_fp] (BIGINT fixed-point rank).
     """
-    all_nodes = (nodes.select(F.col(id_col).alias("node"))
-                 .union(edges.select(F.col("src").alias("node")))
-                 .union(edges.select(F.col("dst").alias("node")))
-                 .distinct())
+    edges_p = edges.select("src", "dst").persist()
+    endpoint_nodes = (edges_p.select(F.col("src").alias("node"))
+                      .union(edges_p.select(F.col("dst").alias("node"))))
+    if nodes is not None:
+        endpoint_nodes = (nodes.select(F.col(id_col).alias("node"))
+                          .union(endpoint_nodes))
+    all_nodes = endpoint_nodes.distinct()
     n = all_nodes.count()                     # bounded one-time scalar
     if n == 0:
+        edges_p.unpersist()
         return all_nodes.select(F.col("node").alias(id_col),
                                 F.lit(0).cast("long").alias("rank_fp"))
     base = total // n
     teleport = (100 - damping_pct) * base // 100
 
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edeg = edges.select("src", "dst").join(deg, "src").persist()
+    # edeg is persisted PRE-PARTITIONED on src: the contrib join then
+    # exchanges only the (node, rank) side — |V| rows — while the |E|
+    # cache never moves again (without this, Catalyst sees an exact
+    # cache size for edeg and an unknown for the checkpointed ranks
+    # and re-BROADCASTS the whole edge list every iteration; measured
+    # 2.8× slower at sf0.1 and a non-starter at web scale).
+    deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edeg = (edges_p.select("src", "dst").join(deg, "src")
+            .repartition("src").persist())
     edeg.count()
 
-    ranks = cut_lineage(
-        all_nodes.withColumn("rank_fp", F.lit(base).cast("long")))
+    # Danglingness is static, so it rides the iteration state as a
+    # boolean instead of being re-derived by a per-iteration anti-join
+    # against the degree table: the dangling mass is then a pure
+    # filter+sum over the checkpointed (node, has_out, rank) state —
+    # one scan of |V| rows, no join, no extra cached table.
+    ranks = cut_lineage(                      # materializes all_nodes
+        all_nodes
+        .join(deg.select(F.col("src").alias("node"),
+                         F.lit(True).alias("has_out")), "node", "left")
+        .select("node",
+                F.coalesce("has_out", F.lit(False)).alias("has_out"),
+                F.lit(base).cast("long").alias("rank_fp")))
+    edges_p.unpersist()                       # edeg/ranks both cached
     for _ in range(iters):
-        contrib = (edeg.join(ranks, edeg["src"] == ranks["node"])
+        # shuffle_hash: build per-partition hash over the already-
+        # partitioned edge cache, stream ranks through it — no sort,
+        # no broadcast of either side; build memory is one edge
+        # partition, sized by the shuffle-partition count at scale.
+        contrib = (edeg.hint("shuffle_hash")
+                   .join(ranks, edeg["src"] == ranks["node"])
                    .select(F.col("dst").alias("node"),
                            F.expr("rank_fp div outdeg").alias("c")))
         incoming = contrib.groupBy("node").agg(
             F.sum("c").cast("long").alias("inc"))
-        dangling = (ranks.join(deg, ranks["node"] == deg["src"],
-                               "left_anti")
+        dangling = (ranks.filter(~F.col("has_out"))
                     .agg(F.coalesce(F.sum("rank_fp"), F.lit(0))
                          .cast("long").alias("dang")))
         ranks = cut_lineage(
-            ranks.select("node")
+            ranks.select("node", "has_out")
             .join(incoming, "node", "left")
             .crossJoin(F.broadcast(dangling))
-            .select("node",
+            .select("node", "has_out",
                     (F.lit(teleport) + F.expr(
                         f"({damping_pct} * (coalesce(inc, 0L)"
                         f" + dang div {n})) div 100"))

@@ -117,10 +117,8 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
     ),
 )
 def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _link_edges(spark, sf_dir)
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    pr = pagerank(nodes, edges, id_col="id", iters=_PR_ITERS,
-                  total=_PR_TOTAL)
+    pr = pagerank(None, _link_edges(spark, sf_dir), id_col="id",
+                  iters=_PR_ITERS, total=_PR_TOTAL)
     return (pr.select(F.col("id").alias("node"), "rank_fp")
             .orderBy(F.col("rank_fp").desc(), "node").limit(25))
 
