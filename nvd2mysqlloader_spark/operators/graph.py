@@ -251,24 +251,33 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
     evaluated ONCE — node set, degree table, and the degree-annotated
     edge list all derive from the cache (before this, each iteration
     silently re-ran the whole upstream derivation — a 6× recompute
-    the sf0.1 timing sweep caught); danglingness is folded into the
-    iteration state as a static boolean so the dangling mass costs a
-    filter+sum, not a per-iteration anti-join.
+    the sf0.1 timing sweep caught); node discovery and danglingness
+    are ONE aggregation (max over endpoint roles: src occurrences mean
+    out-edges exist), checkpointed as the static half of the iteration
+    state, so the dangling mass costs a filter+sum per round — no
+    per-iteration anti-join, and no separate distinct/degree-join jobs
+    up front.
 
     Returns DataFrame[id_col, rank_fp] (BIGINT fixed-point rank).
     """
     edges_p = edges.select("src", "dst").persist()
-    endpoint_nodes = (edges_p.select(F.col("src").alias("node"))
-                      .union(edges_p.select(F.col("dst").alias("node"))))
+    # Node set + danglingness in one shuffle: a node has out-edges iff
+    # it ever appears in the src role, so max(role) over the endpoint
+    # union IS the has_out flag and its group keys ARE the vertex set.
+    roles = (edges_p.select(F.col("src").alias("node"),
+                            F.lit(1).alias("o"))
+             .union(edges_p.select(F.col("dst").alias("node"),
+                                   F.lit(0).alias("o"))))
     if nodes is not None:
-        endpoint_nodes = (nodes.select(F.col(id_col).alias("node"))
-                          .union(endpoint_nodes))
-    all_nodes = endpoint_nodes.distinct()
-    n = all_nodes.count()                     # bounded one-time scalar
+        roles = roles.union(nodes.select(F.col(id_col).alias("node"),
+                                         F.lit(0).alias("o")))
+    state = cut_lineage(
+        roles.groupBy("node").agg((F.max("o") == 1).alias("has_out")))
+    n = state.count()          # bounded one-time scalar (checkpointed)
     if n == 0:
         edges_p.unpersist()
-        return all_nodes.select(F.col("node").alias(id_col),
-                                F.lit(0).cast("long").alias("rank_fp"))
+        return state.select(F.col("node").alias(id_col),
+                            F.lit(0).cast("long").alias("rank_fp"))
     base = total // n
     teleport = (100 - damping_pct) * base // 100
 
@@ -279,23 +288,15 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
     # and re-BROADCASTS the whole edge list every iteration; measured
     # 2.8× slower at sf0.1 and a non-starter at web scale).
     deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edeg = (edges_p.select("src", "dst").join(deg, "src")
-            .repartition("src").persist())
+    edeg = (edges_p.join(deg, "src").repartition("src").persist())
     edeg.count()
+    edges_p.unpersist()                      # edeg/state both cached
 
-    # Danglingness is static, so it rides the iteration state as a
-    # boolean instead of being re-derived by a per-iteration anti-join
-    # against the degree table: the dangling mass is then a pure
-    # filter+sum over the checkpointed (node, has_out, rank) state —
-    # one scan of |V| rows, no join, no extra cached table.
-    ranks = cut_lineage(                      # materializes all_nodes
-        all_nodes
-        .join(deg.select(F.col("src").alias("node"),
-                         F.lit(True).alias("has_out")), "node", "left")
-        .select("node",
-                F.coalesce("has_out", F.lit(False)).alias("has_out"),
-                F.lit(base).cast("long").alias("rank_fp")))
-    edges_p.unpersist()                       # edeg/ranks both cached
+    # ranks0 is a lazy projection over the checkpointed state — the
+    # uniform seed costs no job of its own; the first iteration's
+    # checkpoint materializes it.
+    ranks = state.select("node", "has_out",
+                         F.lit(base).cast("long").alias("rank_fp"))
     for _ in range(iters):
         # shuffle_hash: build per-partition hash over the already-
         # partitioned edge cache, stream ranks through it — no sort,
