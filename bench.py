@@ -90,6 +90,8 @@ HEADLINE = sorted([
     "histogram_quantile_sketch",
     # link-graph ranking (r6)
     "pagerank_scores",
+    # DSIR hashed-n-gram data selection (r6)
+    "dsir_importance_weights",
     # bloom prefilter, linear probe, BFD packing, outer-join drain (r6)
     "bloom_semi_revenue",
     "linear_probe_verdict",
