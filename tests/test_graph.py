@@ -252,3 +252,62 @@ def test_pagerank_mass_and_floor_invariants(spark):
 
 def test_pagerank_empty_graph(spark):
     assert _pr(spark, [], []) == {}
+
+
+# ------------------------------------------------------------------- HITS
+
+def _hits_twin(edges, iters=4, total=10**9):
+    """Pure-Python twin of operators/graph.hits — identical BIGINT
+    recurrence with div-by-scalar renormalization."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    a = {x: total // len(nodes) for x in nodes}
+    h = {x: 0 for x in nodes}
+    for _ in range(iters):
+        hraw = {x: 0 for x in nodes}
+        for u, v in edges:
+            hraw[u] += a[v]
+        s = max(sum(hraw.values()) // total, 1)
+        h = {x: hraw[x] // s for x in nodes}
+        araw = {x: 0 for x in nodes}
+        for u, v in edges:
+            araw[v] += h[u]
+        s = max(sum(araw.values()) // total, 1)
+        a = {x: araw[x] // s for x in nodes}
+    return {x: (h[x], a[x]) for x in nodes}
+
+
+def _hits(spark, edges, **kw):
+    from nvd2mysqlloader_spark.operators.graph import hits
+    edf = (spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+           if edges else spark.createDataFrame([], "src BIGINT, dst BIGINT"))
+    out = hits(edf, **kw).collect()
+    return {r["id"]: (r["hub_fp"], r["auth_fp"]) for r in out}
+
+
+def test_hits_matches_python_twin_exactly(spark):
+    """Seeded random digraph with sinks (hub 0), sources (auth 0),
+    parallel edges, and a self-loop: scores BIT-IDENTICAL to the
+    driver twin — the div-by-scalar normalization has no float slack."""
+    import random
+    rng = random.Random(13)
+    edges = [(rng.randrange(20), 20 + rng.randrange(15))
+             for _ in range(80)]               # bipartite core
+    edges += [(3, 21), (3, 21), (7, 7)]        # parallel + self-loop
+    edges += [(40, 22)]                        # extra source
+    got = _hits(spark, edges)
+    assert got == _hits_twin(edges)
+
+
+def test_hits_bipartite_roles(spark):
+    """On a pure bipartite graph sinks have hub 0, sources auth 0,
+    and the best-connected vertices dominate their role."""
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (3, 13)]
+    got = _hits(spark, edges)
+    assert all(got[v][0] == 0 for v in (10, 11, 12, 13))  # sinks: no hub
+    assert all(got[v][1] == 0 for v in (1, 2, 3))         # sources: no auth
+    assert got[1][0] > got[2][0] >= got[3][0]             # 1 is the hub
+    assert got[10][1] > got[13][1]                        # 10 best authority
+
+
+def test_hits_empty_graph(spark):
+    assert _hits(spark, []) == {}
