@@ -454,3 +454,59 @@ def stream_latest_state_upsert(spark: SparkSession,
                     F.col("event_id").alias("last_event_id"),
                     F.col("ts").alias("last_ts"),
                     F.col("value").alias("last_value")))
+
+
+from .registry import QUERIES as _REGISTERED  # noqa: E402
+
+
+@query(
+    "stream_cms_heavy_hitters",
+    oracle=_REGISTERED["cms_heavy_hitters"].oracle,
+    doc=(
+        "STREAMING sketch maintenance under the value-hash oracle: "
+        "the event stream drains through foreachBatch into "
+        "operators/sketches.write_cms_sketch (each micro-batch "
+        "appends its ≤ depth·width partial CMS rows), and the "
+        "persisted table — merged by groupBy-sum, CMS linearity — "
+        "must produce estimates hash-equal to the BATCH-built sketch "
+        "of cms_heavy_hitters (the SQL is shared verbatim): batch "
+        "boundaries are provably invisible. This is the 100 TB/day "
+        "frequency-tracking shape — each arriving partition "
+        "contributes a kilobyte-scale sketch append, never a rescan "
+        "of history, and 'top talkers so far' is answered by merging "
+        "≤ depth·width rows per batch. Multi-batch merge + geometry "
+        "refusal pinned by tests/test_streaming.py::"
+        "test_stream_cms_multi_batch_merge_equals_batch_sketch."
+    ),
+)
+def stream_cms_heavy_hitters(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import cms_point_estimate, write_cms_sketch
+    from ..sources.tpch import load_table
+
+    depth, width = 4, 256
+    root = tempfile.mkdtemp(prefix="stream_cms_")
+    atexit.register(shutil.rmtree, root, True)
+    tbl = f"{root}/cms"
+    stream = _stream_events(spark, sf_dir).select("user_id")
+
+    def sink(batch_df, batch_id):
+        write_cms_sketch(batch_df, tbl, "user_id",
+                         depth=depth, width=width)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    events = load_table(spark, sf_dir, "events")
+    top10 = (events.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), "user_id").limit(10))
+    est = cms_point_estimate(spark, tbl, top10, "user_id")
+    return (est.select("user_id", "exact_cnt",
+                       F.col("est_count").alias("cms_est"))
+            .orderBy(F.desc("exact_cnt"), "user_id"))

@@ -511,3 +511,54 @@ def test_state_store_reader_matches_sink(spark, events_parquet, tmp_path):
     skew = state_skew_summary(spark, ckpt).collect()
     assert sum(r["n_state_rows"] for r in skew) == len(sink)
     assert all(r["skew_ratio"] >= 1.0 for r in skew)
+
+
+def test_stream_cms_multi_batch_merge_equals_batch_sketch(spark, tmp_path):
+    """CMS linearity under streaming appends: three time-ordered
+    source files drained one per micro-batch append three partial
+    sketches, and the merged estimates equal the single batch-built
+    sketch EXACTLY — batch boundaries are invisible. A mismatched
+    geometry append is refused."""
+    from nvd2mysqlloader_spark.operators.sketches import (
+        cms_estimate_from, cms_point_estimate, cms_rows,
+        write_cms_sketch)
+
+    rows = [(i, f"u{i % 7}") for i in range(300)]
+    src = tmp_path / "src"
+    src.mkdir()
+    full = spark.createDataFrame(rows, "i INT, user_id STRING")
+    for b in range(3):
+        (full.filter((F.col("i") % 3) == b).coalesce(1)
+         .write.parquet(str(src / f"b{b}.parquet")))
+    tbl = str(tmp_path / "cms")
+
+    schema = "i INT, user_id STRING"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append(batch_id)
+        write_cms_sketch(batch_df, tbl, "user_id", depth=4, width=64)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(batches) >= 2              # merging actually exercised
+
+    probes = (full.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    streamed = {r["user_id"]: r["est_count"] for r in
+                cms_point_estimate(spark, tbl, probes,
+                                   "user_id").collect()}
+    direct = {r["user_id"]: r["est_count"] for r in
+              cms_estimate_from(cms_rows(full, "user_id", depth=4,
+                                         width=64),
+                                probes, "user_id", 4, 64).collect()}
+    assert streamed == direct and len(streamed) == 7
+
+    with pytest.raises(ValueError, match="mixed geometries"):
+        write_cms_sketch(full, tbl, "user_id", depth=4, width=128)
