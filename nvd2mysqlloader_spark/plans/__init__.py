@@ -31,3 +31,4 @@ from . import variant_queries    # noqa: F401,E402
 from . import linkgraph_queries  # noqa: F401,E402
 from . import dsir_queries       # noqa: F401,E402
 from . import corpus_report_queries  # noqa: F401,E402
+from . import tableformat_queries   # noqa: F401,E402
