@@ -366,6 +366,8 @@ def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
     Returns DataFrame[id_col, hub_fp, auth_fp] (BIGINT fixed-point;
     nodes with no out-edges have hub_fp = 0, no in-edges auth_fp = 0).
     """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     edges_p = edges.select("src", "dst").persist()
     state = cut_lineage(
         edges_p.select(F.col("src").alias("node"))

@@ -462,6 +462,11 @@ _SCALAR_BNLJ_OK = {
     "histogram_quantile_sketch",
     # 1-row doc-stats x 1-row pack-stats verdict assembly
     "bfd_packing_verdict",
+    # 1-row corpus-totals scalar broadcast into the ≤4096-row model
+    "dsir_importance_weights", "dsir_resample",
+    # fixed 10-row sample side broadcast non-equi pair join (45 pairs
+    # by construction — bounded by _NV, not by the corpus)
+    "jl_projection_distortion",
 }
 
 
