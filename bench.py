@@ -88,10 +88,17 @@ HEADLINE = sorted([
     "mixture_temperature_weights",
     "cms_heavy_hitters",
     "histogram_quantile_sketch",
-    # link-graph ranking (r6)
+    # link-graph ranking (r6): pagerank + the exactly-checked HITS twin
     "pagerank_scores",
-    # DSIR hashed-n-gram data selection (r6)
+    "hits_scores",
+    # DSIR hashed-n-gram data selection + corpus composition (r6-late)
     "dsir_importance_weights",
+    "cross_source_overlap",
+    "token_budget_carve",
+    # JL projection audit, streaming sketch drain, CDF feed (r6-late)
+    "jl_projection_distortion",
+    "stream_cms_heavy_hitters",
+    "change_feed_counts",
     # bloom prefilter, linear probe, BFD packing, outer-join drain (r6)
     "bloom_semi_revenue",
     "linear_probe_verdict",

@@ -112,7 +112,12 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = (F.conv(F.substring(
         F.md5(F.concat(F.lit("dsir:"), F.col("gram"))), 1, 13),
         16, 10).cast("bigint") % _B)
-    b = grams.select("doc_id", "lang", bkt.alias("bkt"))
+    # the hashed gram stream feeds BOTH the bucket-count rollup and
+    # the per-doc weight sum — materialize the tokenize+md5 pipeline
+    # once (the repo's eager shared-input idiom) instead of running
+    # it per consumer
+    from ..operators._lineage import cut_lineage
+    b = cut_lineage(grams.select("doc_id", "lang", bkt.alias("bkt")))
 
     # ONE pass over the gram stream yields both models: raw count r
     # and (conditional) target count tt per bucket — ≤ _B rows out.

@@ -558,3 +558,13 @@ def test_dedup_spans_digest_exchanges_and_no_text_shuffle(spark):
     import re
     for keys in re.findall(r"hashpartitioning\(([^)]*)\)", p):
         assert "text" not in keys and "seg#" not in keys, keys
+
+
+def test_udaf_arrow_aggregate_single_exchange(spark):
+    # the GROUPED_AGG pandas UDAF plans as one Arrow aggregate after a
+    # single event_type exchange; quantization stays JVM-side (the
+    # Project under the exchange), and only (key, int64) rows cross
+    # the Arrow boundary
+    p = plan_of(spark, "udaf_event_value_totals")
+    assert ("ArrowAggregatePython" in p) or ("AggregateInPandas" in p)
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
