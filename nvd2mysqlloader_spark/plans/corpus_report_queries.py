@@ -80,7 +80,11 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.filter(F.split("text", " "), lambda x: x != "")
     w = docs.select("source", t.alias("t")).filter(F.size("t") >= _N)
-    g = (w.select("source", F.explode(F.expr(
+    # the distinct (source, gram) relation feeds BOTH self-join sides
+    # and the size rollup — materialize the tokenize+md5+distinct
+    # pipeline once (the repo's eager shared-input idiom)
+    from ..operators._lineage import cut_lineage
+    g = cut_lineage(w.select("source", F.explode(F.expr(
         f"transform(sequence(0, size(t) - {_N}),"
         f" i -> md5(array_join(slice(t, i + 1, {_N}), ' ')))"
     )).alias("gram")).distinct())

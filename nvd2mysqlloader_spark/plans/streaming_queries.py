@@ -510,3 +510,65 @@ def stream_cms_heavy_hitters(spark: SparkSession,
     return (est.select("user_id", "exact_cnt",
                        F.col("est_count").alias("cms_est"))
             .orderBy(F.desc("exact_cnt"), "user_id"))
+
+
+@query(
+    "stream_distinct_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "STREAMING distinct-count maintenance (the HLL companion to "
+        "stream_cms_heavy_hitters, completing streaming×sketches for "
+        "both mergeable families): each micro-batch appends ONE "
+        "DataSketches-HLL row per event_type "
+        "(operators/sketches.write_distinct_sketch), and 'distinct "
+        "users so far' is answered by union-merging the kilobyte "
+        "sketch table — never by rescanning history. The sketch "
+        "binary is engine-specific, so the oracle uses the "
+        "bound-verdict pattern (hll_mergeable_tally): the query "
+        "emits DuckDB-checkable exact anchors (per-type exact "
+        "distinct + row counts) beside a within_bound verdict "
+        "pinning the merged estimate inside the lgk=14 ±3σ≈2.5% "
+        "band, which the oracle requires TRUE. Batch-boundary "
+        "independence of the MERGE is DataSketches' union "
+        "semantics; the row-count anchor additionally proves no "
+        "batch was dropped or double-counted."
+    ),
+)
+def stream_distinct_maintenance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import distinct_estimate, write_distinct_sketch
+    from ..sources.tpch import load_table
+
+    root = tempfile.mkdtemp(prefix="stream_hll_")
+    atexit.register(shutil.rmtree, root, True)
+    tbl = f"{root}/hll"
+    stream = _stream_events(spark, sf_dir).select("event_type", "user_id")
+
+    def sink(batch_df, batch_id):
+        write_distinct_sketch(batch_df, tbl, "user_id",
+                              group_cols=("event_type",), lgk=14)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    est = distinct_estimate(spark, tbl, group_cols=("event_type",))
+    exact = (load_table(spark, sf_dir, "events")
+             .groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("exact_distinct")))
+    bound = (F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+             <= F.greatest(F.lit(1.0),
+                           F.lit(0.025) * F.col("exact_distinct")))
+    return (est.join(F.broadcast(exact), "event_type")
+            .select("event_type", "exact_distinct", "n_rows",
+                    bound.alias("within_bound")))
