@@ -95,10 +95,13 @@ HEADLINE = sorted([
     "dsir_importance_weights",
     "cross_source_overlap",
     "token_budget_carve",
-    # JL projection audit, streaming sketch drain, CDF feed (r6-late)
+    # JL projection audit, streaming sketch drains, CDF feed, UDAF
+    # (r6-late)
     "jl_projection_distortion",
     "stream_cms_heavy_hitters",
+    "stream_distinct_maintenance",
     "change_feed_counts",
+    "udaf_event_value_totals",
     # bloom prefilter, linear probe, BFD packing, outer-join drain (r6)
     "bloom_semi_revenue",
     "linear_probe_verdict",
