@@ -80,16 +80,41 @@ def cms_rows(df: DataFrame, value_col: str,
             .agg(agg))
 
 
+def _write_sketch_rows(rows: DataFrame, path: str,
+                       batch_id: int | None) -> None:
+    """Shared sketch-row landing: plain append, or — when the caller
+    is a streaming foreachBatch sink — an IDEMPOTENT per-batch
+    partition write. foreachBatch delivers AT-LEAST-ONCE: after a
+    sink failure the same epoch is re-invoked with the same
+    ``batch_id``, and a blind append would double-count that batch's
+    partials, silently inflating every downstream estimate. Stamping
+    the rows with the epoch and dynamically OVERWRITING only that
+    partition makes redelivery replace-not-duplicate — the standard
+    idempotent-sink contract, scoped to this write (no session conf
+    mutation)."""
+    if batch_id is None:
+        rows.write.mode("append").parquet(path)
+    else:
+        (rows.withColumn("batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(path))
+
+
 def write_cms_sketch(df: DataFrame, path: str, value_col: str,
                      group_cols: Sequence[str] = (),
                      depth: int = 4, width: int = 1024,
-                     weight_col: str | None = None) -> None:
+                     weight_col: str | None = None,
+                     batch_id: int | None = None) -> None:
     """Append this batch's CMS rows: (group..., d, bucket, cnt,
     depth, width). Like write_distinct_sketch, the geometry is
     stamped per row and a mismatched append is refused at WRITE time:
     sketches of different (depth, width) do not merge. ``weight_col``
     appends a weighted sketch (see cms_rows); counted and weighted
-    batches must not share a table."""
+    batches must not share a table. From a streaming foreachBatch
+    sink, pass the epoch's ``batch_id``: redelivered epochs then
+    overwrite their own partition instead of double-appending
+    (see _write_sketch_rows)."""
     spark = df.sparkSession
     try:
         existing = spark.read.parquet(path).select("depth", "width").first()
@@ -103,10 +128,10 @@ def write_cms_sketch(df: DataFrame, path: str, value_col: str,
             f"the batch was encoded with depth={depth}, width={width} — "
             "mixed geometries cannot merge; match the table's shape or "
             "rebuild")
-    (cms_rows(df, value_col, group_cols, depth, width, weight_col)
-     .withColumn("depth", F.lit(depth))
-     .withColumn("width", F.lit(width))
-     .write.mode("append").parquet(path))
+    rows = (cms_rows(df, value_col, group_cols, depth, width, weight_col)
+            .withColumn("depth", F.lit(depth))
+            .withColumn("width", F.lit(width)))
+    _write_sketch_rows(rows, path, batch_id)
 
 
 def cms_point_estimate(spark: SparkSession, path: str, probes: DataFrame,
@@ -238,12 +263,17 @@ def histogram_quantile_from(merged: DataFrame,
 
 def write_distinct_sketch(df: DataFrame, path: str, value_col: str,
                           group_cols: Sequence[str] = (),
-                          lgk: int = 14) -> None:
+                          lgk: int = 14,
+                          batch_id: int | None = None) -> None:
     """Append one sketch row per group for this batch:
     (group..., sketch binary, n_rows bigint, lgk int).
 
     ``n_rows`` is the batch's exact row contribution (not distinct) —
-    a free exactness anchor for monitoring merge results."""
+    a free exactness anchor for monitoring merge results. From a
+    streaming foreachBatch sink, pass the epoch's ``batch_id``:
+    redelivered epochs then overwrite their own partition instead of
+    double-appending (see _write_sketch_rows; HLL union absorbs
+    duplicate sketches, but n_rows would double-count)."""
     spark = df.sparkSession
     try:
         existing = spark.read.parquet(path).select("lgk").first()
@@ -255,11 +285,11 @@ def write_distinct_sketch(df: DataFrame, path: str, value_col: str,
             f"lgk={existing['lgk']} but the batch was encoded with "
             f"lgk={lgk} — mixed precisions cannot merge; match the "
             "table's lgk or rebuild")
-    (df.groupBy(*group_cols)
-       .agg(F.hll_sketch_agg(value_col, lgk).alias("sketch"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.lit(lgk).alias("lgk"))
-       .write.mode("append").parquet(path))
+    rows = (df.groupBy(*group_cols)
+            .agg(F.hll_sketch_agg(value_col, lgk).alias("sketch"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.lit(lgk).alias("lgk")))
+    _write_sketch_rows(rows, path, batch_id)
 
 
 def distinct_estimate(spark: SparkSession, path: str,

@@ -495,8 +495,11 @@ def stream_cms_heavy_hitters(spark: SparkSession,
     stream = _stream_events(spark, sf_dir).select("user_id")
 
     def sink(batch_df, batch_id):
+        # batch_id makes redelivered epochs overwrite their own
+        # partition — foreachBatch is at-least-once, and a blind
+        # append would double-count the retried batch's partials
         write_cms_sketch(batch_df, tbl, "user_id",
-                         depth=depth, width=width)
+                         depth=depth, width=width, batch_id=batch_id)
 
     q = (stream.writeStream.foreachBatch(sink)
          .trigger(availableNow=True).start())
@@ -556,7 +559,8 @@ def stream_distinct_maintenance(spark: SparkSession,
 
     def sink(batch_df, batch_id):
         write_distinct_sketch(batch_df, tbl, "user_id",
-                              group_cols=("event_type",), lgk=14)
+                              group_cols=("event_type",), lgk=14,
+                              batch_id=batch_id)
 
     q = (stream.writeStream.foreachBatch(sink)
          .trigger(availableNow=True).start())

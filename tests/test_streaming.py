@@ -541,7 +541,13 @@ def test_stream_cms_multi_batch_merge_equals_batch_sketch(spark, tmp_path):
 
     def sink(batch_df, batch_id):
         batches.append(batch_id)
-        write_cms_sketch(batch_df, tbl, "user_id", depth=4, width=64)
+        write_cms_sketch(batch_df, tbl, "user_id", depth=4, width=64,
+                         batch_id=batch_id)
+        if batch_id == 1:   # simulate foreachBatch retry: the same
+            # epoch redelivered must REPLACE its partition, not
+            # double-append (at-least-once contract)
+            write_cms_sketch(batch_df, tbl, "user_id", depth=4,
+                             width=64, batch_id=batch_id)
 
     q = (stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", str(tmp_path / "ck"))
