@@ -311,3 +311,37 @@ def test_hits_bipartite_roles(spark):
 
 def test_hits_empty_graph(spark):
     assert _hits(spark, []) == {}
+
+
+# --------------------------------------------------- property (hypothesis)
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1, max_size=40)
+
+GRAPH_SLOW = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture])
+
+
+@GRAPH_SLOW
+@given(edges=EDGES)
+def test_pagerank_twin_property(spark, edges):
+    """Hypothesis-generated digraphs (self-loops, parallel edges,
+    sinks, sources) — pagerank must be BIT-IDENTICAL to the driver
+    twin on every draw, with 2 iterations to keep each draw cheap."""
+    got = _pr(spark, [], edges, iters=2)
+    want = _pagerank_twin([], edges, iters=2)
+    assert got == want
+
+
+@GRAPH_SLOW
+@given(edges=EDGES)
+def test_hits_twin_property(spark, edges):
+    got = _hits(spark, edges, iters=2)
+    want = _hits_twin(edges, iters=2)
+    assert got == want
