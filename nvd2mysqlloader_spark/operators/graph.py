@@ -199,7 +199,8 @@ def connected_components_alternating(nodes: DataFrame, edges: DataFrame,
 
 def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
              iters: int = 6, total: int = 1_000_000_000_000,
-             damping_pct: int = 85) -> DataFrame:
+             damping_pct: int = 85,
+             weight_col: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank in exact integer fixed-point — the
     link-graph importance score web-scale curation pipelines attach to
     documents (Common Crawl ranks its host graph this way to pick what
@@ -258,9 +259,29 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
     per-iteration anti-join, and no separate distinct/degree-join jobs
     up front.
 
+    ``weight_col``: optional positive-integer edge weight (a link
+    graph's natural form — trade counts, hyperlink multiplicity).
+    Contribution becomes ``(rank · w) div wsum(u)`` with wsum the
+    node's total outgoing weight; zero-weight edges are dropped up
+    front (they contribute nothing and must not mask danglingness),
+    so wsum ≥ 1 wherever it divides. Overflow contract:
+    ``total · max(w) < 2^63`` (defaults leave ~9.2e6 of weight
+    headroom). The unweighted path is the weighted one with w = 1 —
+    identical plan, ``outdeg`` = COUNT window vs SUM window.
+
     Returns DataFrame[id_col, rank_fp] (BIGINT fixed-point rank).
     """
-    edges_p = edges.select("src", "dst").persist()
+    if weight_col is None:
+        edges_p = edges.select("src", "dst").persist()
+        wsum_win = F.count(F.lit(1))
+        contrib_expr = "rank_fp div wsum"
+    else:
+        edges_p = (edges.filter(F.col(weight_col) > 0)
+                   .select("src", "dst",
+                           F.col(weight_col).cast("long").alias("w"))
+                   .persist())
+        wsum_win = F.sum("w")
+        contrib_expr = "(rank_fp * w) div wsum"
     # Node set + danglingness in one shuffle: a node has out-edges iff
     # it ever appears in the src role, so max(role) over the endpoint
     # union IS the has_out flag and its group keys ARE the vertex set.
@@ -292,8 +313,7 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
     # (no ORDER BY, so no sort; the groupBy+join+repartition
     # alternative costs three exchanges for the same result).
     edeg = (edges_p.withColumn(
-        "outdeg",
-        F.count(F.lit(1)).over(Window.partitionBy("src"))).persist())
+        "wsum", wsum_win.over(Window.partitionBy("src"))).persist())
     edeg.count()
     edges_p.unpersist()                      # edeg/state both cached
 
@@ -310,7 +330,7 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
         contrib = (edeg.hint("shuffle_hash")
                    .join(ranks, edeg["src"] == ranks["node"])
                    .select(F.col("dst").alias("node"),
-                           F.expr("rank_fp div outdeg").alias("c")))
+                           F.expr(contrib_expr).alias("c")))
         incoming = contrib.groupBy("node").agg(
             F.sum("c").cast("long").alias("inc"))
         dangling = (ranks.filter(~F.col("has_out"))

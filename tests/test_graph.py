@@ -345,3 +345,53 @@ def test_hits_twin_property(spark, edges):
     got = _hits(spark, edges, iters=2)
     want = _hits_twin(edges, iters=2)
     assert got == want
+
+
+def _pagerank_weighted_twin(edges_w, iters=6, total=10**12, d=85):
+    """Weighted twin: contribution (rank·w) // wsum; w ≤ 0 edges are
+    dropped up front (they must not mask danglingness)."""
+    edges_w = [(s, t, w) for s, t, w in edges_w if w > 0]
+    nodes = sorted({s for s, _, _ in edges_w}
+                   | {t for _, t, _ in edges_w})
+    n = len(nodes)
+    base = total // n
+    teleport = (100 - d) * base // 100
+    wsum: dict = {}
+    for s, _, w in edges_w:
+        wsum[s] = wsum.get(s, 0) + w
+    rank = {v: base for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, t, w in edges_w:
+            inc[t] += rank[s] * w // wsum[s]
+        dang = sum(rank[v] for v in nodes if v not in wsum)
+        rank = {v: teleport + (d * (inc[v] + dang // n)) // 100
+                for v in nodes}
+    return rank
+
+
+def test_pagerank_weighted_matches_twin_exactly(spark):
+    """Weighted digraph with skewed weights, parallel weighted edges,
+    a self-loop, and a ZERO-weight-only source (must be treated as
+    dangling, not divide by zero)."""
+    import random
+    rng = random.Random(23)
+    edges = [(rng.randrange(20), rng.randrange(25),
+              rng.randrange(1, 50)) for _ in range(90)]
+    edges += [(3, 4, 10), (3, 4, 7), (5, 5, 3)]   # parallel + loop
+    edges += [(30, 1, 0)]       # zero-weight only: 30 is dangling
+    edf = spark.createDataFrame(edges, "src BIGINT, dst BIGINT, w BIGINT")
+    from nvd2mysqlloader_spark.operators.graph import pagerank
+    got = {r["id"]: r["rank_fp"]
+           for r in pagerank(None, edf, weight_col="w").collect()}
+    want = _pagerank_weighted_twin(edges)
+    # node 30's only edge is dropped: it leaves the vertex set entirely
+    # (weight 0 = no link), matching the twin's filtered vertex set
+    assert got == want
+    # uniform weights must reduce to the unweighted recurrence
+    uni = [(s, t, 1) for s, t, _ in edges if s != 30]
+    edf1 = spark.createDataFrame(uni, "src BIGINT, dst BIGINT, w BIGINT")
+    got1 = {r["id"]: r["rank_fp"]
+            for r in pagerank(None, edf1, weight_col="w").collect()}
+    want1 = _pagerank_twin([], [(s, t) for s, t, _ in uni])
+    assert got1 == want1
