@@ -467,6 +467,8 @@ _SCALAR_BNLJ_OK = {
     # fixed 10-row sample side broadcast non-equi pair join (45 pairs
     # by construction — bounded by _NV, not by the corpus)
     "jl_projection_distortion",
+    # 1-row corpus-total scalar broadcast into the ≤ k·|sources| model
+    "source_drift_kl",
 }
 
 
