@@ -276,9 +276,13 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
         wsum_win = F.count(F.lit(1))
         contrib_expr = "rank_fp div wsum"
     else:
-        edges_p = (edges.filter(F.col(weight_col) > 0)
-                   .select("src", "dst",
-                           F.col(weight_col).cast("long").alias("w"))
+        # cast FIRST, filter the cast value: a fractional weight in
+        # (0,1) passes a pre-cast `> 0` filter but truncates to w=0,
+        # making its source non-dangling with wsum=0 — the div-by-zero
+        # NULL would silently drop that node's rank mass every round
+        w_long = F.col(weight_col).cast("long")
+        edges_p = (edges.select("src", "dst", w_long.alias("w"))
+                   .filter(F.col("w") > 0)
                    .persist())
         wsum_win = F.sum("w")
         contrib_expr = "(rank_fp * w) div wsum"
@@ -448,16 +452,14 @@ def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
             .select("node", F.expr("coalesce(raw, 0L) div s")
                     .cast("long").alias("auth_fp")))
 
-    out = (state
-           .join(cut_lineage(
-               hub.withColumnRenamed("hub_fp", "h")), "node", "left")
-           .join(cut_lineage(
-               auth.withColumnRenamed("auth_fp", "a")), "node", "left")
-           .select(F.col("node").alias(id_col),
-                   F.coalesce("h", F.lit(0)).cast("long")
-                   .alias("hub_fp"),
-                   F.coalesce("a", F.lit(0)).cast("long")
-                   .alias("auth_fp")))
+    # hub and auth are each built as state LEFT JOIN raw with
+    # coalesce-to-0 — exactly one non-null row per state node already,
+    # so the output is a single equi-join of the two checkpointed
+    # score vectors (a re-join onto state could never exercise a
+    # null branch)
+    out = (cut_lineage(hub)
+           .join(cut_lineage(auth), "node")
+           .select(F.col("node").alias(id_col), "hub_fp", "auth_fp"))
     esrc.unpersist()
     edst.unpersist()
     return out

@@ -81,31 +81,67 @@ def cms_rows(df: DataFrame, value_col: str,
 
 
 def _write_sketch_rows(rows: DataFrame, path: str,
-                       batch_id: int | None) -> None:
+                       batch_id: int | None, stream_id: str) -> None:
     """Shared sketch-row landing: plain append, or — when the caller
     is a streaming foreachBatch sink — an IDEMPOTENT per-batch
     partition write. foreachBatch delivers AT-LEAST-ONCE: after a
     sink failure the same epoch is re-invoked with the same
     ``batch_id``, and a blind append would double-count that batch's
     partials, silently inflating every downstream estimate. Stamping
-    the rows with the epoch and dynamically OVERWRITING only that
-    partition makes redelivery replace-not-duplicate — the standard
-    idempotent-sink contract, scoped to this write (no session conf
-    mutation)."""
+    the rows with (stream, epoch) and dynamically OVERWRITING only
+    that partition makes redelivery replace-not-duplicate — the
+    standard idempotent-sink contract, scoped to this write (no
+    session conf mutation).
+
+    ``stream_id`` scopes the epoch numbering: foreachBatch batch ids
+    restart at 0 for every new checkpoint, so two runs sharing one
+    long-lived sketch table would otherwise overwrite each other's
+    ``batch=N`` partitions. Contract: resume the SAME checkpoint with
+    the same stream_id (redelivered epochs replace themselves,
+    exactly-once); reprocess-from-scratch with the same stream_id
+    (old partials are progressively replaced by the recompute); a
+    genuinely NEW incremental stream over the same table needs a NEW
+    stream_id or it will clobber history.
+
+    Mixing a non-batch append and batch-partitioned writes on one
+    table would corrupt the parquet layout (conflicting directory
+    structures) — the geometry guard in the callers refuses it."""
     if batch_id is None:
         rows.write.mode("append").parquet(path)
     else:
-        (rows.withColumn("batch", F.lit(int(batch_id)))
+        (rows.withColumn("stream", F.lit(stream_id))
+         .withColumn("batch", F.lit(int(batch_id)))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch").parquet(path))
+         .partitionBy("stream", "batch").parquet(path))
+
+
+def _check_sketch_layout(existing_cols, batch_id: int | None,
+                         fn: str) -> None:
+    """Refuse a write whose layout (flat append vs (stream, batch)
+    partitions) disagrees with the existing table — the mix would
+    leave the directory unreadable (conflicting structures), a far
+    worse failure than this early ValueError."""
+    has_batch = "batch" in existing_cols
+    if has_batch and batch_id is None:
+        raise ValueError(
+            f"{fn}: table is (stream, batch)-partitioned (streaming "
+            "sink layout) but this write has batch_id=None — a flat "
+            "append would corrupt the layout; pass the epoch's "
+            "batch_id (and stream_id)")
+    if not has_batch and batch_id is not None:
+        raise ValueError(
+            f"{fn}: table is a flat append table but this write has "
+            "batch_id set — a partitioned write would corrupt the "
+            "layout; use batch_id=None or rebuild the table")
 
 
 def write_cms_sketch(df: DataFrame, path: str, value_col: str,
                      group_cols: Sequence[str] = (),
                      depth: int = 4, width: int = 1024,
                      weight_col: str | None = None,
-                     batch_id: int | None = None) -> None:
+                     batch_id: int | None = None,
+                     stream_id: str = "default") -> None:
     """Append this batch's CMS rows: (group..., d, bucket, cnt,
     depth, width). Like write_distinct_sketch, the geometry is
     stamped per row and a mismatched append is refused at WRITE time:
@@ -117,7 +153,9 @@ def write_cms_sketch(df: DataFrame, path: str, value_col: str,
     (see _write_sketch_rows)."""
     spark = df.sparkSession
     try:
-        existing = spark.read.parquet(path).select("depth", "width").first()
+        ex_df = spark.read.parquet(path)
+        existing = ex_df.select("depth", "width").first()
+        _check_sketch_layout(ex_df.columns, batch_id, "write_cms_sketch")
     except AnalysisException:
         existing = None
     if existing is not None and (existing["depth"] != depth
@@ -131,7 +169,7 @@ def write_cms_sketch(df: DataFrame, path: str, value_col: str,
     rows = (cms_rows(df, value_col, group_cols, depth, width, weight_col)
             .withColumn("depth", F.lit(depth))
             .withColumn("width", F.lit(width)))
-    _write_sketch_rows(rows, path, batch_id)
+    _write_sketch_rows(rows, path, batch_id, stream_id)
 
 
 def cms_point_estimate(spark: SparkSession, path: str, probes: DataFrame,
@@ -264,7 +302,8 @@ def histogram_quantile_from(merged: DataFrame,
 def write_distinct_sketch(df: DataFrame, path: str, value_col: str,
                           group_cols: Sequence[str] = (),
                           lgk: int = 14,
-                          batch_id: int | None = None) -> None:
+                          batch_id: int | None = None,
+                          stream_id: str = "default") -> None:
     """Append one sketch row per group for this batch:
     (group..., sketch binary, n_rows bigint, lgk int).
 
@@ -276,7 +315,10 @@ def write_distinct_sketch(df: DataFrame, path: str, value_col: str,
     duplicate sketches, but n_rows would double-count)."""
     spark = df.sparkSession
     try:
-        existing = spark.read.parquet(path).select("lgk").first()
+        ex_df = spark.read.parquet(path)
+        existing = ex_df.select("lgk").first()
+        _check_sketch_layout(ex_df.columns, batch_id,
+                             "write_distinct_sketch")
     except AnalysisException:
         existing = None
     if existing is not None and existing["lgk"] != lgk:
@@ -289,7 +331,7 @@ def write_distinct_sketch(df: DataFrame, path: str, value_col: str,
             .agg(F.hll_sketch_agg(value_col, lgk).alias("sketch"),
                  F.count(F.lit(1)).alias("n_rows"),
                  F.lit(lgk).alias("lgk")))
-    _write_sketch_rows(rows, path, batch_id)
+    _write_sketch_rows(rows, path, batch_id, stream_id)
 
 
 def distinct_estimate(spark: SparkSession, path: str,

@@ -228,10 +228,13 @@ def contamination_overlap_ratio(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     t = F.filter(F.split("text", " "), lambda x: x != "")
     w = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= _N)
-    g = w.select("doc_id", F.explode(F.expr(
+    # the gram stream feeds BOTH the holdout distinct and the train
+    # probe — materialize the tokenize+md5 pipeline once
+    from ..operators._lineage import cut_lineage
+    g = cut_lineage(w.select("doc_id", F.explode(F.expr(
         f"transform(sequence(0, size(t) - {_N}),"
         f" i -> md5(array_join(slice(t, i + 1, {_N}), ' ')))"
-    )).alias("gram"))
+    )).alias("gram")))
     holdout = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     test = (g.filter(holdout < "10").select("gram").distinct()
             .withColumn("hit", F.lit(1)))

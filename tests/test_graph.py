@@ -388,6 +388,18 @@ def test_pagerank_weighted_matches_twin_exactly(spark):
     # node 30's only edge is dropped: it leaves the vertex set entirely
     # (weight 0 = no link), matching the twin's filtered vertex set
     assert got == want
+    # FRACTIONAL weights in (0,1) truncate to w=0 after the long cast
+    # and must be dropped like explicit zeros (a pre-cast filter would
+    # mark their source non-dangling with wsum=0 and silently NULL out
+    # its contributions)
+    fr = [(1, 2, 3), (1, 4, 2), (7, 1, 1)]
+    frdf = (spark.createDataFrame(fr, "src BIGINT, dst BIGINT, w BIGINT")
+            .withColumn("w", F.col("w").cast("double"))
+            .union(spark.createDataFrame(
+                [(9, 1, 0.5)], "src BIGINT, dst BIGINT, w DOUBLE")))
+    got_fr = {r["id"]: r["rank_fp"]
+              for r in pagerank(None, frdf, weight_col="w").collect()}
+    assert got_fr == _pagerank_weighted_twin(fr)   # node 9 fully gone
     # uniform weights must reduce to the unweighted recurrence
     uni = [(s, t, 1) for s, t, _ in edges if s != 30]
     edf1 = spark.createDataFrame(uni, "src BIGINT, dst BIGINT, w BIGINT")

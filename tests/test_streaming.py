@@ -566,5 +566,19 @@ def test_stream_cms_multi_batch_merge_equals_batch_sketch(spark, tmp_path):
                                 probes, "user_id", 4, 64).collect()}
     assert streamed == direct and len(streamed) == 7
 
+    # geometry mismatch refused (same streaming layout, wrong width)
     with pytest.raises(ValueError, match="mixed geometries"):
-        write_cms_sketch(full, tbl, "user_id", depth=4, width=128)
+        write_cms_sketch(full, tbl, "user_id", depth=4, width=128,
+                         batch_id=99)
+    # layout mismatch refused: a flat append onto the (stream, batch)-
+    # partitioned streaming table would corrupt the directory structure
+    with pytest.raises(ValueError, match="flat append"):
+        write_cms_sketch(full, tbl, "user_id", depth=4, width=64)
+    # a second RUN (fresh checkpoint, batch ids restart at 0) with a
+    # NEW stream_id must not clobber the first run's partials
+    write_cms_sketch(full, tbl, "user_id", depth=4, width=64,
+                     batch_id=0, stream_id="run2")
+    doubled = {r["user_id"]: r["est_count"] for r in
+               cms_point_estimate(spark, tbl, probes,
+                                  "user_id").collect()}
+    assert doubled == {k: 2 * v for k, v in direct.items()}
