@@ -116,9 +116,15 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
             _log_dropped(pre_lang, quality, "lang")
             # the stage-1 cache is a superset of stage 2 and nothing
             # downstream reads it again — release it now rather than
-            # holding two corpus-sized caches through the LSH middle
-            pre_lang.unpersist()
-            persisted.remove(pre_lang)
+            # holding two corpus-sized caches through the LSH middle.
+            # EXCEPT when the rejection log is on: the lang rejection
+            # increment above reads pre_lang at log-write time, and an
+            # early unpersist would re-execute the quality scan over
+            # the raw input just to write the log — so the cache is
+            # held until the finally block (after the log write).
+            if rejection_log_dir is None:
+                pre_lang.unpersist()
+                persisted.remove(pre_lang)
         else:
             stats["after_lang"] = stats["after_quality"]
 

@@ -465,7 +465,8 @@ def _pq_adc_rescore(corpus: DataFrame, encoded: DataFrame,
                     books: list[np.ndarray], queries: DataFrame,
                     k: int, fetch_k: int | None, id_col: str,
                     emb_col: str, query_id_col: str, exclude_self: bool,
-                    max_queries: int, gather_bytes: int) -> DataFrame:
+                    max_queries: int, gather_bytes: int,
+                    scan_count_df: DataFrame | None = None) -> DataFrame:
     """Shared ADC tail of pq_topk and pq_topk_from_index: collect the
     (bounded) query batch, build per-query LUTs, scan the codes with
     one vectorized gather per (batch, query-chunk), rank, exact-cosine
@@ -484,9 +485,15 @@ def _pq_adc_rescore(corpus: DataFrame, encoded: DataFrame,
     # vectors. Past ~40k vectors the default stops growing and recall
     # becomes an explicit choice: raise fetch_k, use finer codes
     # (m/ksub), or the composed IVF-PQ index. The count() here is one
-    # extra metadata-cheap job, default path only.
+    # extra metadata-cheap job, default path only. The denominator is
+    # the relation the ADC actually SCANS (``scan_count_df``, i.e. the
+    # persisted codes table in the from-index path — which can be
+    # larger than a filtered rescore ``corpus``); sizing it from
+    # ``corpus`` would silently shrink the budget fraction.
     if fetch_k is None:
-        fetch_k = max(4 * k, 50, min(4096, -(-corpus.count() // 10)))
+        n_scan = (scan_count_df if scan_count_df is not None
+                  else corpus).count()
+        fetch_k = max(4 * k, 50, min(4096, -(-n_scan // 10)))
     splits = _book_splits(books)
 
     q_ids, q_mat = _collect_query_batch(queries, query_id_col, emb_col,
@@ -812,7 +819,13 @@ def pq_topk_from_index(corpus: DataFrame, index_path: str,
     persisted code column (m small ints per vector — the only
     corpus-sized thing touched) instead of re-encoding raw vectors.
     ``corpus`` supplies vectors ONLY for the exact rescore of
-    candidates (broadcast-joined, never shuffled)."""
+    candidates (broadcast-joined, never shuffled) — it MUST cover
+    every indexed id (candidates whose id is absent from ``corpus``
+    would silently vanish in the rescore join; to search a subset,
+    filter the candidates, not the rescore relation). The default
+    candidate budget is sized from the persisted codes relation (the
+    thing actually scanned), so a ``corpus`` narrower than the index
+    cannot shrink the recall fraction."""
     spark = corpus.sparkSession
     books = _read_books(spark, f"{index_path}/codebooks")
     if books is None:
@@ -820,7 +833,8 @@ def pq_topk_from_index(corpus: DataFrame, index_path: str,
     encoded = spark.read.parquet(f"{index_path}/codes")
     return _pq_adc_rescore(corpus, encoded, books, queries, k, fetch_k,
                            id_col, emb_col, query_id_col, exclude_self,
-                           max_queries, gather_bytes)
+                           max_queries, gather_bytes,
+                           scan_count_df=encoded)
 
 
 # ---------------------------------------------------------------------------
@@ -935,8 +949,13 @@ def ivfpq_topk(corpus: DataFrame, index_path: str, queries: DataFrame,
     # (production IVF sizing, nlist ~ sqrt(n)); with a FIXED nlist it
     # is linear, so the same 4096 cap as flat PQ bounds the broadcast
     # candidate relation — past that, recall is an explicit knob.
+    # denominator = the persisted codes relation (what the probe
+    # actually scans), NOT ``corpus`` — the rescore relation can be a
+    # filtered subset and must not shrink the budget (same contract
+    # as pq_topk_from_index).
     if fetch_k is None:
-        scanned = corpus.count() * nprobe // cents.shape[0]
+        n_indexed = spark.read.parquet(f"{index_path}/codes").count()
+        scanned = n_indexed * nprobe // cents.shape[0]
         fetch_k = max(4 * k, 50, min(4096, -(-scanned // 2)))
     splits = _book_splits(books)
 

@@ -88,7 +88,17 @@ def _stream_events_with_horizon(spark: SparkSession,
     import pyarrow.compute as pc
     tmax = pc.max(t.column("ts")).as_py()
     import datetime
-    horizon = tmax + datetime.timedelta(days=3650)
+    # the fixture's ts can also land as int64 epoch-nanos (the shape
+    # _normalize_ts supports for every streaming helper) — as_py() then
+    # yields a plain int, and int + timedelta raises TypeError, so add
+    # the 3650 days in the column's native unit instead
+    if isinstance(tmax, int):
+        unit_per_sec = {"s": 1, "ms": 10**3, "us": 10**6,
+                        "ns": 10**9}.get(getattr(ts_field.type, "unit",
+                                                 None), 10**9)
+        horizon = tmax + 3650 * 86400 * unit_per_sec
+    else:
+        horizon = tmax + datetime.timedelta(days=3650)
     cols = {}
     for field in arrow_schema:
         if field.name == "event_id":

@@ -56,7 +56,7 @@ def _n(v: pd.Series) -> int:
            round(CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
                       AS DOUBLE)
                  / count(*) / 1000000.0, 6) AS mean_value
-    FROM events WHERE NOT isnan(value)
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     GROUP BY event_type
     """,
     doc=(
@@ -77,7 +77,10 @@ def _n(v: pd.Series) -> int:
 def udaf_event_value_totals(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    q = (events.filter(~F.isnan("value"))
+    # NULLs filtered explicitly: Spark's ~isnan(NULL) is NULL-kept
+    # while DuckDB's NOT isnan(NULL) drops the row, and a kept NULL
+    # would make _n count a row that _sum_i64 skips.
+    q = (events.filter(F.col("value").isNotNull() & ~F.isnan("value"))
          .select("event_type",
                  F.floor(F.col("value") * 1000000.0)
                  .cast("long").alias("v_us")))
