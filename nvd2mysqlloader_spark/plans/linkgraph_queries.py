@@ -158,13 +158,15 @@ _HITS_ITERS = 4
 _HITS_TOTAL = 1_000_000_000
 
 
-def _hits_oracle(iters: int = _HITS_ITERS) -> str:
+def _hits_oracle(iters: int = _HITS_ITERS, ctes: str = _GRAPH_CTES,
+                 top: int = 10) -> str:
     """Unroll the integer fixed-point HITS recurrence (div-by-scalar
-    renormalization, operators/graph.hits) as chained CTEs over the
-    DIRECTED supplier→customer pair graph. Every score is BIGINT, so
-    DuckDB reproduces the Spark loop bit-for-bit."""
+    renormalization, operators/graph.hits) as chained CTEs over any
+    prologue defining a ``pairs`` CTE of DIRECTED (src, dst) edges
+    (default: the supplier→customer trading graph). Every score is
+    BIGINT, so DuckDB reproduces the Spark loop bit-for-bit."""
     t = _HITS_TOTAL
-    parts = ["WITH" + _GRAPH_CTES + f""",
+    parts = ["WITH" + ctes + f""",
     hn AS MATERIALIZED (
            SELECT src AS node FROM pairs
            UNION SELECT dst FROM pairs),
@@ -197,10 +199,10 @@ def _hits_oracle(iters: int = _HITS_ITERS) -> str:
              CROSS JOIN a{i}s s)""")
     parts.append(f"""
     (SELECT 'hub' AS role, node, h AS score_fp FROM h{iters}
-     ORDER BY h DESC, node LIMIT 10)
+     ORDER BY h DESC, node LIMIT {top})
     UNION ALL
     (SELECT 'authority' AS role, node, a AS score_fp FROM a{iters}
-     ORDER BY a DESC, node LIMIT 10)""")
+     ORDER BY a DESC, node LIMIT {top})""")
     return "".join(parts)
 
 

@@ -1,0 +1,537 @@
+"""Round-7 verdict twins + persisted-index probe queries.
+
+Three families, all closing VERDICT r6 asks:
+
+* **Verdict twins for the last rows-only queries** (r6 ask #2 — the
+  ``ann_pq_recall_verdict`` pattern): ``simhash_recall_verdict``,
+  ``semantic_dedup_verdict`` and ``bpe_pack_verdict`` put an
+  oracle-checkable PASS/anchor row next to ``simhash_near_dup``,
+  ``semantic_dedup_groups`` and ``bpe_pack_sequences``, so every
+  approximate/learned family now has an ``err: null`` oracled row.
+* **Persisted-index probes as queries** (r6 ask #3):
+  ``ann_topk_{lsh,ivf,pq}_indexed`` register the build-once/
+  query-many path — the actual 100 TB operating mode — on the oracle
+  surface, each asserting probe == direct as a pinned-TRUE boolean.
+* **Graph ranking over the reference's own data model** (r6 ask #5):
+  ``cve2cpe_authority_scores`` runs exact-BIGINT HITS over a
+  CVE→product→vendor link graph shaped like the reference's cve2cpe
+  table (nvd.sql:96-117; query layer query_layer.py:88-98), with the
+  same unrolled hash-matching DuckDB oracle as ``hits_scores``.
+
+The reference itself has no verdict/graph surface (its query layer is
+single-table SELECTs, nvd2mysqlloader.py:452-506); these queries pin
+the engine's own guarantees cross-engine.
+
+Registered after every other module: appends must never reshuffle the
+harness's fixed-size registry prefix.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..operators._lineage import cut_lineage
+from ..sources.tpch import load_table
+from .registry import query
+
+_SEQ_LEN = 512
+
+
+def _one_row(*aggs: DataFrame) -> DataFrame:
+    """Cross-join a list of single-row aggregates into one row —
+    every side is a broadcast scalar, the bfd_packing_verdict shape
+    (no data-sized cartesian can occur)."""
+    out = aggs[0]
+    for a in aggs[1:]:
+        out = out.crossJoin(F.broadcast(a))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 1. SimHash verdict twin — in-query exact all-pairs hamming truth.
+
+
+@query(
+    "simhash_recall_verdict",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS pigeonhole_complete,
+           TRUE AS candidates_subset_ok,
+           TRUE AS recall8_ok
+    FROM documents
+    """,
+    doc=(
+        "SimHash blocking verdict (the bound-verdict pattern for the "
+        "rows-only simhash_near_dup): the 64-bit fingerprints are "
+        "xxhash64-derived and so engine-specific, but the blocking "
+        "GUARANTEES are exactly checkable in-query against the "
+        "all-pairs hamming truth over the same fingerprints — "
+        "(a) pigeonhole completeness: every pair within hamming<=3 "
+        "MUST share one of the four 16-bit quarters and therefore be "
+        "emitted (a theorem, not a tuning), (b) soundness: every "
+        "emitted pair really is within hamming<=8, (c) recall of the "
+        "hamming<=8 truth >= 0.3 (measured 0.39-0.41 across all three "
+        "SFs on this corpus, where near-threshold pairs spread their "
+        "bits across quarters). The all-pairs relation is the "
+        "declared quadratic oracle twin (fp longs only, like "
+        "cosine_near_dup's role vs the ANN family); blocking is the "
+        "scale path. DuckDB anchors the doc count and pins the three "
+        "verdicts TRUE."
+    ),
+)
+def simhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import simhash64, simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    fp = (docs.select("doc_id", simhash64(tokens("text")).alias("fp"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        a, b = fp.alias("a"), fp.alias("b")
+        ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+        allp = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("id_a"),
+                        F.col("b.doc_id").alias("id_b"),
+                        ham.alias("h")))
+        truth3 = allp.filter(F.col("h") <= 3).select("id_a", "id_b")
+        truth8 = allp.filter(F.col("h") <= 8).select("id_a", "id_b")
+        blocked = (simhash_near_dups(docs, "doc_id", tokens("text"))
+                   .select("id_a", "id_b")
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+
+        n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        miss3 = (truth3.join(blocked, ["id_a", "id_b"], "left_anti")
+                 .agg(F.count(F.lit(1)).alias("n_miss3")))
+        bad = (blocked.join(truth8, ["id_a", "id_b"], "left_anti")
+               .agg(F.count(F.lit(1)).alias("n_bad")))
+        n8 = truth8.agg(F.count(F.lit(1)).alias("n_truth8"))
+        nb = blocked.agg(F.count(F.lit(1)).alias("n_blocked"))
+
+        verdict = _one_row(n_docs, miss3, bad, n8, nb).select(
+            "n_docs",
+            (F.col("n_miss3") == 0).alias("pigeonhole_complete"),
+            (F.col("n_bad") == 0).alias("candidates_subset_ok"),
+            F.coalesce(F.col("n_blocked")
+                       >= 0.3 * F.col("n_truth8"), F.lit(True))
+            .alias("recall8_ok"))
+        return cut_lineage(verdict)
+    finally:
+        fp.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# 2. Semantic-dedup verdict twin — the exact cosine>=0.35 pair graph
+# is SQL-recomputable (cosine_near_dup's oracle), and its transitive
+# closure is a DuckDB recursive CTE, so this verdict carries FOUR
+# exact cross-engine anchors, not just a count.
+
+_SD_THRESHOLD = 0.35
+
+_COS_AB = """
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "semantic_dedup_verdict",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_COS_AB} >= {_SD_THRESHOLD}),
+    nodes AS (
+      -- DISTINCT over UNION ALL, not plain UNION: inside a WITH
+      -- RECURSIVE chain DuckDB gives a top-level-UNION CTE recursive
+      -- semantics and skips the cross-branch dedup (observed: 2x|pairs|
+      -- rows); the subquery form dedups correctly
+      SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs
+                               UNION ALL SELECT id_b FROM pairs)),
+    bidir AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN bidir e ON e.src = r.node),
+    assign AS (SELECT node, min(label) AS comp FROM reach GROUP BY node),
+    counts AS (
+      SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+             (SELECT count(*) FROM pairs) AS n_exact_pairs,
+             (SELECT count(*) FROM embeddings)
+               - (SELECT count(*) FROM nodes) AS n_isolated,
+             (SELECT count(DISTINCT comp) FROM assign) AS n_multi)
+    SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
+           CAST(n_isolated AS BIGINT) AS n_isolated,
+           CAST(n_isolated + n_multi AS BIGINT) AS n_components,
+           TRUE AS isolated_all_kept,
+           TRUE AS kept_covers_components
+    FROM counts
+    """,
+    doc=(
+        "SemDeDup verdict twin (the bound-verdict pattern for the "
+        "rows-only semantic_dedup_groups): the kmeans partition is "
+        "engine-specific, but the EXACT cosine>=0.35 pair graph is "
+        "not — DuckDB recomputes the all-pairs relation, its "
+        "isolated-vertex count, and its connected-component count "
+        "(recursive-CTE closure) as four exact anchors, and two "
+        "semantic-dedup guarantees ride as pinned-TRUE booleans: "
+        "(a) a vector with NO global near-dup pair can never be "
+        "dropped (its cluster-local pair set is a subset of the "
+        "global one), and (b) the keeper count is >= the global "
+        "component count (collapsing only intra-cluster pairs can "
+        "merge fewer, never more, groups than the full graph). The "
+        "Spark side derives both booleans from semantic_dedup's real "
+        "output joined against its own exact pair relation (the "
+        "oracle-green cosine_near_dup plan) and the alternating-star "
+        "CC over it."
+    ),
+)
+def semantic_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators.graph import connected_components_alternating
+    from ..operators.similarity import semantic_dedup
+    from .vector_queries import cosine_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    sd = (semantic_dedup(emb, k=8, threshold=_SD_THRESHOLD)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    pairs = (cosine_near_dup(spark, sf_dir).select("id_a", "id_b")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        edges = pairs.select(F.col("id_a").alias("src"),
+                             F.col("id_b").alias("dst"))
+        endpoints = (edges.select(F.col("src").alias("id"))
+                     .union(edges.select(F.col("dst").alias("id")))
+                     .distinct()
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+        comps = connected_components_alternating(endpoints, edges)
+
+        n_vecs = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+        n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        n_ep = endpoints.agg(F.count(F.lit(1)).alias("n_endpoints"))
+        n_multi = comps.agg(F.count_distinct("component").alias("n_multi"))
+        n_kept = sd.agg(F.sum(F.col("keep").cast("long")).alias("n_kept"))
+        iso_kept = (sd.join(endpoints,
+                            sd["vec_id"] == endpoints["id"], "left_anti")
+                    .agg(F.coalesce(F.min("keep"), F.lit(True))
+                         .alias("iso_all_kept")))
+
+        verdict = _one_row(n_vecs, n_pairs, n_ep, n_multi,
+                           n_kept, iso_kept).select(
+            "n_vecs", "n_exact_pairs",
+            (F.col("n_vecs") - F.col("n_endpoints")).alias("n_isolated"),
+            (F.col("n_vecs") - F.col("n_endpoints")
+             + F.col("n_multi")).alias("n_components"),
+            F.col("iso_all_kept").alias("isolated_all_kept"),
+            (F.col("n_kept") >= F.col("n_vecs") - F.col("n_endpoints")
+             + F.col("n_multi")).alias("kept_covers_components"))
+        return cut_lineage(verdict)
+    finally:
+        sd.unpersist()
+        pairs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# 3. BPE-pack verdict twin — packing-bound verdict in the
+# bfd_packing_verdict shape, over the full learned-BPE composition.
+
+
+@query(
+    "bpe_pack_verdict",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           TRUE AS each_doc_packed_once,
+           TRUE AS token_conserved,
+           TRUE AS overflow_bounded
+    FROM documents
+    """,
+    doc=(
+        "sequence-assembly verdict twin (the bfd_packing_verdict "
+        "pattern for the rows-only bpe_pack_sequences): the learned "
+        "merge list is engine-specific, but the packing CONTRACT of "
+        "corpus.tokenize_and_pack is exactly checkable from its "
+        "output joined against an independent encode of the same "
+        "corpus — (a) every document lands in exactly one pack "
+        "(exploded doc_id slots == distinct ids == corpus count), "
+        "(b) token conservation: the packs' flattened token totals "
+        "equal the per-document subword totals (the "
+        "flatten(sort_array(collect_list)) assembly lost and "
+        "duplicated nothing), and (c) the overflow bound: a pack "
+        "exceeds seq_len=512 by at most its LAST document's tail "
+        "(start-offset packing guarantees tokens-before-last < "
+        "seq_len). DuckDB anchors doc and lang counts and pins the "
+        "three invariants TRUE."
+    ),
+)
+def bpe_pack_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..corpus import tokenize_and_pack
+    from ..operators.bpe import bpe_encode_udf, bpe_train_on
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_on(docs, tokens("text"), num_merges=64)
+    enc = bpe_encode_udf(merges)
+    per_doc = (docs.select("lang", "doc_id",
+                           F.size(enc(tokens("text"))).cast("long")
+                           .alias("n"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    packed = (tokenize_and_pack(spark, docs, seq_len=_SEQ_LEN,
+                                num_merges=64)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        doc_stats = per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n").alias("tokens_total"))
+        pack_stats = packed.agg(
+            F.sum(F.size("doc_ids")).cast("long").alias("n_slots"),
+            F.sum("n_tokens").alias("pack_tokens_total"))
+        n_distinct = (packed.select(F.explode("doc_ids").alias("doc_id"))
+                      .agg(F.count_distinct("doc_id").alias("n_distinct")))
+        # overflow bound: join each pack's LAST doc (doc_ids is
+        # assembled in doc_id order) back to its independent token
+        # count; tokens-before-last must stay under seq_len
+        last = (packed.select("lang",
+                              F.element_at("doc_ids", -1).alias("doc_id"),
+                              "n_tokens")
+                .join(per_doc, ["lang", "doc_id"])
+                .agg(F.coalesce(
+                    F.max(F.col("n_tokens") - F.col("n")) < _SEQ_LEN,
+                    F.lit(True)).alias("overflow_bounded")))
+
+        verdict = _one_row(doc_stats, pack_stats, n_distinct, last).select(
+            "n_docs", "n_langs",
+            ((F.col("n_slots") == F.col("n_docs"))
+             & (F.col("n_distinct") == F.col("n_docs")))
+            .alias("each_doc_packed_once"),
+            (F.col("pack_tokens_total") == F.col("tokens_total"))
+            .alias("token_conserved"),
+            "overflow_bounded")
+        return cut_lineage(verdict)
+    finally:
+        per_doc.unpersist()
+        packed.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# 4. Persisted-index ANN probes (r6 ask #3) — the build-once/
+# query-many operating mode on the oracle surface. Each query builds
+# a fresh index in a per-CALL temp dir (bench/oracle sweeps invoke a
+# query several times per session — a shared dir would trip the
+# append contracts; the (stream,batch) collision fix taught this),
+# probes it, and asserts probe == direct as an exact relation
+# equality, cos_sim doubles included.
+
+
+def _tmp_index(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return f"{d}/index"
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (emb.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return emb, qs
+
+
+def _probe_verdict(emb: DataFrame, direct: DataFrame,
+                   probed: DataFrame) -> DataFrame:
+    """(n_vecs anchor, probe_matches_direct, full_k_returned): exact
+    multiset equality of the two result relations — ids, ranks AND
+    cos_sim doubles (identical expression trees on both paths)."""
+    from pyspark import StorageLevel
+
+    cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    d_ = direct.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+    p_ = probed.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        diff = d_.exceptAll(p_).unionAll(p_.exceptAll(d_))
+        n_vecs = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+        n_res = p_.agg(F.count(F.lit(1)).alias("n_results"))
+        verdict = _one_row(n_vecs, n_diff, n_res).select(
+            "n_vecs",
+            (F.col("n_diff") == 0).alias("probe_matches_direct"),
+            (F.col("n_results") == 5 * 10).alias("full_k_returned"))
+        return cut_lineage(verdict)
+    finally:
+        d_.unpersist()
+        p_.unpersist()
+
+
+_IDX_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS probe_matches_direct,
+           TRUE AS full_k_returned
+    FROM embeddings
+    """
+
+
+@query(
+    "ann_topk_lsh_indexed",
+    oracle=_IDX_ORACLE,
+    doc=(
+        "LSH ANN against the PERSISTED signature table "
+        "(write_ann_signature_table + ann_topk_from_signatures — the "
+        "100 TB operating mode: hyperplane signatures computed once "
+        "per corpus batch, every query batch probes the table): the "
+        "probe result must equal the direct ann_topk exactly (same "
+        "seed → same hyperplanes → same bands → same candidates → "
+        "same exact-cosine ranking), pinned as a TRUE boolean beside "
+        "DuckDB's corpus-count anchor."
+    ),
+)
+def ann_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (ann_topk, ann_topk_from_signatures,
+                                        write_ann_signature_table)
+    emb, qs = _emb_queries(spark, sf_dir)
+    path = _tmp_index("ann_sig_idx_")
+    write_ann_signature_table(emb, path, n_bits=64, seed=11)
+    direct = ann_topk(emb, qs, k=10)
+    probed = ann_topk_from_signatures(emb, path, qs, k=10)
+    return _probe_verdict(emb, direct, probed)
+
+
+@query(
+    "ann_topk_ivf_indexed",
+    oracle=_IDX_ORACLE,
+    doc=(
+        "IVF ANN against the PERSISTED inverted file (write_ivf_index "
+        "+ ivf_topk_from_index): the probe is a dynamic-partition-"
+        "pruned read of the nprobe probed lists — the LAYOUT skips "
+        "1-nprobe/nlist of the data — and must equal the direct "
+        "ivf_topk under the same centroids exactly, pinned TRUE "
+        "beside DuckDB's corpus-count anchor."
+    ),
+)
+def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (ivf_topk, ivf_topk_from_index,
+                                        write_ivf_index)
+    emb, qs = _emb_queries(spark, sf_dir)
+    path = _tmp_index("ivf_idx_")
+    cents = write_ivf_index(emb, path, nlist=16)
+    direct = ivf_topk(emb, qs, k=10, nlist=16, nprobe=4, centroids=cents)
+    probed = ivf_topk_from_index(path, qs, k=10, nprobe=4)
+    return _probe_verdict(emb, direct, probed)
+
+
+@query(
+    "ann_topk_pq_indexed",
+    oracle=_IDX_ORACLE,
+    doc=(
+        "PQ ANN against the PERSISTED codes table (write_pq_index + "
+        "pq_topk_from_index): the ADC scan reads m small ints per "
+        "vector instead of re-encoding raw embeddings, and must "
+        "equal the direct pq_topk under the same codebooks exactly — "
+        "including the default candidate budget, which both paths "
+        "now derive from the relation actually scanned. Pinned TRUE "
+        "beside DuckDB's corpus-count anchor."
+    ),
+)
+def ann_topk_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (pq_topk, pq_topk_from_index,
+                                        write_pq_index)
+    emb, qs = _emb_queries(spark, sf_dir)
+    path = _tmp_index("pq_idx_")
+    books = write_pq_index(emb, path, m=8, ksub=16)
+    direct = pq_topk(emb, qs, k=10, books=books)
+    probed = pq_topk_from_index(emb, path, qs, k=10)
+    return _probe_verdict(emb, direct, probed)
+
+
+# ---------------------------------------------------------------------------
+# 5. HITS over the reference's own data model (r6 ask #5): the
+# cve2cpe link surface (nvd.sql:96-117 — one row per CVE×CPE;
+# query_layer.py:88-98 searches it by vendor/product) is a tripartite
+# digraph CVE→product→vendor. Mapped onto the fixtures the way every
+# reference-parity query maps its shape (SURVEY §7.2): CVE≅order,
+# affected product≅part (via lineitem's order→part links, the
+# explode_filter_reagg analog of the CPE list), product→vendor≅
+# part→supplier (lineitem's part→supplier links). Authorities are
+# the vendors/products most concentrated under many-product CVEs —
+# the reference's 'which vendor is most exposed' question its own
+# SQL schema declares indexes for but never ships a query over.
+
+_CVE2CPE_CTES = """
+    pairs AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT DISTINCT 'cve' || CAST(l_orderkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem
+        UNION ALL
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                        'v' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem))"""
+
+
+def _cve2cpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cve_p = (li.select(
+        F.concat(F.lit("cve"), F.col("l_orderkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst")).distinct())
+    p_v = (li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("v"), F.col("l_suppkey").cast("string"))
+        .alias("dst")).distinct())
+    return cve_p.unionAll(p_v)
+
+
+def _cve2cpe_oracle() -> str:
+    from .linkgraph_queries import _hits_oracle
+    return _hits_oracle(ctes=_CVE2CPE_CTES, top=15)
+
+
+@query(
+    "cve2cpe_authority_scores",
+    oracle=_cve2cpe_oracle(),
+    doc=(
+        "HITS hubs/authorities over the cve2cpe-shaped tripartite "
+        "link graph CVE→product→vendor (the reference's cve2cpe "
+        "table, nvd.sql:96-117, searched by query_layer.cpe_search — "
+        "mapped onto the fixtures as order→part→supplier distinct "
+        "links): 4 exact-BIGINT mutual-recursion rounds "
+        "(operators/graph.hits), top-15 per role. Hubs are CVEs/"
+        "products whose targets are widely-affected; authorities are "
+        "the products and vendors most exposed under them — the "
+        "vendor-exposure ranking the reference's schema declares "
+        "vendor/product indexes for (nvd.sql:108-116) but never "
+        "ships. Hash-matches the same unrolled DuckDB recurrence as "
+        "hits_scores; per half-step one |E|-linear join + one sum + "
+        "a broadcast scalar renormalizer."
+    ),
+)
+def cve2cpe_authority_scores(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits
+    from .linkgraph_queries import _HITS_ITERS, _HITS_TOTAL
+
+    hs = hits(_cve2cpe_pairs(spark, sf_dir), id_col="node",
+              iters=_HITS_ITERS, total=_HITS_TOTAL)
+    hubs = (hs.select(F.lit("hub").alias("role"), "node",
+                      F.col("hub_fp").alias("score_fp"))
+            .orderBy(F.desc("score_fp"), "node").limit(15))
+    auths = (hs.select(F.lit("authority").alias("role"), "node",
+                       F.col("auth_fp").alias("score_fp"))
+             .orderBy(F.desc("score_fp"), "node").limit(15))
+    return hubs.union(auths)
