@@ -469,6 +469,14 @@ _SCALAR_BNLJ_OK = {
     "jl_projection_distortion",
     # 1-row corpus-total scalar broadcast into the ≤ k·|sources| model
     "source_drift_kl",
+    # r7 verdict rows: 1-row aggregate crossJoin assembly (the
+    # bfd_packing_verdict shape); simhash additionally carries the
+    # DECLARED quadratic all-pairs hamming twin (fp longs only — the
+    # oracle-twin role cosine_near_dup plays for the ANN family;
+    # blocking is the scale path it verifies)
+    "simhash_recall_verdict", "semantic_dedup_verdict",
+    "bpe_pack_verdict",
+    "ann_topk_lsh_indexed", "ann_topk_ivf_indexed", "ann_topk_pq_indexed",
 }
 
 
