@@ -42,6 +42,13 @@ HEADLINE = sorted([
     "minhash_near_dup",
     "simhash_near_dup",
     "ngram_jaccard_pairs",
+    # r7 set-similarity/substring/phrase family: the prefix-filtered
+    # exact Jaccard join (the PPJoin-style scale path whose naive
+    # twin is ngram_jaccard_pairs), suffix-array-style maximal
+    # duplicated-span detection, and positional phrase search
+    "prefix_filter_jaccard_join",
+    "duplicate_substring_spans",
+    "phrase_search",
     "dedup_cluster_sizes",
     "dedup_cluster_sizes_logn",
     "cosine_topk",

@@ -35,3 +35,4 @@ from . import tableformat_queries   # noqa: F401,E402
 from . import projection_queries    # noqa: F401,E402
 from . import udaf_queries          # noqa: F401,E402
 from . import verdict_queries       # noqa: F401,E402
+from . import setsim_queries        # noqa: F401,E402
