@@ -49,6 +49,11 @@ HEADLINE = sorted([
     "prefix_filter_jaccard_join",
     "duplicate_substring_spans",
     "phrase_search",
+    # r7 mining family: market-basket rules (basket self-join +
+    # top-20-by-lift heap) and the IR eval harness (NDCG/MRR/P@10 of
+    # the engine's own BM25 against an independent grade signal)
+    "association_rules",
+    "retrieval_eval_metrics",
     "dedup_cluster_sizes",
     "dedup_cluster_sizes_logn",
     "cosine_topk",

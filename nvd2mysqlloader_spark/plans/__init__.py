@@ -36,3 +36,4 @@ from . import projection_queries    # noqa: F401,E402
 from . import udaf_queries          # noqa: F401,E402
 from . import verdict_queries       # noqa: F401,E402
 from . import setsim_queries        # noqa: F401,E402
+from . import mining_queries        # noqa: F401,E402

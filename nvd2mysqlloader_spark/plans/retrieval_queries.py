@@ -33,9 +33,13 @@ _B = 0.75
 _TERMS = ("spark", "join", "window")
 
 
-@query(
-    "bm25_search",
-    oracle=f"""
+# The BM25 scored-posting-list CTE chain, shared VERBATIM by the
+# bm25_search oracle and the retrieval_eval_metrics oracle
+# (mining_queries.py) — the per-term expression tree must be
+# byte-identical across every oracle that rescores it: e.g.
+# `({_K1} + 1.0)` and the literal 2.2 differ in the last ulp, which
+# the 6-dp rounding does NOT always absorb at a rounding boundary.
+BM25_ORACLE_CTES = f"""
     WITH base AS (
       SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -74,7 +78,12 @@ _TERMS = ("spark", "join", "window")
                AS s2,
              coalesce(max(CASE WHEN token = 'window' THEN s END), 0.0)
                AS s3
-      FROM scored GROUP BY doc_id)
+      FROM scored GROUP BY doc_id)"""
+
+
+@query(
+    "bm25_search",
+    oracle=BM25_ORACLE_CTES + """
     SELECT doc_id, round((s1 + s2) + s3, 6) AS score
     FROM per_doc
     ORDER BY round((s1 + s2) + s3, 6) DESC, doc_id

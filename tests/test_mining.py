@@ -1,0 +1,145 @@
+"""Semantic pins for the pattern-mining / retrieval-eval queries
+beyond the hash-oracle match (tests/test_oracle.py): planted
+correlated baskets must surface as the top lift rule, the basket cap
+must bound a power user's fan-out, and the IR metrics must be live
+discriminative computations (0 < NDCG < 1 on the fixture)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from nvd2mysqlloader_spark.plans import QUERIES
+
+from .conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_association_rules_planted_correlation(spark, tmp_path):
+    """Items 'A' and 'B' planted to co-occur in every basket while
+    'C' floats independently: the (A,B) rules must rank first by
+    lift, with confidence 1.0 both directions."""
+    rows = []
+    eid = 0
+    for u in range(10):
+        items = ["A", "B"] + (["C"] if u % 2 == 0 else ["D"])
+        for it in items:
+            rows.append((eid, 1000 + eid, u, "click", 1.0,
+                         '{"k": "%s"}' % it))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "sf")
+    import os
+    os.makedirs(d, exist_ok=True)
+    ev.write.parquet(d + "/events.parquet")
+    out = QUERIES["association_rules"].fn(spark, d).collect()
+    assert out, "no rules on perfectly correlated baskets"
+    top = out[0]
+    assert {top.antecedent, top.consequent} <= {"A", "B", "C", "D"}
+    ab = [r for r in out if {r.antecedent, r.consequent} == {"A", "B"}]
+    assert len(ab) == 2                      # both directions
+    assert all(r.confidence == 1.0 for r in ab)
+    assert all(r.lift == 1.0 for r in ab)    # A,B in every basket
+    # C appears in half the baskets: lift(C->A) = 1.0 as well, but
+    # C->D never co-occurs (disjoint halves) => absent entirely
+    assert not [r for r in out if {r.antecedent, r.consequent}
+                == {"C", "D"}]
+
+
+def test_association_rules_respects_basket_cap(spark, tmp_path):
+    """A power user touching 80 items contributes only its top-64 by
+    event count — pairs involving the user's 16 coldest items never
+    form from that user."""
+    from nvd2mysqlloader_spark.plans.mining_queries import _BASKET_K
+    rows = []
+    eid = 0
+    # hot items get 2 events each, cold items 1 — deterministic cap
+    for i in range(80):
+        reps = 2 if i < 64 else 1
+        for _ in range(reps):
+            rows.append((eid, 1000 + eid, 0, "view", 1.0,
+                         '{"k": "i%02d"}' % i))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, "
+              "event_type string, value double, props string")
+    import os
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    ev.write.parquet(d + "/events.parquet")
+    out = QUERIES["association_rules"].fn(spark, d).collect()
+    items = {r.antecedent for r in out} | {r.consequent for r in out}
+    assert all(int(it[1:]) < _BASKET_K for it in items)
+
+
+def test_retrieval_metrics_are_live_and_discriminative(spark):
+    """On the real fixture the metrics must be genuine measurements:
+    NDCG strictly between 0 and 1 (the grade signal disagrees with
+    BM25 somewhere in the top-10), n_relevant a plausible corpus
+    fraction, and MRR consistent with a direct recount of the first
+    rank-1-grade-3 hit."""
+    r = QUERIES["retrieval_eval_metrics"].fn(spark, SF_ORACLE).collect()[0]
+    assert 0.0 < r.ndcg_at_10 < 1.0
+    assert 0.0 <= r.mrr_at_10 <= 1.0
+    assert 0.0 < r.precision_at_10 <= 1.0
+    assert 0 < r.n_relevant
+    # direct recount of MRR from the engine's own ranking
+    from nvd2mysqlloader_spark.plans.retrieval_queries import (_TERMS,
+                                                               _bm25_scored)
+    from nvd2mysqlloader_spark.sources.tpch import load_table
+    docs = load_table(spark, SF_ORACLE, "documents")
+    tft = F.size(F.filter(F.split("text", " "),
+                          lambda x: x.isin(*_TERMS)))
+    rel = docs.select("doc_id", tft.alias("tft"))
+    ranked = (_bm25_scored(spark, SF_ORACLE)
+              .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+              .limit(10).collect())
+    grades = {x.doc_id: x.tft for x in rel.collect()}
+    mrr = 0.0
+    for i, row in enumerate(ranked, start=1):
+        if grades[row.doc_id] >= 8:
+            mrr = 1.0 / i
+            break
+    assert abs(r.mrr_at_10 - round(mrr, 6)) < 1e-12
+
+
+def test_rules_topk_heap_and_broadcast_supports(spark):
+    """Top-20-by-lift must be a rank-bounded heap, never a full
+    sort, and the item-support/user-count scalars must broadcast."""
+    p = _plan(QUERIES["association_rules"].fn(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p.split("TakeOrderedAndProject")[0] \
+        or "SortMergeJoin" not in p
+
+
+def test_metrics_no_corpus_global_sort(spark):
+    """The system top-10 must come from the heap
+    (TakeOrderedAndProject), never an unpartitioned corpus-wide
+    window sort; ideal DCG comes from grade counts + a 10-row
+    sequence, so no second corpus-wide sort appears either."""
+    from nvd2mysqlloader_spark.plans.mining_queries import \
+        retrieval_eval_metrics
+    from nvd2mysqlloader_spark.plans.retrieval_queries import _bm25_scored
+    from nvd2mysqlloader_spark.sources.tpch import load_table
+    # plan of the pre-checkpoint top-10 stage (the full query cuts
+    # lineage, so inspect the stage the cut materializes)
+    docs = load_table(spark, SF_ORACLE, "documents")
+    scored = _bm25_scored(spark, SF_ORACLE)
+    staged = (scored.join(docs.select("doc_id"), "doc_id")
+              .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+              .limit(10))
+    p = _plan(staged)
+    assert "TakeOrderedAndProject" in p
+    p_full = _plan(retrieval_eval_metrics(spark, SF_ORACLE))
+    assert "CartesianProduct" not in p_full

@@ -477,6 +477,9 @@ _SCALAR_BNLJ_OK = {
     "simhash_recall_verdict", "semantic_dedup_verdict",
     "bpe_pack_verdict",
     "ann_topk_lsh_indexed", "ann_topk_ivf_indexed", "ann_topk_pq_indexed",
+    # r7 mining family: 1-row user-count scalar into the support
+    # filter; 1-row metric aggregates assembled into the verdict row
+    "association_rules", "retrieval_eval_metrics",
 }
 
 
