@@ -50,10 +50,16 @@ HEADLINE = sorted([
     "duplicate_substring_spans",
     "phrase_search",
     # r7 mining family: market-basket rules (basket self-join +
-    # top-20-by-lift heap) and the IR eval harness (NDCG/MRR/P@10 of
-    # the engine's own BM25 against an independent grade signal)
+    # top-20-by-lift heap), the IR eval harness (NDCG/MRR/P@10 of
+    # the engine's own BM25 against an independent grade signal),
+    # the persisted-inverted-index BM25 probe (full
+    # build+probe+verify cycle, the lexical twin of the ann_*_indexed
+    # entries), and degree-ordered triangle counting on the
+    # co-purchase graph
     "association_rules",
     "retrieval_eval_metrics",
+    "bm25_search_indexed",
+    "copurchase_triangles",
     "dedup_cluster_sizes",
     "dedup_cluster_sizes_logn",
     "cosine_topk",

@@ -463,3 +463,52 @@ def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
     esrc.unpersist()
     edst.unpersist()
     return out
+
+
+def triangle_participation(edges: DataFrame, a: str = "a",
+                           b: str = "b") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph.
+
+    ``edges``: distinct canonical pairs with ``a < b`` (one row per
+    undirected edge). Returns (node, n_triangles) for every node in
+    at least one triangle.
+
+    Degree-ordered wedge generation (the standard distributed
+    triangle algorithm, e.g. Suri & Vassilvitskii WWW'11): each edge
+    is ORIENTED from the lower-(degree, id) endpoint to the higher,
+    so every node's out-degree is bounded by O(sqrt(|E|)) on skewed
+    graphs — the wedge fan-out sum(out_deg^2) stays near-linear where
+    a naive adjacency self-join would square the max degree. Each
+    triangle has exactly one node with out-degree 2 in the DAG (its
+    lowest-order vertex), so wedges are generated once per triangle;
+    closure is an equi-join back to the CANONICAL edge set (wedge
+    endpoints re-canonicalized by id, which the a<b input form makes
+    a plain 2-key equi-join — no OR-condition join). The reference
+    has no graph surface at all (single-table SELECTs,
+    nvd2mysqlloader.py:452-506); this extends the engine's graph
+    family (pagerank/hits/cc) with the cohesion primitive.
+    """
+    e = cut_lineage(edges.select(F.col(a).alias("x"),
+                                 F.col(b).alias("y")))
+    deg = (e.select(F.col("x").alias("n"))
+           .unionAll(e.select(F.col("y").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    ex = e.join(dx, "x").join(dy, "y")
+    lower_first = ((F.col("dx") < F.col("dy"))
+                   | ((F.col("dx") == F.col("dy"))
+                      & (F.col("x") < F.col("y"))))
+    oriented = cut_lineage(ex.select(
+        F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v")))
+    o1 = oriented.select("u", F.col("v").alias("v1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"))
+    wedges = (o1.join(o2, "u")
+              .filter(F.col("v1") < F.col("v2")))   # id-canonical pair
+    closed = wedges.join(
+        e, (wedges["v1"] == e["x"]) & (wedges["v2"] == e["y"]))
+    tri_nodes = closed.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node"))
+    return (tri_nodes.groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))

@@ -140,29 +140,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                    *[F.sum((F.col("token") == t).cast("bigint"))
                      .alias(f"tf{i}")
                      for i, t in enumerate(_TERMS, 1)]))
-    stats = per_tf.agg(
-        *[F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
-          for i in range(1, len(_TERMS) + 1)])
-
-    scored = (per_tf.crossJoin(F.broadcast(stats))
-              .crossJoin(F.broadcast(corpus)))
-
-    def term_s(i: int):
-        # tf=0 ⇒ numerator 0.0 ⇒ exact 0.0, matching the oracle's
-        # coalesce(max(CASE ...), 0.0) for absent postings.
-        idf = F.log(
-            ((F.col("n_docs") - F.col(f"df{i}")).cast("double")
-             + F.lit(0.5))
-            / (F.col(f"df{i}").cast("double") + F.lit(0.5))
-            + F.lit(1.0))
-        tf_d = F.col(f"tf{i}").cast("double")
-        norm = (tf_d + _K1 * (F.lit(1.0 - _B)
-                              + _B * (F.col("doclen").cast("double")
-                                      / F.col("avgdl"))))
-        return idf * (tf_d * F.lit(_K1 + 1.0)) / norm
-
-    total = F.round((term_s(1) + term_s(2)) + term_s(3), 6)
-    return scored.select("doc_id", total.alias("score"))
+    # Scoring (df scalars + the per-term expression tree) is shared
+    # verbatim with the persisted-index probe path — see
+    # operators/inverted_index.score_bm25_pivot: tf=0 ⇒ numerator
+    # 0.0 ⇒ exact 0.0, matching the oracle's coalesce(max(CASE ...),
+    # 0.0) for absent postings; the total is the fixed-order
+    # (s1 + s2) + s3.
+    from ..operators.inverted_index import score_bm25_pivot
+    return score_bm25_pivot(per_tf, corpus, len(_TERMS), _K1, _B)
 
 
 @query(

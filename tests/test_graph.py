@@ -407,3 +407,44 @@ def test_pagerank_weighted_matches_twin_exactly(spark):
             for r in pagerank(None, edf1, weight_col="w").collect()}
     want1 = _pagerank_twin([], [(s, t) for s, t, _ in uni])
     assert got1 == want1
+
+
+# ---------------------------------------------------------------------------
+# Triangle participation (r7): planted geometries + a brute-force
+# twin over random graphs (the oracle covers the fixture graph;
+# these pin the operator on shapes the fixture can't guarantee).
+
+
+def _tri_counts(spark, pairs):
+    from nvd2mysqlloader_spark.operators.graph import triangle_participation
+    e = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in pairs], "a long, b long")
+    return {r.node: r.n_triangles
+            for r in triangle_participation(e.distinct()).collect()}
+
+
+def test_triangles_planted_shapes(spark):
+    # K4: every node sits in C(3,2) = 3 triangles
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert _tri_counts(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # chain and star: triangle-free -> empty result
+    assert _tri_counts(spark, [(0, 1), (1, 2), (2, 3)]) == {}
+    assert _tri_counts(spark, [(0, i) for i in range(1, 6)]) == {}
+    # two triangles sharing edge (1,2): shared endpoints count twice
+    bowtie = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    assert _tri_counts(spark, bowtie) == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_triangles_match_bruteforce_random(spark):
+    import itertools
+    import random
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = {(u, v) for u in nodes for v in nodes
+             if u < v and rng.random() < 0.2}
+    want = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {(x, y), (y, z), (x, z)} <= edges:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert _tri_counts(spark, edges) == want

@@ -143,3 +143,50 @@ def test_metrics_no_corpus_global_sort(spark):
     assert "TakeOrderedAndProject" in p
     p_full = _plan(retrieval_eval_metrics(spark, SF_ORACLE))
     assert "CartesianProduct" not in p_full
+
+
+def test_bm25_index_probe_prunes_buckets(spark, tmp_path):
+    """The persisted-postings probe must partition-prune to the query
+    terms' hash buckets (PartitionFilters at the scan — the layout
+    skips the other buckets' bytes) and push the token IN-filter into
+    parquet. (DataFrame.inputFiles() reports the pre-pruning file
+    index, so the assertion reads the physical plan.)"""
+    from nvd2mysqlloader_spark.operators.inverted_index import (
+        N_BUCKETS, bm25_topk_from_index, write_inverted_index)
+    from nvd2mysqlloader_spark.plans.retrieval_queries import _TERMS
+    from nvd2mysqlloader_spark.sources.tpch import load_table
+
+    path = str(tmp_path / "index")
+    docs = load_table(spark, SF_ORACLE, "documents")
+    write_inverted_index(docs, path)
+    expected = sorted({r.b for r in spark.createDataFrame(
+        [(t,) for t in _TERMS], "token string")
+        .select(F.pmod(F.xxhash64("token"), F.lit(N_BUCKETS))
+                .cast("int").alias("b")).collect()})
+    assert len(expected) < N_BUCKETS          # pruning is non-vacuous
+    probe = bm25_topk_from_index(spark, path, _TERMS, k=10)
+    p = _plan(probe)
+    in_list = ",".join(str(x) for x in expected)
+    assert f"IN ({in_list})" in p             # PartitionFilters
+    assert "In(token, [" in p                 # pushed parquet filter
+
+
+def test_bm25_indexed_verdict_is_live(spark):
+    """probe == direct must hold on the real fixture (the booleans
+    are computed, not constants): the verdict row is all-TRUE and the
+    probe's own top-10 equals bm25_search's row for row."""
+    from nvd2mysqlloader_spark.operators.inverted_index import (
+        bm25_topk_from_index, write_inverted_index)
+    from nvd2mysqlloader_spark.plans.retrieval_queries import _TERMS
+    from nvd2mysqlloader_spark.sources.tpch import load_table
+    import tempfile
+
+    r = QUERIES["bm25_search_indexed"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.probe_matches_direct and r.full_k_returned
+    with tempfile.TemporaryDirectory() as d:
+        docs = load_table(spark, SF_ORACLE, "documents")
+        write_inverted_index(docs, d + "/idx")
+        probed = bm25_topk_from_index(spark, d + "/idx", _TERMS, k=10)
+        direct = QUERIES["bm25_search"].fn(spark, SF_ORACLE)
+        assert [tuple(x) for x in probed.collect()] \
+            == [tuple(x) for x in direct.collect()]

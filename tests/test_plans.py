@@ -480,6 +480,8 @@ _SCALAR_BNLJ_OK = {
     # r7 mining family: 1-row user-count scalar into the support
     # filter; 1-row metric aggregates assembled into the verdict row
     "association_rules", "retrieval_eval_metrics",
+    # 1-row anchor/diff aggregates assembled into the verdict row
+    "bm25_search_indexed",
 }
 
 
