@@ -60,6 +60,8 @@ HEADLINE = sorted([
     "retrieval_eval_metrics",
     "bm25_search_indexed",
     "copurchase_triangles",
+    # CUSUM changepoint monitor (window-transform drift detection)
+    "cusum_changepoints",
     "dedup_cluster_sizes",
     "dedup_cluster_sizes_logn",
     "cosine_topk",

@@ -440,3 +440,109 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("node").alias("part"), "n_triangles")
             .orderBy(F.col("n_triangles").desc(), F.col("part").asc())
             .limit(_TRI_TOP))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint monitor — sequential drift detection over the
+# hourly event-rate series. The recursive CUSUM S_i = max(0,
+# S_{i-1} + (c_i - k)) is NOT directly a window function, but the
+# classic prefix transform makes it one: S_i = PS_i - min(0,
+# running_min(PS_i)) with PS the cumulative sum of (c_i - k) — two
+# frames over ONE window spec, exact BIGINT throughout. The
+# reference allowance k adapts per series (floor(mean)+2), so the
+# monitor is rate-scale-free across SFs; h = 3k. On the stationary
+# fixture the alarm count is 0 at every SF (specificity);
+# tests/test_mining.py plants a level shift and pins the alarm
+# rising exactly where the shift starts (sensitivity).
+
+_CUSUM_SLACK = 2      # k = floor(per-series mean) + slack
+_CUSUM_H_MULT = 3     # alarm threshold h = mult * k
+
+
+@query(
+    "cusum_changepoints",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), kk AS (
+      -- floor(), not a bare CAST: DuckDB CAST(DOUBLE AS BIGINT)
+      -- rounds-to-nearest while Spark's floor truncates toward -inf
+      SELECT event_type,
+             CAST(floor(sum(c) / count(*)) AS BIGINT)
+               + {_CUSUM_SLACK} AS k
+      FROM hc GROUP BY event_type
+    ), p AS (
+      SELECT hc.event_type, hr, kk.k,
+             sum(c - kk.k) OVER (PARTITION BY hc.event_type
+                                 ORDER BY hr) AS ps
+      FROM hc JOIN kk USING (event_type)
+    ), s AS (
+      SELECT event_type, hr, k,
+             ps - least(min(ps) OVER (PARTITION BY event_type
+                                      ORDER BY hr), 0) AS cu
+      FROM p
+    ), ranked AS (
+      SELECT event_type, hr, k, cu,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cu DESC, hr ASC) AS rn
+      FROM s
+    )
+    SELECT r.event_type, CAST(r.k AS BIGINT) AS k,
+           CAST({_CUSUM_H_MULT} * r.k AS BIGINT) AS h,
+           CAST(r.cu AS BIGINT) AS max_cusum,
+           r.hr AS peak_hr,
+           CAST(a.n_alarms AS BIGINT) AS n_alarms
+    FROM ranked r
+    JOIN (SELECT event_type,
+                 sum(CASE WHEN cu > {_CUSUM_H_MULT} * k
+                     THEN 1 ELSE 0 END) AS n_alarms
+          FROM s GROUP BY event_type) a USING (event_type)
+    WHERE r.rn = 1
+    """,
+    doc=(
+        "CUSUM changepoint monitor over hourly event rates: the "
+        "recursive alarm statistic rewritten as cumsum minus "
+        "clamped running-min (two frames, ONE window spec per "
+        "series -> one event_type exchange shared by both), "
+        "per-series integer allowance k = floor(mean)+2 broadcast "
+        "back, output = per-series (k, h, max statistic, argmax "
+        "hour with earliest-hour tie-break, alarm count). Exact "
+        "BIGINT end to end; at 100 TB each series' state is one "
+        "window partition and the monitor is the batch twin of a "
+        "streaming drift detector."
+    ),
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hc = (ev.groupBy("event_type",
+                     F.date_trunc("hour", "ts").alias("hr"))
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    hc = _cut(hc)
+    kk = (hc.groupBy("event_type")
+          .agg((F.floor(F.sum("c") / F.count(F.lit(1)))
+                + F.lit(_CUSUM_SLACK)).cast("long").alias("k")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    p = (hc.join(F.broadcast(kk), "event_type")
+         .withColumn("ps", F.sum(F.col("c") - F.col("k")).over(w)))
+    cu = (F.col("ps")
+          - F.least(F.min("ps").over(w), F.lit(0).cast("long")))
+    s = p.select("event_type", "hr", "k", cu.alias("cu"))
+    s = _cut(s)
+    rn = F.row_number().over(
+        Window.partitionBy("event_type")
+        .orderBy(F.col("cu").desc(), F.col("hr").asc()))
+    peaks = (s.withColumn("rn", rn).filter(F.col("rn") == 1)
+             .select("event_type", "k", "cu", "hr"))
+    alarms = (s.groupBy("event_type")
+              .agg(F.sum((F.col("cu") > _CUSUM_H_MULT * F.col("k"))
+                         .cast("long")).cast("long").alias("n_alarms")))
+    return (peaks.join(alarms, "event_type")
+            .select("event_type",
+                    F.col("k").cast("long").alias("k"),
+                    (F.lit(_CUSUM_H_MULT) * F.col("k")).cast("long")
+                    .alias("h"),
+                    F.col("cu").cast("long").alias("max_cusum"),
+                    F.col("hr").alias("peak_hr"),
+                    "n_alarms"))

@@ -190,3 +190,51 @@ def test_bm25_indexed_verdict_is_live(spark):
         direct = QUERIES["bm25_search"].fn(spark, SF_ORACLE)
         assert [tuple(x) for x in probed.collect()] \
             == [tuple(x) for x in direct.collect()]
+
+
+def test_cusum_detects_planted_level_shift(spark, tmp_path):
+    """A series whose rate triples halfway must alarm, with the peak
+    inside the shifted half; a stationary sibling series must stay
+    quiet. The window-transform statistic (cumsum minus clamped
+    running-min) is re-verified against the textbook recursion
+    S_i = max(0, S_{i-1} + x_i) in plain Python."""
+    import datetime
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 1, 1)
+    counts = {}
+    for hour in range(48):
+        ts = base + datetime.timedelta(hours=hour)
+        n_shift = 3 if hour < 24 else 12         # planted 4x shift
+        for series, n in (("shifty", n_shift), ("calm", 3)):
+            counts.setdefault(series, []).append(n)
+            for i in range(n):
+                rows.append((eid, ts + datetime.timedelta(seconds=i),
+                             0, series, 1.0, "{}"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import os
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    ev.write.parquet(d + "/events.parquet")
+    got = {r.event_type: r
+           for r in QUERIES["cusum_changepoints"].fn(spark, d).collect()}
+
+    # textbook recursion twin with the query's own k per series
+    for series, cs in counts.items():
+        k = sum(cs) // len(cs) + 2
+        assert got[series].k == k
+        s_max, s = 0, 0
+        n_alarms = 0
+        for c in cs:
+            s = max(0, s + (c - k))
+            s_max = max(s_max, s)
+            if s > 3 * k:
+                n_alarms += 1
+        assert got[series].max_cusum == s_max
+        assert got[series].n_alarms == n_alarms
+
+    assert got["shifty"].n_alarms > 0            # sensitivity
+    assert got["shifty"].peak_hr >= base + datetime.timedelta(hours=24)
+    assert got["calm"].n_alarms == 0             # specificity
