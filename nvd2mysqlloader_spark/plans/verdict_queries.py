@@ -483,18 +483,30 @@ _CVE2CPE_CTES = """
 
 
 def _cve2cpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tripartite link edges with LONG-encoded nodes (role in the low
+    2 bits: cve=0, product=1, vendor=2). The 8 iterative half-steps
+    of hits() shuffle the node key |E| times each — long keys halve
+    the exchange payload vs 'cve123'-style strings and, measured,
+    remove the multi-second full-GC stalls the string build suffered
+    mid-iteration in long bench sessions. ``_decode_node`` restores
+    the reference-shaped labels BEFORE any ranking, so tie-breaks
+    and the oracle output are byte-identical to the string form."""
     li = load_table(spark, sf_dir, "lineitem")
     cve_p = (li.select(
-        F.concat(F.lit("cve"), F.col("l_orderkey").cast("string"))
-        .alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
-        .alias("dst")).distinct())
+        (F.col("l_orderkey") * 4).alias("src"),
+        (F.col("l_partkey") * 4 + 1).alias("dst")).distinct())
     p_v = (li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
-        .alias("src"),
-        F.concat(F.lit("v"), F.col("l_suppkey").cast("string"))
-        .alias("dst")).distinct())
+        (F.col("l_partkey") * 4 + 1).alias("src"),
+        (F.col("l_suppkey") * 4 + 2).alias("dst")).distinct())
     return cve_p.unionAll(p_v)
+
+
+def _decode_node(col):
+    role = F.pmod(col, F.lit(4))
+    ident = (col / 4).cast("long").cast("string")
+    return F.concat(
+        F.when(role == 0, F.lit("cve"))
+        .when(role == 1, F.lit("p")).otherwise(F.lit("v")), ident)
 
 
 def _cve2cpe_oracle() -> str:
@@ -528,6 +540,10 @@ def cve2cpe_authority_scores(spark: SparkSession,
 
     hs = hits(_cve2cpe_pairs(spark, sf_dir), id_col="node",
               iters=_HITS_ITERS, total=_HITS_TOTAL)
+    # decode long-encoded nodes BEFORE ranking: the heap's tie-break
+    # must order the reference-shaped string labels, not the encoding
+    hs = hs.select(_decode_node(F.col("node")).alias("node"),
+                   "hub_fp", "auth_fp")
     hubs = (hs.select(F.lit("hub").alias("role"), "node",
                       F.col("hub_fp").alias("score_fp"))
             .orderBy(F.desc("score_fp"), "node").limit(15))
