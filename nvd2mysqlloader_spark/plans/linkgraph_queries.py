@@ -53,16 +53,29 @@ _GRAPH_CTES = """
 
 
 def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected trade edges with LONG-encoded nodes (role in the
+    low bit: supplier=0, customer=1). The iterative rankers shuffle
+    the node key |E| times per round — long keys halve the exchange
+    payload vs 's123'-style strings and avoid the full-GC stalls the
+    string build measured in long bench sessions (see the cve2cpe
+    entry in PLANS.md). ``_decode_trade`` restores the oracle-shaped
+    labels BEFORE any ranking or min-witness aggregation, so output
+    order and the DuckDB oracle are byte-identical."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     pairs = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
-             .select(F.concat(F.lit("s"),
-                              F.col("l_suppkey").cast("string")).alias("src"),
-                     F.concat(F.lit("c"),
-                              F.col("o_custkey").cast("string")).alias("dst"))
+             .select((F.col("l_suppkey") * 2).alias("src"),
+                     (F.col("o_custkey") * 2 + 1).alias("dst"))
              .distinct())
     return pairs.union(pairs.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
+
+
+def _decode_trade(col):
+    return F.concat(
+        F.when(F.pmod(col, F.lit(2)) == 0, F.lit("s"))
+        .otherwise(F.lit("c")),
+        (col / 2).cast("long").cast("string"))
 
 
 def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
@@ -125,7 +138,10 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
 def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(None, _link_edges(spark, sf_dir), id_col="id",
                   iters=_PR_ITERS, total=_PR_TOTAL)
-    return (pr.select(F.col("id").alias("node"), "rank_fp")
+    # decode long node keys BEFORE ranking: the tie-break must order
+    # the oracle-shaped string labels, not the numeric encoding
+    return (pr.select(_decode_trade(F.col("id")).alias("node"),
+                      "rank_fp")
             .orderBy(F.col("rank_fp").desc(), "node").limit(25))
 
 
@@ -149,7 +165,11 @@ def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def link_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (_link_edges(spark, sf_dir)
            .groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
-    return (deg.groupBy(F.col("outdeg").alias("degree"))
+    # decode before the min-witness: the oracle's min is over the
+    # string labels ('c10' < 'c2'), not the numeric encoding
+    return (deg.select(_decode_trade(F.col("src")).alias("src"),
+                       "outdeg")
+            .groupBy(F.col("outdeg").alias("degree"))
             .agg(F.count(F.lit(1)).alias("n_nodes"),
                  F.min("src").alias("min_node")))
 
@@ -232,13 +252,13 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     pairs = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
-             .select(F.concat(F.lit("s"), F.col("l_suppkey")
-                              .cast("string")).alias("src"),
-                     F.concat(F.lit("c"), F.col("o_custkey")
-                              .cast("string")).alias("dst"))
+             .select((F.col("l_suppkey") * 2).alias("src"),
+                     (F.col("o_custkey") * 2 + 1).alias("dst"))
              .distinct())
     hs = hits(pairs, id_col="node", iters=_HITS_ITERS,
               total=_HITS_TOTAL)
+    hs = hs.select(_decode_trade(F.col("node")).alias("node"),
+                   "hub_fp", "auth_fp")
     hubs = (hs.select(F.lit("hub").alias("role"), "node",
                       F.col("hub_fp").alias("score_fp"))
             .orderBy(F.desc("score_fp"), "node").limit(10))
@@ -326,15 +346,14 @@ def pagerank_weighted_scores(spark: SparkSession,
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     wpairs = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
-              .groupBy(F.concat(F.lit("s"), F.col("l_suppkey")
-                                .cast("string")).alias("src"),
-                       F.concat(F.lit("c"), F.col("o_custkey")
-                                .cast("string")).alias("dst"))
+              .groupBy((F.col("l_suppkey") * 2).alias("src"),
+                       (F.col("o_custkey") * 2 + 1).alias("dst"))
               .agg(F.count(F.lit(1)).alias("w")))
     wedges = wpairs.union(wpairs.select(F.col("dst").alias("src"),
                                         F.col("src").alias("dst"),
                                         "w"))
     pr = pagerank(None, wedges, id_col="id", iters=_PR_ITERS,
                   total=_PR_TOTAL, weight_col="w")
-    return (pr.select(F.col("id").alias("node"), "rank_fp")
+    return (pr.select(_decode_trade(F.col("id")).alias("node"),
+                      "rank_fp")
             .orderBy(F.col("rank_fp").desc(), "node").limit(25))
