@@ -511,7 +511,10 @@ _CUSUM_H_MULT = 3     # alarm threshold h = mult * k
         "hour with earliest-hour tie-break, alarm count). Exact "
         "BIGINT end to end; at 100 TB each series' state is one "
         "window partition and the monitor is the batch twin of a "
-        "streaming drift detector."
+        "streaming drift detector. Hours with zero events are absent "
+        "from the series (no gap fill): the statistic skips them "
+        "identically in both engines; compose with gap_filled_hourly "
+        "first if silence itself should count as negative drift."
     ),
 )
 def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
