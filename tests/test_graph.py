@@ -448,3 +448,47 @@ def test_triangles_match_bruteforce_random(spark):
             for n in (x, y, z):
                 want[n] = want.get(n, 0) + 1
     assert _tri_counts(spark, edges) == want
+
+
+def _kcore_edges(spark, pairs, k):
+    from nvd2mysqlloader_spark.operators.graph import kcore
+    e = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in pairs], "a long, b long")
+    return {(r.a, r.b) for r in kcore(e.distinct(), k=k).collect()}
+
+
+def test_kcore_planted_shapes(spark):
+    # cycle: every node degree 2 -> whole cycle IS the 2-core
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    assert _kcore_edges(spark, cyc, 2) == {(min(u, v), max(u, v))
+                                           for u, v in cyc}
+    # tree: no cycle -> 2-core empty
+    tree = [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)]
+    assert _kcore_edges(spark, tree, 2) == set()
+    # cascade: a path hung off a triangle peels in MULTIPLE rounds
+    # (each round only exposes the next pendant), ending at the
+    # triangle alone — exercises the iterative fixpoint, not one pass
+    shape = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5)]
+    assert _kcore_edges(spark, shape, 2) == {(0, 1), (0, 2), (1, 2)}
+    # k=3: the triangle itself dies (degree 2 < 3)
+    assert _kcore_edges(spark, shape, 3) == set()
+
+
+def test_kcore_matches_bruteforce_random(spark):
+    import random
+    rng = random.Random(11)
+    nodes = list(range(25))
+    edges = {(u, v) for u in nodes for v in nodes
+             if u < v and rng.random() < 0.12}
+    want = set(edges)
+    while True:
+        deg = {}
+        for u, v in want:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 2}
+        nxt = {(u, v) for u, v in want if u in keep and v in keep}
+        if nxt == want:
+            break
+        want = nxt
+    assert _kcore_edges(spark, edges, 2) == want

@@ -134,3 +134,80 @@ def test_duplicate_spans_single_window_exchange(spark):
     p = _plan(QUERIES["duplicate_substring_spans"].fn(spark, SF_ORACLE))
     assert p.count("hashpartitioning(doc_id") <= 2  # window + reuse
     assert "CartesianProduct" not in p
+
+
+def test_prefix_filter_matches_bruteforce_random(spark):
+    """Randomized twin: 60 docs over a 12-word vocab (dense shingle
+    collisions — the adversarial regime for prefix selection) must
+    produce EXACTLY the brute-force Jaccard>=0.7 pair set."""
+    import random
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 25)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant a few near-identical pairs so the >=0.7 band is populated
+    for j in range(3):
+        base = " ".join(rng.choice(vocab) for _ in range(30))
+        rows.append((100 + 2 * j, base))
+        rows.append((101 + 2 * j, base + " " + rng.choice(vocab)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in prefix_filter_pairs(docs).collect()}
+    sets = {i: _shingles(t) for i, t in rows}
+    want = set()
+    for a_ in sets:
+        for b_ in sets:
+            if a_ < b_:
+                u = len(sets[a_] | sets[b_])
+                if u and len(sets[a_] & sets[b_]) / u >= 0.7:
+                    want.add((a_, b_))
+    assert got == want
+    assert want, "planted near-dup pairs must populate the band"
+
+
+def test_duplicate_spans_match_bruteforce_random(spark):
+    """Randomized twin for the span merge: random token lists with
+    planted shared passages, spans recomputed by a direct Python
+    implementation of anchor-marking + run-merging."""
+    import random
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(500)]      # big vocab: no chance dups
+    passage = [f"p{i}" for i in range(15)]
+    docs_tok = {}
+    for i in range(20):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        if i % 3 == 0:                         # plant the passage
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + passage + toks[pos:]
+        docs_tok[i] = toks
+    k = 8
+    grams = {}
+    for i, toks in docs_tok.items():
+        for p in range(len(toks) - k + 1):
+            grams.setdefault(" ".join(toks[p:p + k]), []).append((i, p))
+    dup_pos = {}
+    for g, occ in grams.items():
+        if len(occ) >= 2:
+            for i, p in occ:
+                dup_pos.setdefault(i, set()).add(p + 1)   # 1-based
+    want = set()
+    for i, ps in dup_pos.items():
+        run = []
+        for p in sorted(ps):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((i, run[0], run[-1] + k - 1,
+                              run[-1] - run[0] + k))
+                run = [p]
+        want.add((i, run[0], run[-1] + k - 1, run[-1] - run[0] + k))
+    from pyspark.sql import functions as F2
+    toks_df = spark.createDataFrame(
+        [(i, t) for i, t in docs_tok.items()],
+        "doc_id long, t array<string>")
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_len)
+           for r in duplicated_span_relation(toks_df).collect()}
+    assert got == want
+    assert want, "planted passages must produce spans"
