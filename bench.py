@@ -64,6 +64,8 @@ HEADLINE = sorted([
     "cusum_changepoints",
     # k-core peeling (cohesion family, iterative fixpoint)
     "copurchase_kcore",
+    # TextRank keywords (pagerank composed onto the word co-occurrence graph)
+    "textrank_keywords",
     "dedup_cluster_sizes",
     "dedup_cluster_sizes_logn",
     "cosine_topk",

@@ -78,13 +78,16 @@ def _decode_trade(col):
         (col / 2).cast("long").cast("string"))
 
 
-def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+def _pagerank_oracle(iters: int = _PR_ITERS, ctes: str = _GRAPH_CTES,
+                     top: int = 25) -> str:
     """Unroll the integer-fixed-point recurrence as chained CTEs —
     fixed iteration count makes PageRank plain (non-recursive) SQL,
     and BIGINT arithmetic makes it bit-identical to the Spark loop.
     CASTs pin DuckDB's HUGEINT sum results back to BIGINT so the
-    result schema matches Spark's LONG."""
-    parts = ["WITH" + _GRAPH_CTES + f""",
+    result schema matches Spark's LONG. ``ctes`` may swap in any
+    prologue defining ``edges (src, dst)`` + ``deg (src, outdeg)``
+    (the textrank word graph reuses this, mining-style)."""
+    parts = ["WITH" + ctes + f""",
     nn AS (SELECT count(*) AS n
            FROM (SELECT DISTINCT src FROM edges)),
     r0 AS (SELECT e.src AS node,
@@ -111,7 +114,7 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
              CROSS JOIN nn CROSS JOIN dang{i} dg)""")
     parts.append(f"""
     SELECT node, rank_fp FROM r{iters}
-    ORDER BY rank_fp DESC, node LIMIT 25""")
+    ORDER BY rank_fp DESC, node LIMIT {top}""")
     return "".join(parts)
 
 

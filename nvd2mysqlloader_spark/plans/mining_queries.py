@@ -632,3 +632,88 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (deg.orderBy(F.col("core_degree").desc(),
                         F.col("part").asc())
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) —
+# PageRank over the word co-occurrence graph, the classic
+# graph-based keyword extractor pretraining pipelines use for
+# unsupervised doc tagging. Pure composition: the co-occurrence
+# relation feeds the SAME exact-BIGINT pagerank operator and the
+# SAME unrolled oracle as the trade-graph ranking
+# (_pagerank_oracle(ctes=...)). Word nodes stay strings: the graph
+# is VOCABULARY-bounded (|V| = distinct tokens), so the long-key
+# shuffle discipline for unbounded id graphs does not apply.
+
+_TEXTRANK_WINDOW = 2
+_TEXTRANK_TOP = 20
+
+_TEXTRANK_CTES = f"""
+    tok AS MATERIALIZED (
+      SELECT doc_id, i AS pos, t[i] AS w
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(
+                     coalesce(text, ''), '\\s+'), x -> x <> '') AS t
+            FROM documents),
+           unnest(generate_series(1, len(t))) AS u(i)
+    ), cooc AS MATERIALIZED (
+      SELECT DISTINCT a.w AS src, b.w AS dst
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id
+       AND b.pos - a.pos BETWEEN 1 AND {_TEXTRANK_WINDOW}
+       AND a.w <> b.w
+    ), edges AS MATERIALIZED (
+      SELECT src, dst FROM cooc
+      UNION
+      SELECT dst AS src, src AS dst FROM cooc
+    ), deg AS MATERIALIZED (
+      SELECT src, count(*) AS outdeg FROM edges GROUP BY src)"""
+
+
+def _textrank_oracle() -> str:
+    from .linkgraph_queries import _pagerank_oracle
+    return _pagerank_oracle(ctes=_TEXTRANK_CTES, top=_TEXTRANK_TOP)
+
+
+@query(
+    "textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc=(
+        "TextRank keywords (Mihalcea & Tarau 2004): undirected word "
+        "co-occurrence graph (window 2, distinct pairs, both "
+        "orientations) ranked by the engine's exact-BIGINT pagerank "
+        "— the same operator and the same unrolled DuckDB oracle as "
+        "the trade-graph ranking, swapped onto a different edge "
+        "relation (operator reuse, not reimplementation). The "
+        "co-occurrence build is one position self-join per doc with "
+        "a <=window band; the graph itself is vocabulary-bounded, "
+        "so every per-iteration exchange is |V|+|E| rows regardless "
+        "of corpus size — at 100 TB the edge DERIVATION is the only "
+        "corpus-scale stage, and it partial-aggregates to the "
+        "distinct pair set map-side."
+    ),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+    from ..functions.text import tokens
+    from .linkgraph_queries import _PR_ITERS, _PR_TOTAL
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", tokens("text").alias("t"))
+           .select("doc_id", F.posexplode("t").alias("pos0", "w")))
+    a, b = tok.alias("a"), tok.alias("b")
+    cooc = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                   & (F.col("b.pos0") - F.col("a.pos0"))
+                   .between(1, _TEXTRANK_WINDOW)
+                   & (F.col("a.w") != F.col("b.w")))
+            .select(F.col("a.w").alias("src"),
+                    F.col("b.w").alias("dst"))
+            .distinct())
+    edges = (cooc.unionAll(cooc.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+             .distinct())
+    pr = pagerank(None, edges, id_col="id", iters=_PR_ITERS,
+                  total=_PR_TOTAL)
+    return (pr.select(F.col("id").alias("node"), "rank_fp")
+            .orderBy(F.col("rank_fp").desc(), "node")
+            .limit(_TEXTRANK_TOP))
