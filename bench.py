@@ -49,6 +49,9 @@ HEADLINE = sorted([
     "prefix_filter_jaccard_join",
     "duplicate_substring_spans",
     "phrase_search",
+    # asymmetric containment dedup (quote-inclusion; one-sided prefix
+    # filter + count-based candidates-only verify)
+    "containment_dup_pairs",
     # r7 mining family: market-basket rules (basket self-join +
     # top-20-by-lift heap), the IR eval harness (NDCG/MRR/P@10 of
     # the engine's own BM25 against an independent grade signal),

@@ -211,3 +211,63 @@ def test_duplicate_spans_match_bruteforce_random(spark):
            for r in duplicated_span_relation(toks_df).collect()}
     assert got == want
     assert want, "planted passages must produce spans"
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a much longer one: high
+    containment (the dedup signal) but LOW Jaccard — the asymmetric
+    relation must fire exactly where the symmetric one cannot, and
+    match a brute force over the same sets including the direction."""
+    from nvd2mysqlloader_spark.plans.setsim_queries import (
+        containment_pairs, prefix_filter_pairs)
+    quote = " ".join(f"q{i}" for i in range(12))
+    rows = [
+        (1, quote),                                       # the short doc
+        (2, " ".join(f"l{i}" for i in range(40)) + " " + quote
+            + " " + " ".join(f"r{i}" for i in range(40))),  # quotes it
+        (3, " ".join(f"z{i}" for i in range(30))),          # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(docs).collect()}
+    sets = {i: _shingles(t) for i, t in rows}
+    want = {}
+    for a_ in sets:
+        for b_ in sets:
+            if a_ != b_ and sets[a_]:
+                c = len(sets[a_] & sets[b_]) / len(sets[a_])
+                if c >= 0.8:
+                    want[(a_, b_)] = c
+    assert got == want
+    assert (1, 2) in got and (2, 1) not in got   # direction matters
+    # and Jaccard at 0.7 misses the pair entirely
+    jac = {(r.id_a, r.id_b)
+           for r in prefix_filter_pairs(docs).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_containment_matches_bruteforce_random(spark):
+    """Randomized twin over a dense small vocab (adversarial for the
+    one-sided prefix): exact ordered-pair equality with brute force."""
+    import random
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = []
+    for i in range(50):
+        n = rng.randint(0, 20)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant containment: short docs embedded in longer ones
+    for j in range(3):
+        core = [rng.choice(vocab) for _ in range(10)]
+        pad = [rng.choice(vocab) for _ in range(25)]
+        rows.append((200 + 2 * j, " ".join(core)))
+        rows.append((201 + 2 * j, " ".join(pad[:12] + core + pad[12:])))
+    from nvd2mysqlloader_spark.plans.setsim_queries import containment_pairs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in containment_pairs(docs).collect()}
+    sets = {i: _shingles(t) for i, t in rows}
+    want = {(a_, b_) for a_ in sets for b_ in sets
+            if a_ != b_ and sets[a_]
+            and len(sets[a_] & sets[b_]) / len(sets[a_]) >= 0.8}
+    assert got == want
+    assert want, "planted quote-inclusions must populate the result"
