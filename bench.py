@@ -69,6 +69,9 @@ HEADLINE = sorted([
     "copurchase_kcore",
     # TextRank keywords (pagerank composed onto the word co-occurrence graph)
     "textrank_keywords",
+    # cross-source quantile normalization + first/last-touch attribution
+    "quantile_normalize_scores",
+    "purchase_attribution",
     "dedup_cluster_sizes",
     "dedup_cluster_sizes_logn",
     "cosine_topk",

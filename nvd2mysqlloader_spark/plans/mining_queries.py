@@ -717,3 +717,147 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pr.select(F.col("id").alias("node"), "rank_fp")
             .orderBy(F.col("rank_fp").desc(), "node")
             .limit(_TEXTRANK_TOP))
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization of quality scores across sources — the
+# curation step that makes per-source quality thresholds comparable:
+# each source's score distribution is mapped rank-for-rank onto a
+# REFERENCE source's distribution (the cross-batch form of quantile
+# normalization used in quality-score calibration). Normalizing to a
+# reference (not to the pooled global distribution) keeps every
+# ranking window PARTITIONED by source — no unpartitioned global
+# sort anywhere, the same discipline as every other window in this
+# repo; at 100 TB each source ranks independently and only the
+# (rank -> value) map of the one reference source joins back.
+
+
+@query(
+    "quantile_normalize_scores",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+      FROM documents
+    ), ref_name AS (
+      SELECT min(source) AS ref FROM scored
+    ), ranked AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n_s
+      FROM scored
+    ), ref_map AS (
+      SELECT k.r AS g, k.score AS norm_score, k.n_s AS n_ref
+      FROM ranked k CROSS JOIN ref_name
+      WHERE k.source = ref_name.ref
+    )
+    SELECT t.doc_id, t.source, t.score, m.norm_score
+    FROM ranked t
+    JOIN ref_map m
+      ON m.g = (t.r * m.n_ref + t.n_s - 1) // t.n_s
+    """,
+    doc=(
+        "cross-source quantile normalization of quality scores "
+        "(score = n_chars as the length-quality proxy): each "
+        "source's rank-r score maps to the reference source's value "
+        "at rank ceil(r*n_ref/n_s) — rank-for-rank distribution "
+        "matching in pure integer arithmetic (the value-at-ceil "
+        "discipline of percentile_disc / quality_band_filter). Every "
+        "window is PARTITIONED by source (one exchange serves "
+        "row_number and the count frame); the reference (rank -> "
+        "value) map is |n_ref| rows joined back on the computed "
+        "rank. Ties break by doc_id identically in both engines."
+    ),
+)
+def quantile_normalize_scores(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source",
+                         F.col("n_chars").cast("long").alias("score"))
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = (scored
+              .withColumn("r", F.row_number().over(w))
+              .withColumn("n_s", F.count(F.lit(1)).over(
+                  Window.partitionBy("source"))))
+    ranked = _cut(ranked)
+    ref_name = ranked.agg(F.min("source").alias("ref"))
+    ref_map = (ranked.join(F.broadcast(ref_name),
+                           ranked["source"] == F.col("ref"))
+               .select(F.col("r").alias("g"),
+                       F.col("score").alias("norm_score"),
+                       F.col("n_s").alias("n_ref")))
+    g = F.floor((F.col("r") * F.col("n_ref") + F.col("n_s") - 1)
+                / F.col("n_s")).cast("long")
+    t = ranked.select("doc_id", "source", "score", "r", "n_s")
+    return (t.crossJoin(F.broadcast(ref_map.select("n_ref").limit(1)))
+            .withColumn("g", g)
+            .join(ref_map.select("g", "norm_score"), "g")
+            .select("doc_id", "source", "score", "norm_score"))
+
+
+# ---------------------------------------------------------------------------
+# Marketing-style conversion attribution: for every purchase, the
+# user's FIRST and LAST click in the preceding 24h — first-touch /
+# last-touch attribution, the classic event-analytics join that
+# needs no join at all: conditional MIN/MAX over a VALUE-based RANGE
+# frame (epoch-µs) per user. Value-based frames make tie handling
+# engine-independent (all rows at equal ts enter the frame
+# regardless of physical order), the same discipline as
+# rolling_time_range.
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "purchase_attribution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+      FROM events
+    ), attributed AS (
+      SELECT event_id, user_id, event_type, t_us,
+             min(CASE WHEN event_type = 'click' THEN t_us END)
+               OVER (PARTITION BY user_id ORDER BY t_us
+                     RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                           AND CURRENT ROW) AS first_click_us,
+             max(CASE WHEN event_type = 'click' THEN t_us END)
+               OVER (PARTITION BY user_id ORDER BY t_us
+                     RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                           AND CURRENT ROW) AS last_click_us
+      FROM ev
+    )
+    SELECT event_id, user_id, CAST(t_us AS BIGINT) AS t_us,
+           CAST(first_click_us AS BIGINT) AS first_click_us,
+           CAST(last_click_us AS BIGINT) AS last_click_us
+    FROM attributed WHERE event_type = 'purchase'
+    """,
+    doc=(
+        "first-touch / last-touch purchase attribution: conditional "
+        "MIN/MAX of click timestamps over a 24h VALUE-based RANGE "
+        "frame per user (epoch-µs) — no self-join, one user_id "
+        "exchange shared by both frames (same window spec), and "
+        "value-based framing makes equal-timestamp ties "
+        "engine-independent by construction. Purchases with no click "
+        "in the window carry NULLs identically in both engines. The "
+        "funnel family's attribution member (funnel_conversion "
+        "answers did-they-convert; this answers which-touch-gets-"
+        "credit)."
+    ),
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.unix_micros("ts").alias("t_us")))
+    w = (Window.partitionBy("user_id").orderBy("t_us")
+         .rangeBetween(-_ATTR_WINDOW_US, 0))
+    click_ts = F.when(F.col("event_type") == "click", F.col("t_us"))
+    out = (ev
+           .withColumn("first_click_us", F.min(click_ts).over(w))
+           .withColumn("last_click_us", F.max(click_ts).over(w))
+           .filter(F.col("event_type") == "purchase"))
+    return out.select("event_id", "user_id",
+                      F.col("t_us").cast("long").alias("t_us"),
+                      F.col("first_click_us").cast("long")
+                      .alias("first_click_us"),
+                      F.col("last_click_us").cast("long")
+                      .alias("last_click_us"))

@@ -264,3 +264,69 @@ def test_textrank_hub_word_outranks_periphery(spark, tmp_path):
         _TEXTRANK_WINDOW
     assert _TEXTRANK_WINDOW == 2
     assert "x" in nodes
+
+
+def test_quantile_normalize_reference_is_identity_and_maps_shift(
+        spark, tmp_path):
+    """The reference source (lexicographic min) must map rank-for-rank
+    to ITSELF (g = ceil(r*n_ref/n_ref) = r — an exact identity), and
+    a shifted second source's normalized values must all come from
+    the reference's value set, preserving rank order."""
+    import os
+    rows = []
+    # srcA (reference): scores 10,20,...,100 ; srcB: 1010..1100
+    for i in range(10):
+        rows.append((i, "srcA", "x", "en", (i + 1) * 10))
+        rows.append((100 + i, "srcB", "x", "en", 1010 + i * 10))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in
+           QUERIES["quantile_normalize_scores"].fn(spark, d).collect()}
+    a_vals = sorted((i + 1) * 10 for i in range(10))
+    for i in range(10):
+        assert out[i].norm_score == out[i].score          # identity
+        assert out[100 + i].norm_score == a_vals[i]       # rank map
+    # order preserved: B's normalized scores ascend with B's raw
+    bs = [out[100 + i] for i in range(10)]
+    assert all(x.norm_score < y.norm_score
+               for x, y in zip(bs, bs[1:]))
+
+
+def test_purchase_attribution_window_and_ties(spark, tmp_path):
+    """Planted timeline: a click 25h before the purchase is OUTSIDE
+    the 24h window; clicks inside map to first/last touch; a click at
+    the exact purchase timestamp counts (value-based frame); a
+    purchase with no click carries NULLs."""
+    import datetime
+    import os
+    base = datetime.datetime(2024, 1, 2, 0, 0, 0)
+
+    def at(h):
+        return base + datetime.timedelta(hours=h)
+
+    rows = [
+        (1, at(-25), 1, "click", 1.0, "{}"),     # outside 24h
+        (2, at(-23), 1, "click", 1.0, "{}"),     # first touch
+        (3, at(-1), 1, "click", 1.0, "{}"),      # later touch
+        (4, at(0), 1, "click", 1.0, "{}"),       # tie with purchase
+        (5, at(0), 1, "purchase", 9.0, "{}"),
+        (6, at(0), 2, "purchase", 9.0, "{}"),    # no clicks at all
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    ev.write.parquet(d + "/events.parquet")
+    out = {r.event_id: r for r in
+           QUERIES["purchase_attribution"].fn(spark, d).collect()}
+    us = lambda h: int((at(h) - datetime.datetime(1970, 1, 1)
+                        ).total_seconds() * 1_000_000)
+    assert out[5].first_click_us == us(-23)      # -25h excluded
+    assert out[5].last_click_us == us(0)         # the tied click
+    assert out[6].first_click_us is None
+    assert out[6].last_click_us is None

@@ -482,6 +482,8 @@ _SCALAR_BNLJ_OK = {
     "association_rules", "retrieval_eval_metrics",
     # 1-row anchor/diff aggregates assembled into the verdict row
     "bm25_search_indexed",
+    # 1-row reference-size scalar broadcast into the rank mapping
+    "quantile_normalize_scores",
 }
 
 
