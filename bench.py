@@ -72,6 +72,8 @@ HEADLINE = sorted([
     # cross-source quantile normalization + first/last-touch attribution
     "quantile_normalize_scores",
     "purchase_attribution",
+    # per-series OLS value trend (exact moments)
+    "per_type_value_trend",
     "dedup_cluster_sizes",
     "dedup_cluster_sizes_logn",
     "cosine_topk",

@@ -861,3 +861,87 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("first_click_us"),
                       F.col("last_click_us").cast("long")
                       .alias("last_click_us"))
+
+
+# ---------------------------------------------------------------------------
+# Per-series OLS trend — slope/intercept of event value over time,
+# the metric-drift rollup beside cusum_changepoints (CUSUM detects
+# WHEN a rate shifted; this quantifies the value trend). Exact-
+# moment discipline from corr_quantity_price: cents-quantized y,
+# per-series-rebased x in whole SECONDS (per-row x*x stays far
+# inside BIGINT in both engines — raw epoch-µs squared would
+# overflow DuckDB's BIGINT multiply), DECIMAL(38,0) partial sums,
+# and slope/intercept each ONE shared double expression rounded 6dp.
+
+_SLOPE_EXPR = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+)
+_ICEPT_EXPR = (
+    "round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "per_type_value_trend",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ), base AS (
+      SELECT event_type, min(t_us) AS t0 FROM ev GROUP BY event_type
+    ), xy AS (
+      SELECT ev.event_type,
+             (ev.t_us - base.t0) // 1000000 AS x, ev.y
+      FROM ev JOIN base USING (event_type)
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+           {_SLOPE_EXPR} AS slope_cents_per_sec,
+           {_ICEPT_EXPR} AS intercept_cents
+    FROM m
+    """,
+    doc=(
+        "per-event-type OLS trend of value over time: y in exact "
+        "cents, x in whole seconds REBASED to each series' first "
+        "event (two-pass min + broadcast join-back — raw epoch-µs "
+        "squared would overflow 64-bit per-row products in both "
+        "engines), five moments as order-independent DECIMAL(38,0) "
+        "partials, slope and intercept each one shared double "
+        "expression over the exact moments rounded 6dp (the "
+        "corr_quantity_price discipline — never regr_slope() over "
+        "doubles, whose accumulation order the engine picks). Two "
+        "partial-aggregating exchanges total at any scale."
+    ),
+)
+def per_type_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+          .select("event_type", F.unix_micros("ts").alias("t_us"),
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("y")))
+    base = ev.groupBy("event_type").agg(F.min("t_us").alias("t0"))
+    xy = (ev.join(F.broadcast(base), "event_type")
+          .select("event_type",
+                  F.expr("(t_us - t0) div 1000000").alias("x"), "y"))
+    dec = "decimal(38,0)"
+    x, y = F.col("x"), F.col("y")
+    m = (xy.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x.cast(dec)).alias("sx"),
+              F.sum(y.cast(dec)).alias("sy"),
+              F.sum((x * y).cast(dec)).alias("sxy"),
+              F.sum((x * x).cast(dec)).alias("sxx")))
+    return m.select("event_type", F.col("n").alias("n_rows"),
+                    F.expr(_SLOPE_EXPR).alias("slope_cents_per_sec"),
+                    F.expr(_ICEPT_EXPR).alias("intercept_cents"))

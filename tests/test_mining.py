@@ -330,3 +330,29 @@ def test_purchase_attribution_window_and_ties(spark, tmp_path):
     assert out[5].last_click_us == us(0)         # the tied click
     assert out[6].first_click_us is None
     assert out[6].last_click_us is None
+
+
+def test_value_trend_recovers_planted_line_exactly(spark, tmp_path):
+    """A noiseless planted line y = 3.5 + 0.02*x_sec must come back
+    with slope 0.02 $/s = 2.0 cents/s and intercept 350 cents
+    EXACTLY (6dp); a planted flat series returns slope 0."""
+    import datetime
+    import os
+    base = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for s in range(0, 600, 60):               # one point per minute
+        ts = base + datetime.timedelta(seconds=s)
+        rows.append((eid, ts, 1, "lin", 3.5 + 0.02 * s, "{}")); eid += 1
+        rows.append((eid, ts, 1, "flat", 7.25, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    ev.write.parquet(d + "/events.parquet")
+    got = {r.event_type: r for r in
+           QUERIES["per_type_value_trend"].fn(spark, d).collect()}
+    assert got["lin"].slope_cents_per_sec == 2.0
+    assert got["lin"].intercept_cents == 350.0
+    assert got["flat"].slope_cents_per_sec == 0.0
+    assert got["flat"].intercept_cents == 725.0
