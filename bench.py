@@ -27,11 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from nvd2mysqlloader_spark.plans import QUERIES            # noqa: E402
 from nvd2mysqlloader_spark.session import get_spark        # noqa: E402
 
-# Representative slice of the 100+ query surface, one-per-family plus
-# the heaviest ops. Kept to ~40 entries so the single stdout JSON line
-# stays well under 2 KB: the round-1 driver recorded only the last ~2 KB
-# of output and failed to parse the full-surface (~3 KB) line
-# (BENCH_r01.json: tail begins mid-JSON, parsed=null).
+# Representative slice of the query surface, one-per-family plus the
+# heaviest ops. The list may grow freely: the stdout JSON record is
+# SIZE-BOUNDED separately (top-40 queries + totals, asserted <1900 B
+# in main) because the driver keeps only the last ~2 KB of stdout —
+# BENCH_r01 and BENCH_r06 both recorded parsed=null when the full
+# map outgrew that window; the full per-query map goes to
+# bench_detail.json every run.
 #
 # Queries run in ALPHABETICAL order with ONE uniform timing policy
 # (see main): no per-query ordering, warmup, or repeat-count tuning —
@@ -338,18 +340,36 @@ def main() -> None:
     print(f"# calibration(end): {calib_end:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    calib = {"start_sec": calib_start, "end_sec": calib_end}
+    # The external driver keeps only the LAST ~2000 chars of stdout and
+    # parses THAT as the JSON record (BENCH_r06 exceeded it: the full
+    # 82-entry map pushed the line to ~2.6 KB and the driver stored
+    # parsed=null with a mid-JSON tail). The stdout line therefore
+    # carries the totals + calibration + the TOP-40 queries by time
+    # (deterministic: largest first, name tie-break) and stays well
+    # under the cap; the FULL per-query map lands in bench_detail.json
+    # beside the repo (gitignored — regenerated every run).
+    top = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:40])
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as f:
+        json.dump({"metric": "headline_suite_runtime", "value": total,
+                   "unit": "sec", "queries": timings, "sf": sf,
+                   "calibration": calib}, f)
+    line = json.dumps({
         "metric": "headline_suite_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
+        "queries": top,
         "sf": sf,
         # ambient-host-noise probe (see calibrate()): quiet-window
         # reference value lives in PLANS.md — a sweep whose calibration
         # reads far above it was measured under co-tenant contention
         # and its per-query deltas are not comparable round-over-round
-        "calibration": {"start_sec": calib_start, "end_sec": calib_end},
-    }))
+        "calibration": calib,
+    }, separators=(",", ":"))
+    assert len(line) < 1900, f"stdout record {len(line)}B risks tail cut"
+    print(line)
     spark.stop()
 
 

@@ -537,7 +537,10 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10,
     e = cut_lineage(edges.select(F.col(a).alias("x"),
                                  F.col(b).alias("y")))
     n_prev = e.count()
+    stable = n_prev == 0
     for _ in range(max_rounds):
+        if stable:
+            break
         deg = (e.select(F.col("x").alias("n"))
                .unionAll(e.select(F.col("y").alias("n")))
                .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
@@ -548,6 +551,14 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10,
              .select("x", "y"))
         n_now = e.count()
         if n_now == n_prev:      # monotone => count-stable == set-stable
-            break
+            stable = True
         n_prev = n_now
+    if not stable:
+        # A silent partial peel would violate the documented contract
+        # (every node degree >= k) — same fail-loud discipline as
+        # connected_components. Long pendant-path cascades peel one
+        # node per round; raise rather than return a non-core.
+        raise RuntimeError(
+            f"kcore did not converge within max_rounds={max_rounds}; "
+            f"raise max_rounds (edge count still changing: {n_prev})")
     return e.select(F.col("x").alias(a), F.col("y").alias(b))

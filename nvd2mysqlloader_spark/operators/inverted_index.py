@@ -81,16 +81,26 @@ def write_inverted_index(docs: DataFrame, path: str) -> None:
     pre-aggregated (token, doc_id, tf) partials, never raw text.
     """
     toks = F.filter(F.split("text", " "), lambda x: x != "")
-    base = docs.select("doc_id", toks.alias("toks"))
-    dl = base.select("doc_id", F.size("toks").cast("bigint").alias("doclen"))
-    postings = (base.select("doc_id", F.explode("toks").alias("token"))
-                .groupBy("token", "doc_id")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-                .withColumn("bucket",
-                            F.pmod(F.xxhash64("token"),
-                                   F.lit(N_BUCKETS)).cast("int")))
-    postings.write.partitionBy("bucket").parquet(path + "/postings")
-    dl.write.parquet(path + "/doclen")
+    # tokenize ONCE for both writes: without the persist each write
+    # job re-executes the corpus scan + split/filter (the build is a
+    # build-once operation, but 2x the corpus text pass is still 2x).
+    # NOT derived from the written postings: zero-token docs have no
+    # postings but MUST appear in the sidecar with doclen 0, or the
+    # probe's n_docs/avgdl would drift from the direct path's.
+    base = docs.select("doc_id", toks.alias("toks")).persist()
+    try:
+        postings = (base.select("doc_id", F.explode("toks").alias("token"))
+                    .groupBy("token", "doc_id")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+                    .withColumn("bucket",
+                                F.pmod(F.xxhash64("token"),
+                                       F.lit(N_BUCKETS)).cast("int")))
+        postings.write.partitionBy("bucket").parquet(path + "/postings")
+        dl = base.select("doc_id",
+                         F.size("toks").cast("bigint").alias("doclen"))
+        dl.write.parquet(path + "/doclen")
+    finally:
+        base.unpersist()
 
 
 def bm25_topk_from_index(spark: SparkSession, path: str,

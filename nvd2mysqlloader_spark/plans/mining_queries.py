@@ -52,9 +52,15 @@ _TOP_RULES = 20
     "association_rules",
     oracle=f"""
     WITH item_events AS (
+      -- NULL items (props without '$.k') are dropped BEFORE the cap
+      -- ranking: Spark's ASC sort puts NULLs first while DuckDB's
+      -- default puts them last, so an unguarded NULL at the cap
+      -- boundary would displace a different real item per engine
       SELECT user_id, json_extract_string(props, '$.k') AS item,
              count(*) AS n_ev
-      FROM events GROUP BY user_id, json_extract_string(props, '$.k')
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY user_id, json_extract_string(props, '$.k')
     ), basket AS (
       SELECT user_id, item FROM (
         SELECT user_id, item,
@@ -118,6 +124,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_events = (ev
                    .select("user_id",
                            F.get_json_object("props", "$.k").alias("item"))
+                   .filter(F.col("item").isNotNull())
                    .groupBy("user_id", "item")
                    .agg(F.count(F.lit(1)).alias("n_ev")))
     basket = (item_events
@@ -382,10 +389,11 @@ def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MIN_W = 2
 _TRI_TOP = 20
 
-
-@query(
-    "copurchase_triangles",
-    oracle=f"""
+# SHARED edge derivation — the SQL prologue and the Spark builder are
+# single-sourced so copurchase_triangles and copurchase_kcore can
+# never silently rank different graphs (a threshold change lands on
+# both or neither). Canonical x < y pairs, weight >= _TRI_MIN_W.
+_COPURCHASE_EDGE_CTES = f"""
     WITH li AS (
       SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
     ), e AS (
@@ -393,7 +401,25 @@ _TRI_TOP = 20
       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
       GROUP BY a.p, b.p
       HAVING count(*) >= {_TRI_MIN_W}
-    ), tri AS (
+    )"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")))
+    a, b = li.alias("a"), li.alias("b")
+    return (a.join(b, (F.col("a.o") == F.col("b.o"))
+                   & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= _TRI_MIN_W)
+            .select("x", "y"))
+
+
+@query(
+    "copurchase_triangles",
+    oracle=_COPURCHASE_EDGE_CTES + f""", tri AS (
       SELECT e1.x AS u, e1.y AS v1, e2.y AS v2
       FROM e e1
       JOIN e e2 ON e1.y = e2.x
@@ -426,17 +452,8 @@ _TRI_TOP = 20
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_participation
 
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("p")))
-    a, b = li.alias("a"), li.alias("b")
-    edges = (a.join(b, (F.col("a.o") == F.col("b.o"))
-                    & (F.col("a.p") < F.col("b.p")))
-             .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
-             .agg(F.count(F.lit(1)).alias("w"))
-             .filter(F.col("w") >= _TRI_MIN_W)
-             .select("x", "y"))
-    out = triangle_participation(edges, a="x", b="y")
+    out = triangle_participation(_copurchase_edges(spark, sf_dir),
+                                 a="x", b="y")
     return (out.select(F.col("node").alias("part"), "n_triangles")
             .orderBy(F.col("n_triangles").desc(), F.col("part").asc())
             .limit(_TRI_TOP))
@@ -566,14 +583,12 @@ _KCORE_ROUNDS = 10
 
 
 def _kcore_oracle() -> str:
-    parts = [f"""
-    WITH li AS (
-      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ), e0 AS MATERIALIZED (
-      SELECT a.p AS x, b.p AS y
-      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
-      GROUP BY a.p, b.p
-      HAVING count(*) >= 2)"""]
+    # e0 re-materializes the SHARED edge CTE (single-sourced with
+    # copurchase_triangles via _COPURCHASE_EDGE_CTES): the unrolled
+    # rounds reference e0 three times each, so inlining would expand
+    # 3^rounds base scans (surfaced as too-many-open-files).
+    parts = [_COPURCHASE_EDGE_CTES
+             + ", e0 AS MATERIALIZED (SELECT x, y FROM e)"]
     for i in range(1, _KCORE_ROUNDS + 1):
         parts.append(f""",
     d{i} AS MATERIALIZED (
@@ -613,18 +628,8 @@ def _kcore_oracle() -> str:
 def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore
 
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("p")))
-    a, b = li.alias("a"), li.alias("b")
-    edges = (a.join(b, (F.col("a.o") == F.col("b.o"))
-                    & (F.col("a.p") < F.col("b.p")))
-             .groupBy(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
-             .agg(F.count(F.lit(1)).alias("w"))
-             .filter(F.col("w") >= 2)
-             .select("x", "y"))
-    core = kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS,
-                 a="x", b="y")
+    core = kcore(_copurchase_edges(spark, sf_dir), k=_KCORE_K,
+                 max_rounds=_KCORE_ROUNDS, a="x", b="y")
     deg = (core.select(F.col("x").alias("part"))
            .unionAll(core.select(F.col("y").alias("part")))
            .groupBy("part")
@@ -873,17 +878,23 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overflow DuckDB's BIGINT multiply), DECIMAL(38,0) partial sums,
 # and slope/intercept each ONE shared double expression rounded 6dp.
 
+# Zero-x-variance guard (a series with one event, or every event in
+# the same rebased second): the denominator is exactly 0 and Spark's
+# 0.0/0.0 (NaN) vs DuckDB's can differ — an explicit CASE makes the
+# degenerate series NULL identically in both engines.
+_TREND_DEN = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+              " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
 _SLOPE_EXPR = (
+    f"CASE WHEN {_TREND_DEN} = 0.0 THEN NULL ELSE "
     "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+    f" / {_TREND_DEN}, 6) END"
 )
 _ICEPT_EXPR = (
+    f"CASE WHEN {_TREND_DEN} = 0.0 THEN NULL ELSE "
     "round((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))"
-    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+    f" / {_TREND_DEN}, 6) END"
 )
 
 

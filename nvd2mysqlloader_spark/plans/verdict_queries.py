@@ -94,6 +94,7 @@ def simhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     fp = (docs.select("doc_id", simhash64(tokens("text")).alias("fp"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+    blocked = None
     try:
         a, b = fp.alias("a"), fp.alias("b")
         ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
@@ -125,6 +126,8 @@ def simhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cut_lineage(verdict)
     finally:
         fp.unpersist()
+        if blocked is not None:
+            blocked.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -211,6 +214,7 @@ def semantic_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
           .persist(StorageLevel.MEMORY_AND_DISK))
     pairs = (cosine_near_dup(spark, sf_dir).select("id_a", "id_b")
              .persist(StorageLevel.MEMORY_AND_DISK))
+    endpoints = None
     try:
         edges = pairs.select(F.col("id_a").alias("src"),
                              F.col("id_b").alias("dst"))
@@ -243,6 +247,8 @@ def semantic_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sd.unpersist()
         pairs.unpersist()
+        if endpoints is not None:
+            endpoints.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -492,3 +492,21 @@ def test_kcore_matches_bruteforce_random(spark):
             break
         want = nxt
     assert _kcore_edges(spark, edges, 2) == want
+
+
+def test_kcore_raises_on_non_convergence(spark):
+    """A long pendant path peels ONE node per round; with max_rounds
+    too small the operator must raise rather than silently return a
+    partially-peeled non-core (the review finding this pins)."""
+    import pytest
+    from nvd2mysqlloader_spark.operators.graph import kcore
+    path_on_triangle = [(0, 1), (0, 2), (1, 2)] + [
+        (i, i + 1) for i in range(2, 14)]
+    e = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in path_on_triangle],
+        "a long, b long").distinct()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(e, k=2, max_rounds=3)
+    # and with enough rounds the same graph resolves to the triangle
+    core = {(r.a, r.b) for r in kcore(e, k=2, max_rounds=20).collect()}
+    assert core == {(0, 1), (0, 2), (1, 2)}

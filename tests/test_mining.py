@@ -115,12 +115,12 @@ def test_retrieval_metrics_are_live_and_discriminative(spark):
 
 def test_rules_topk_heap_and_broadcast_supports(spark):
     """Top-20-by-lift must be a rank-bounded heap, never a full
-    sort, and the item-support/user-count scalars must broadcast."""
+    sort, and the item-support/user-count scalars must broadcast —
+    no sort-merge join anywhere in the plan."""
     p = _plan(QUERIES["association_rules"].fn(spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p.split("TakeOrderedAndProject")[0] \
-        or "SortMergeJoin" not in p
+    assert "SortMergeJoin" not in p
 
 
 def test_metrics_no_corpus_global_sort(spark):
