@@ -349,26 +349,42 @@ def main() -> None:
     # (deterministic: largest first, name tie-break) and stays well
     # under the cap; the FULL per-query map lands in bench_detail.json
     # beside the repo (gitignored — regenerated every run).
-    top = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:40])
+    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as f:
         json.dump({"metric": "headline_suite_runtime", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf,
                    "calibration": calib}, f)
-    line = json.dumps({
-        "metric": "headline_suite_runtime",
-        "value": total,
-        "unit": "sec",
-        "n_queries": len(timings),
-        "queries": top,
-        "sf": sf,
-        # ambient-host-noise probe (see calibrate()): quiet-window
-        # reference value lives in PLANS.md — a sweep whose calibration
-        # reads far above it was measured under co-tenant contention
-        # and its per-query deltas are not comparable round-over-round
-        "calibration": calib,
-    }, separators=(",", ":"))
-    assert len(line) < 1900, f"stdout record {len(line)}B risks tail cut"
+
+    def record(top_n: int) -> str:
+        return json.dumps({
+            "metric": "headline_suite_runtime",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "queries": dict(ranked[:top_n]),
+            "sf": sf,
+            # ambient-host-noise probe (see calibrate()): quiet-window
+            # reference value lives in PLANS.md — a sweep whose
+            # calibration reads far above it was measured under
+            # co-tenant contention and its per-query deltas are not
+            # comparable round-over-round
+            "calibration": calib,
+        }, separators=(",", ":"))
+
+    # Shrink ADAPTIVELY to the driver's ~2000 B stdout-tail budget:
+    # never abort a finished (expensive) sweep over record size — drop
+    # trailing top-N entries until the line fits, and note how many on
+    # stderr (the full map always survives in bench_detail.json).
+    top_n = min(40, len(ranked))
+    line = record(top_n)
+    while len(line) >= 1900 and top_n > 0:
+        top_n -= 1
+        line = record(top_n)
+    if top_n < min(40, len(ranked)):
+        print(f"# stdout record shrunk to top-{top_n} queries "
+              f"({len(line)}B) to fit the 1900B tail budget",
+              file=sys.stderr)
     print(line)
     spark.stop()
 

@@ -538,7 +538,12 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10,
                                  F.col(b).alias("y")))
     n_prev = e.count()
     stable = n_prev == 0
-    for _ in range(max_rounds):
+    # max_rounds budgets the PEELS; stability is only observable one
+    # no-op round AFTER the last effective peel, so allow that extra
+    # confirmation round — a cascade of depth exactly max_rounds must
+    # converge, not raise spuriously (the confirmation peel is
+    # idempotent on a stable set, so it cannot change the result).
+    for _ in range(max_rounds + 1):
         if stable:
             break
         deg = (e.select(F.col("x").alias("n"))

@@ -791,8 +791,11 @@ def quantile_normalize_scores(spark: SparkSession,
                .select(F.col("r").alias("g"),
                        F.col("score").alias("norm_score"),
                        F.col("n_s").alias("n_ref")))
-    g = F.floor((F.col("r") * F.col("n_ref") + F.col("n_s") - 1)
-                / F.col("n_s")).cast("long")
+    # Exact integer ceiling-division (`div` stays in BIGINT) — the
+    # double-division + floor form is exact only while r*n_ref < 2^53,
+    # which a 100 TB corpus exceeds; the oracle's `//` is integer, so
+    # both engines now share the same arithmetic at any scale.
+    g = F.expr("(r * n_ref + n_s - 1) div n_s").cast("long")
     t = ranked.select("doc_id", "source", "score", "r", "n_s")
     return (t.crossJoin(F.broadcast(ref_map.select("n_ref").limit(1)))
             .withColumn("g", g)

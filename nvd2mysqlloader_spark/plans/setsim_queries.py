@@ -195,7 +195,8 @@ def dominant_phrase_matches(toks: DataFrame) -> DataFrame:
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
              AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    WHERE len(a.s) > 0 AND len(b.s) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
           >= CAST({_T_NUM} AS DOUBLE) / {_T_DEN}
     """,

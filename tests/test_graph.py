@@ -510,3 +510,21 @@ def test_kcore_raises_on_non_convergence(spark):
     # and with enough rounds the same graph resolves to the triangle
     core = {(r.a, r.b) for r in kcore(e, k=2, max_rounds=20).collect()}
     assert core == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_kcore_depth_exactly_max_rounds_converges(spark):
+    """A cascade whose peel depth EQUALS max_rounds must converge:
+    stability is only observable one no-op round after the last
+    effective peel, and kcore grants that confirmation round rather
+    than counting it against the peel budget (ADVICE r7 finding —
+    pre-fix this raised spuriously while the unrolled oracle returned
+    the correct core)."""
+    from nvd2mysqlloader_spark.operators.graph import kcore
+    # pendant chain of length 4 off a triangle: rounds peel exactly
+    # one chain node each -> 4 effective peels, stable on round 5
+    shape = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    e = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in shape],
+        "a long, b long").distinct()
+    core = {(r.a, r.b) for r in kcore(e, k=2, max_rounds=4).collect()}
+    assert core == {(0, 1), (0, 2), (1, 2)}
