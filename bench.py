@@ -44,6 +44,9 @@ HEADLINE = sorted([
     "minhash_near_dup",
     "simhash_near_dup",
     "ngram_jaccard_pairs",
+    # r8: the persisted-signature-table dedup probe (full build+probe+
+    # rebuild-verify cycle, the dedup twin of ann_topk_pq_indexed)
+    "minhash_incremental_dedup",
     # r7 set-similarity/substring/phrase family: the prefix-filtered
     # exact Jaccard join (the PPJoin-style scale path whose naive
     # twin is ngram_jaccard_pairs), suffix-array-style maximal

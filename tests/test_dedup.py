@@ -240,6 +240,38 @@ def test_incremental_minhash_matches_full_corpus(spark, tmp_path):
     sh.unpersist()
 
 
+def test_incremental_probe_plan_never_reshingles_corpus(spark, tmp_path):
+    """Plan pin for the minhash_incremental_dedup operating mode: the
+    probe's physical plan reads the CORPUS side from the persisted
+    signature parquet — exactly one parquet scan, zero Python/Arrow
+    eval nodes (the new batch's shingling+hashing was materialized
+    before the probe; the corpus is never re-shingled or re-hashed)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates, write_signature_table)
+    from nvd2mysqlloader_spark.plans.sketch_queries import _shingled
+
+    sh = _shingled(spark, SF_ORACLE)
+    old = sh.filter(F.col("doc_id") % 5 != 0)
+    new = sh.filter(F.col("doc_id") % 5 == 0)
+    sig_path = str(tmp_path / "sigs")
+    write_signature_table(old, sig_path, mode="overwrite")
+
+    probe = incremental_minhash_candidates(spark, sig_path, new)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    # node-detail headers "(N) Scan parquet" — one per physical scan
+    # (the tree section repeats each node, so count headers not text)
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_cosine_candidate_pairs_blocked_matches_broadcast(spark):
     """The blocked block-pair matmul (the 100 TB path: bounded task
     memory, no full-corpus gather) finds exactly the broadcast path's
