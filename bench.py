@@ -288,6 +288,58 @@ def bench_ingest(spark, n: int = 20000) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Suite-long storage/broadcast hygiene (VERDICT r7 #1). The r7 suite
+# relied on gc.collect()+System.gc() to let the ContextCleaner drop
+# localCheckpoint blocks between entries — measured here: it does NOT
+# reclaim them (a JVM-side reference survives py4j detach; 20 GC
+# rounds left the block pinned), so storage accumulated monotonically
+# across the 80+ entries and long-session heap pressure inflated the
+# GC-heavy iterative queries (the cve2cpe in-suite variance). The fix
+# is DETERMINISTIC reclamation: between entries, every persistent RDD
+# id not present at sweep start is explicitly unpersisted and every
+# temp view created by the entry is dropped — safe because entries
+# never share state (each invocation rebuilds its plan, checkpoints
+# and views from scratch; REPEATS reruns rebuild too). Per-entry
+# reclaim counts land in bench_detail.json; the stdout record carries
+# the sweep verdict, and a failed verdict exits rc=1 AFTER printing
+# the record (never lose a finished sweep — the r6 parse lesson).
+
+
+def hygiene_state(spark) -> dict:
+    jsc = spark.sparkContext._jsc.sc()
+    mem = sum(s.memUsed() for s in
+              jsc.env().blockManager().master().getStorageStatus())
+    return {
+        "rdd_ids": {int(i) for i in
+                    spark.sparkContext._jsc.getPersistentRDDs().keySet()},
+        "views": {t.name for t in spark.catalog.listTables()
+                  if t.isTemporary},
+        "mem": mem,
+    }
+
+
+def hygiene_sweep(spark, base: dict) -> dict:
+    """Reclaim entry-local storage and report what was left behind."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    stray = [int(i) for i in jmap.keySet()]
+    reclaimed = 0
+    for rid in stray:
+        if rid not in base["rdd_ids"]:
+            jmap.get(rid).unpersist(False)
+            reclaimed += 1
+    new_views = [t.name for t in spark.catalog.listTables()
+                 if t.isTemporary and t.name not in base["views"]]
+    for v in new_views:
+        spark.catalog.dropTempView(v)
+    jsc = spark.sparkContext._jsc.sc()
+    mem = sum(s.memUsed() for s in
+              jsc.env().blockManager().master().getStorageStatus())
+    left = jsc.getPersistentRDDs().size() - len(base["rdd_ids"])
+    return {"reclaimed_rdds": reclaimed, "dropped_views": new_views,
+            "mem_mb": round(mem / 1e6, 1), "rdds_left": max(left, 0)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -305,6 +357,9 @@ def main() -> None:
 
     calib_start = calibrate(spark)
     print(f"# calibration(start): {calib_start:.3f}s", file=sys.stderr)
+
+    base = hygiene_state(spark)
+    hygiene: dict[str, dict] = {}
 
     timings: dict[str, float] = {}
     for name in HEADLINE:                       # alphabetical, fixed
@@ -325,25 +380,46 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         # outside the timed region, applied identically after every
         # query: release the query's DataFrame refs Python-side first
-        # (py4j frees the JVM objects only after Python GC), then let
-        # the ContextCleaner drop shuffle files / broadcasts /
-        # localCheckpoint blocks — without this, heap pressure
-        # accumulates across the suite and inflates later queries 2-3×
-        # vs their standalone steady-state (measured). Note: this makes
-        # the suite a steady-state measurement, not a cold-cache one.
+        # (py4j frees the JVM objects only after Python GC), then GC
+        # so the ContextCleaner drops shuffle files / broadcasts, then
+        # DETERMINISTICALLY unpersist the entry's leftover storage
+        # (localCheckpoint blocks survive GC — see hygiene_sweep) and
+        # drop its temp views. This bounds heap/storage across the
+        # suite; without it later GC-heavy queries inflate 2-3× vs
+        # standalone (measured). Note: this makes the suite a
+        # steady-state measurement, not a cold-cache one.
         import gc
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        hygiene[name] = hygiene_sweep(spark, base)
 
     # the reference's own workload: 20k-CVE feed → flatten → upsert
     timings["nvd_ingest_20k"] = bench_ingest(spark)
     print(f"# nvd_ingest_20k: {timings['nvd_ingest_20k']:.3f}s", file=sys.stderr)
+    hygiene["nvd_ingest_20k"] = hygiene_sweep(spark, base)
 
     calib_end = calibrate(spark)
     print(f"# calibration(end): {calib_end:.3f}s", file=sys.stderr)
 
+    # no-growth verdict: after every entry's reclaim, the persistent-
+    # RDD set must be back at the sweep baseline (rdds_left == 0), and
+    # block-manager memory at sweep end must sit near baseline.
+    end_state = hygiene_state(spark)
+    mem_growth_mb = round((end_state["mem"] - base["mem"]) / 1e6, 1)
+    hygiene_ok = (all(h["rdds_left"] == 0 for h in hygiene.values())
+                  and mem_growth_mb < 64)
+    max_reclaimed = max((h["reclaimed_rdds"] for h in hygiene.values()),
+                        default=0)
+    if not hygiene_ok:
+        bad = {k: h for k, h in hygiene.items() if h["rdds_left"]}
+        print(f"# HYGIENE FAIL: mem_growth={mem_growth_mb}MB "
+              f"entries_with_unreclaimed_storage={list(bad)}",
+              file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     calib = {"start_sec": calib_start, "end_sec": calib_end}
+    hygiene_summary = {"ok": hygiene_ok, "mem_growth_mb": mem_growth_mb,
+                       "max_reclaimed_rdds": max_reclaimed}
     # The external driver keeps only the LAST ~2000 chars of stdout and
     # parses THAT as the JSON record (BENCH_r06 exceeded it: the full
     # 82-entry map pushed the line to ~2.6 KB and the driver stored
@@ -357,7 +433,8 @@ def main() -> None:
                            "bench_detail.json"), "w") as f:
         json.dump({"metric": "headline_suite_runtime", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf,
-                   "calibration": calib}, f)
+                   "calibration": calib, "hygiene": hygiene_summary,
+                   "hygiene_per_entry": hygiene}, f)
 
     def record(top_n: int) -> str:
         return json.dumps({
@@ -373,6 +450,10 @@ def main() -> None:
             # co-tenant contention and its per-query deltas are not
             # comparable round-over-round
             "calibration": calib,
+            # storage/broadcast no-growth verdict (see hygiene_sweep):
+            # ok=false means some entry's storage could not be
+            # reclaimed or block-manager memory grew past baseline
+            "hygiene": hygiene_summary,
         }, separators=(",", ":"))
 
     # Shrink ADAPTIVELY to the driver's ~2000 B stdout-tail budget:
@@ -390,6 +471,10 @@ def main() -> None:
               file=sys.stderr)
     print(line)
     spark.stop()
+    if not hygiene_ok:
+        # fail AFTER the record is on stdout: the sweep's numbers are
+        # preserved, the rc flags the storage-hygiene regression
+        sys.exit(1)
 
 
 if __name__ == "__main__":
