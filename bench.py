@@ -202,6 +202,36 @@ def calibrate(spark) -> float:
     return round(statistics.median(times), 4)
 
 
+def calibrate_membw(spark) -> float:
+    """Aggregate memory-bandwidth probe (GB/s across all cores) — the
+    noise axis the CPU probe is blind to. The r8 session measured a
+    sweep whose murmur3 calibration sat in the quiet band while the
+    suite ran a uniform ~10% hot with a 1.4-1.9x tail on the
+    shuffle/Arrow-heavy entries: hypervisor co-tenants can saturate
+    MEMORY BANDWIDTH without touching a cache-resident compute probe.
+    32 parallel Python tasks each stream-copy a 64 MB buffer; the
+    summed achieved rate moves with ambient bandwidth pressure. Read
+    both probes before trusting cross-round deltas: quiet CPU + low
+    bandwidth = bandwidth-contended window."""
+    sc = spark.sparkContext
+
+    def task(_):
+        import time as _t
+
+        import numpy as _np
+        a = _np.ones(8_000_000, dtype=_np.float64)      # 64 MB
+        b = _np.empty_like(a)
+        _np.copyto(b, a)                                # warm/fault
+        t0 = _t.perf_counter()
+        for _ in range(4):
+            _np.copyto(b, a)
+        dt = _t.perf_counter() - t0
+        return 4 * 2 * a.nbytes / dt                    # read+write
+
+    rates = sc.parallelize(range(32), 32).map(task).collect()
+    return round(sum(rates) / 1e9, 1)
+
+
 def synth_cve_feed(path: str, n: int, year: int = 2024) -> None:
     """Deterministic synthetic NVD 1.1 feed (+.meta) of n CVEs —
     benchmarks the reference's actual workload shape: nested JSON →
@@ -356,7 +386,9 @@ def main() -> None:
         .select(shingle3_udf()("text")).count()
 
     calib_start = calibrate(spark)
-    print(f"# calibration(start): {calib_start:.3f}s", file=sys.stderr)
+    membw_start = calibrate_membw(spark)
+    print(f"# calibration(start): {calib_start:.3f}s "
+          f"membw={membw_start}GB/s", file=sys.stderr)
 
     base = hygiene_state(spark)
     hygiene: dict[str, dict] = {}
@@ -399,7 +431,9 @@ def main() -> None:
     hygiene["nvd_ingest_20k"] = hygiene_sweep(spark, base)
 
     calib_end = calibrate(spark)
-    print(f"# calibration(end): {calib_end:.3f}s", file=sys.stderr)
+    membw_end = calibrate_membw(spark)
+    print(f"# calibration(end): {calib_end:.3f}s "
+          f"membw={membw_end}GB/s", file=sys.stderr)
 
     # no-growth verdict: after every entry's reclaim, the persistent-
     # RDD set must be back at the sweep baseline (rdds_left == 0), and
@@ -417,7 +451,8 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    calib = {"start_sec": calib_start, "end_sec": calib_end}
+    calib = {"start_sec": calib_start, "end_sec": calib_end,
+             "membw_gbps": [membw_start, membw_end]}
     hygiene_summary = {"ok": hygiene_ok, "mem_growth_mb": mem_growth_mb,
                        "max_reclaimed_rdds": max_reclaimed}
     # The external driver keeps only the LAST ~2000 chars of stdout and

@@ -57,11 +57,12 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tokens("text").alias("t"))
 
 
-def prefix_filter_pairs(docs: DataFrame, *, t_num: int = _T_NUM,
-                        t_den: int = _T_DEN) -> DataFrame:
-    """Exact Jaccard >= t_num/t_den pairs over 3-shingle sets via
-    prefix filtering (core shared by the registered query and the
-    planted-data tests). ``docs``: (doc_id, text)."""
+def prefix_filter_candidates(docs: DataFrame, *, t_num: int = _T_NUM,
+                             t_den: int = _T_DEN):
+    """(shingled, candidates) — the prefix-filter candidate stage,
+    split out so the verify stage and the scale instrumentation
+    (scripts/stress_decade.py measures candidate-pair growth, the
+    operator's scaling axis) share one definition."""
     sc = docs.sparkSession.sparkContext
     sh = (docs
           .repartition(sc.defaultParallelism)
@@ -97,6 +98,15 @@ def prefix_filter_pairs(docs: DataFrame, *, t_num: int = _T_NUM,
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"))
             .distinct())
+    return sh, cand
+
+
+def prefix_filter_pairs(docs: DataFrame, *, t_num: int = _T_NUM,
+                        t_den: int = _T_DEN) -> DataFrame:
+    """Exact Jaccard >= t_num/t_den pairs over 3-shingle sets via
+    prefix filtering (core shared by the registered query and the
+    planted-data tests). ``docs``: (doc_id, text)."""
+    sh, cand = prefix_filter_candidates(docs, t_num=t_num, t_den=t_den)
 
     # Exact verification on candidates only: join the full sets back.
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"),
@@ -358,10 +368,11 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def containment_pairs(docs: DataFrame, *, t_num: int = _C_NUM,
-                      t_den: int = _C_DEN) -> DataFrame:
-    """Exact containment >= t_num/t_den ordered pairs via one-sided
-    prefix filtering (core shared with the planted-data tests)."""
+def containment_candidates(docs: DataFrame, *, t_num: int = _C_NUM,
+                           t_den: int = _C_DEN):
+    """(postings, candidates) — the one-sided prefix-filter candidate
+    stage of the containment join, split out for the verify stage and
+    the scale instrumentation (scripts/stress_decade.py)."""
     sc = docs.sparkSession.sparkContext
     sh = (docs
           .repartition(sc.defaultParallelism)
@@ -391,6 +402,14 @@ def containment_pairs(docs: DataFrame, *, t_num: int = _C_NUM,
                     F.col("b.doc_id").alias("id_b"))
             .distinct())
     cand = _cut(cand)
+    return ex, cand
+
+
+def containment_pairs(docs: DataFrame, *, t_num: int = _C_NUM,
+                      t_den: int = _C_DEN) -> DataFrame:
+    """Exact containment >= t_num/t_den ordered pairs via one-sided
+    prefix filtering (core shared with the planted-data tests)."""
+    ex, cand = containment_candidates(docs, t_num=t_num, t_den=t_den)
 
     # Count-based verification bounded by Σ_candidates |a|: expand
     # each candidate pair with the contained side's postings, keep the

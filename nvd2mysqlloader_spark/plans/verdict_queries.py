@@ -643,3 +643,66 @@ def minhash_incremental_dedup(spark: SparkSession,
             r_.unpersist()
     finally:
         sh.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# 7. Small-file compaction on the oracle surface (r7 stretch #7) —
+# the 100 TB table-maintenance mode. Micro-batch ingest accretes tiny
+# files (the reference's per-feed REPLACE INTO has the same accretion
+# shape in MySQL pages, nvd2mysqlloader.py:340-368); at scale the
+# parquet answer is OPTIMIZE-style rewrite. The verdict pins the two
+# contracted properties per round: the file count really dropped, and
+# the compacted table is the SAME relation (exact multiset both ways).
+
+
+@query(
+    "compaction_maintenance",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS files_reduced,
+           TRUE AS rows_identical,
+           TRUE AS no_longer_worth_it
+    FROM documents
+    """,
+    doc=(
+        "operators/compaction.compact_parquet over a freshly "
+        "fragmented copy of documents (48 single-file micro-appends "
+        "into a per-call temp table): rewrite into ~target-byte "
+        "files via one repartition job + atomic version publish "
+        "(operators/table_io pointer flip — readers see old or new, "
+        "never a mix). Verdict: after_files < before_files, the "
+        "compacted relation equals the source as an EXACT multiset "
+        "(exceptAll both ways), and plan_compaction reports the "
+        "compacted table no longer worth_it (idempotence), beside "
+        "DuckDB's row-count anchor."
+    ),
+)
+def compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators.compaction import compact_parquet, plan_compaction
+
+    docs = load_table(spark, sf_dir, "documents")
+    tbl = _tmp_index("compact_tbl_")
+    # simulate micro-batch accretion: 48 tiny appends, one file each
+    docs.repartition(48).write.mode("overwrite").parquet(tbl)
+    stats = compact_parquet(spark, tbl, target_bytes=64 * 1024 * 1024,
+                            sort_by=["doc_id"])
+    after = plan_compaction(tbl, target_bytes=64 * 1024 * 1024)
+
+    src = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    out = spark.read.parquet(tbl).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        diff = src.exceptAll(out).unionAll(out.exceptAll(src))
+        n_docs = src.agg(F.count(F.lit(1)).alias("n_docs"))
+        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+        verdict = _one_row(n_docs, n_diff).select(
+            "n_docs",
+            F.lit(stats["after_files"] < stats["before_files"])
+            .alias("files_reduced"),
+            (F.col("n_diff") == 0).alias("rows_identical"),
+            F.lit(not after["worth_it"]).alias("no_longer_worth_it"))
+        return cut_lineage(verdict)
+    finally:
+        src.unpersist()
+        out.unpersist()
