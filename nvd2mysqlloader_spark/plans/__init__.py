@@ -37,3 +37,4 @@ from . import udaf_queries          # noqa: F401,E402
 from . import verdict_queries       # noqa: F401,E402
 from . import setsim_queries        # noqa: F401,E402
 from . import mining_queries        # noqa: F401,E402
+from . import streamgate_queries    # noqa: F401,E402

@@ -1,0 +1,156 @@
+"""Streaming near-dup admission gate — the STREAMING form of the
+persisted-signature-table dedup operating mode (round 8; composes
+``operators/dedup.write_signature_table`` /
+``incremental_minhash_candidates`` with the foreachBatch topology of
+``streaming_queries.stream_latest_state_upsert``).
+
+At 100 TB/day this is how new data is admitted continuously: each
+micro-batch shingles and signs ONLY ITSELF, emits its near-dup
+collisions (batch-vs-persisted-corpus via the banded probe, plus
+batch-vs-itself via the same LSH self-join), and appends its
+signatures — the corpus is never re-shingled, per-batch work is
+O(batch + collisions), and the signature table doubles as the dedup
+state store (k longs per doc, unbounded retention by design: dedup
+state must outlive any watermark).
+
+The correctness claim is ORDER- and BATCHING-INDEPENDENT and pinned
+exactly: every qualifying pair is emitted EXACTLY ONCE — in the batch
+where its later member arrives (cross-batch, via the probe) or in
+their shared batch (intra-batch, via the self-join) — so the
+canonicalized union over all batches must equal the batch-at-once
+``minhash_near_dups`` over the full corpus, pair for pair including
+the estimate doubles (agreeing-component counts / 64 are dyadic, so
+double equality is exact). The reference re-loads every feed whole
+(nvd2mysqlloader.py:340-368); this gate is the engine's continuous
+answer.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators._lineage import cut_lineage
+from ..sources.tpch import load_table
+from .registry import query
+
+_THRESH = 0.5
+_N_BATCHES = 3
+
+
+@query(
+    "stream_minhash_dedup_gate",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS stream_matches_batch,
+           TRUE AS signatures_complete
+    FROM documents
+    """,
+    doc=(
+        "STREAMING MinHash dedup gate: documents staged as 3 parquet "
+        "files, drained availableNow with maxFilesPerTrigger=1; each "
+        "micro-batch signs itself, emits batch-vs-corpus collisions "
+        "(banded probe of the persisted signature table) plus "
+        "batch-vs-itself collisions (same LSH self-join), then "
+        "appends its signatures. Verdict: the canonicalized emitted "
+        "pair set equals the batch-at-once minhash_near_dups over "
+        "the full corpus as an EXACT multiset (exceptAll both ways, "
+        "estimates included), and the signature table holds exactly "
+        "one signature per document — beside DuckDB's doc-count "
+        "anchor. Batching-independent by construction: a pair lands "
+        "in its later member's batch exactly once."
+    ),
+)
+def stream_minhash_dedup_gate(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..functions.text import shingle3_udf
+    from ..operators.dedup import (incremental_minhash_candidates,
+                                   minhash_near_dups,
+                                   minhash_signatures,
+                                   write_signature_table)
+    from .sketch_queries import _shingled
+
+    root = tempfile.mkdtemp(prefix="stream_gate_")
+    atexit.register(shutil.rmtree, root, True)
+    landing, sig_tbl, pair_tbl = (f"{root}/landing", f"{root}/sigs",
+                                  f"{root}/pairs")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # stage N single-file micro-batches (deterministic split; the
+    # verdict is batching-independent so pickup order is irrelevant)
+    for k in range(_N_BATCHES):
+        (docs.filter(F.col("doc_id") % _N_BATCHES == k)
+         .coalesce(1).write.mode("append").parquet(landing))
+
+    schema = spark.read.parquet(landing).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(landing))
+
+    def gate(batch_df, batch_id):
+        shingled = batch_df.select(
+            "doc_id", shingle3_udf()("text").alias("s"))
+        sh = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # intra-batch collisions: the standard LSH self-join over
+            # this batch only (same bands/threshold as the probe)
+            intra = (minhash_near_dups(sh, threshold=_THRESH)
+                     .select(F.col("id_a").alias("lo"),
+                             F.col("id_b").alias("hi"), "est_jaccard"))
+            # cross-batch collisions: banded probe of the persisted
+            # corpus (skipped for the very first batch — empty corpus)
+            if os.path.isdir(sig_tbl):
+                cross = (incremental_minhash_candidates(
+                             spark, sig_tbl, sh, threshold=_THRESH)
+                         .select(F.least("new_id", "old_id").alias("lo"),
+                                 F.greatest("new_id", "old_id")
+                                 .alias("hi"), "est_jaccard"))
+                emitted = intra.unionAll(cross)
+            else:
+                emitted = intra
+            emitted.write.mode("append").parquet(pair_tbl)
+            # admit the batch: append its signatures (k longs per doc)
+            write_signature_table(sh, sig_tbl, mode="append")
+        finally:
+            sh.unpersist()
+
+    q = (stream.writeStream.foreachBatch(gate)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = (spark.read.parquet(pair_tbl)
+                .select("lo", "hi", "est_jaccard"))
+    truth = (minhash_near_dups(_shingled(spark, sf_dir),
+                               threshold=_THRESH)
+             .select(F.col("id_a").alias("lo"),
+                     F.col("id_b").alias("hi"), "est_jaccard"))
+
+    s_ = streamed.persist(StorageLevel.MEMORY_AND_DISK)
+    t_ = truth.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        diff = s_.exceptAll(t_).unionAll(t_.exceptAll(s_))
+        n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+        n_sigs = (spark.read.parquet(sig_tbl)
+                  .agg(F.count(F.lit(1)).alias("n_sigs"),
+                       F.count_distinct("doc_id").alias("n_sig_docs")))
+        verdict = (n_docs.crossJoin(F.broadcast(n_diff))
+                   .crossJoin(F.broadcast(n_sigs))
+                   .select(
+                       "n_docs",
+                       (F.col("n_diff") == 0).alias(
+                           "stream_matches_batch"),
+                       ((F.col("n_sigs") == F.col("n_docs"))
+                        & (F.col("n_sig_docs") == F.col("n_docs")))
+                       .alias("signatures_complete")))
+        return cut_lineage(verdict)
+    finally:
+        s_.unpersist()
+        t_.unpersist()

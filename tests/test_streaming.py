@@ -607,3 +607,24 @@ def test_stream_cms_multi_batch_merge_equals_batch_sketch(spark, tmp_path):
                cms_point_estimate(spark, tbl, probes,
                                   "user_id").collect()}
     assert doubled == {k: 2 * v for k, v in direct.items()}
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash dedup gate (r8): batching-independence.
+
+
+@pytest.mark.parametrize("n_batches", [1, 5])
+def test_stream_minhash_gate_batching_independent(spark, monkeypatch,
+                                                  n_batches):
+    """The gate's verdict must hold at ANY micro-batch split — a pair
+    lands exactly once in its later member's batch (cross, via the
+    persisted-signature probe) or in their shared batch (intra, via
+    the LSH self-join), so 1 batch (all intra) and 5 batches (mostly
+    cross) must both reproduce the batch-at-once pair set exactly."""
+    from nvd2mysqlloader_spark.plans import streamgate_queries as sg
+
+    monkeypatch.setattr(sg, "_N_BATCHES", n_batches)
+    row = sg.stream_minhash_dedup_gate(spark, SF_ORACLE).first()
+    assert row.stream_matches_batch, f"n_batches={n_batches}"
+    assert row.signatures_complete, f"n_batches={n_batches}"
+    assert row.n_docs > 0
