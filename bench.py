@@ -366,8 +366,21 @@ def hygiene_sweep(spark, base: dict) -> dict:
     mem = sum(s.memUsed() for s in
               jsc.env().blockManager().master().getStorageStatus())
     left = jsc.getPersistentRDDs().size() - len(base["rdd_ids"])
+    # per-entry ambient micro-probe (single run of a 1/4-size
+    # calibrate plan, ~0.08 s quiet): the start/end probes bracket the
+    # SWEEP, but the r8 session measured windows where a mid-sweep
+    # contention burst inflated one entry while both brackets read
+    # quiet — this stamps each entry with the ambient state right
+    # after it ran, so a post-hoc read of bench_detail.json can
+    # attribute a per-entry outlier to noise (probe high) or to the
+    # plan (probe quiet). Untimed; ~7 s total across the sweep.
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(cast(hash(id) as bigint)) as s").collect()
+    probe = round(time.perf_counter() - t0, 3)
     return {"reclaimed_rdds": reclaimed, "dropped_views": new_views,
-            "mem_mb": round(mem / 1e6, 1), "rdds_left": max(left, 0)}
+            "mem_mb": round(mem / 1e6, 1), "rdds_left": max(left, 0),
+            "probe_sec": probe}
 
 
 def main() -> None:
