@@ -574,7 +574,8 @@ def cve2cpe_authority_scores(spark: SparkSession,
 @query(
     "minhash_incremental_dedup",
     oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs,
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT)
+             AS n_corpus_docs,
            CAST(count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT)
              AS n_new_docs,
            TRUE AS probe_matches_rebuild
@@ -631,7 +632,8 @@ def minhash_incremental_dedup(spark: SparkSession,
         r_ = rebuilt.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             diff = p_.exceptAll(r_).unionAll(r_.exceptAll(p_))
-            n_corpus = sh.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+            n_corpus = corpus.agg(
+                F.count(F.lit(1)).alias("n_corpus_docs"))
             n_new = batch.agg(F.count(F.lit(1)).alias("n_new_docs"))
             n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
             verdict = _one_row(n_corpus, n_new, n_diff).select(
