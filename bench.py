@@ -210,26 +210,32 @@ def calibrate_membw(spark) -> float:
     shuffle/Arrow-heavy entries: hypervisor co-tenants can saturate
     MEMORY BANDWIDTH without touching a cache-resident compute probe.
     32 parallel Python tasks each stream-copy a 64 MB buffer; the
-    summed achieved rate moves with ambient bandwidth pressure. Read
-    both probes before trusting cross-round deltas: quiet CPU + low
-    bandwidth = bandwidth-contended window."""
+    aggregate achieved rate moves with ambient bandwidth pressure.
+    Measured as TOTAL BYTES MOVED / JOB WALL-CLOCK — not a sum of
+    per-task rates: tasks run in scheduling waves when fewer cores
+    are free, and summing rates over non-overlapping windows would
+    overstate bandwidth by roughly the wave count and add scheduler
+    variance to the quiet-band classification. The figure is still
+    RELATIVE (copy loops include allocator/fault overhead and the
+    job pays scheduling latency) — compare it only to this probe's
+    own quiet-window reference in PLANS.md, never to hardware specs.
+    Read both probes before trusting cross-round deltas: quiet CPU +
+    low bandwidth = bandwidth-contended window."""
     sc = spark.sparkContext
 
     def task(_):
-        import time as _t
-
         import numpy as _np
         a = _np.ones(8_000_000, dtype=_np.float64)      # 64 MB
         b = _np.empty_like(a)
         _np.copyto(b, a)                                # warm/fault
-        t0 = _t.perf_counter()
         for _ in range(4):
             _np.copyto(b, a)
-        dt = _t.perf_counter() - t0
-        return 4 * 2 * a.nbytes / dt                    # read+write
+        return 4 * 2 * a.nbytes                         # read+write
 
-    rates = sc.parallelize(range(32), 32).map(task).collect()
-    return round(sum(rates) / 1e9, 1)
+    t0 = time.perf_counter()
+    nbytes = sum(sc.parallelize(range(32), 32).map(task).collect())
+    wall = time.perf_counter() - t0
+    return round(nbytes / wall / 1e9, 1)
 
 
 def synth_cve_feed(path: str, n: int, year: int = 2024) -> None:
@@ -453,6 +459,19 @@ def main() -> None:
     # block-manager memory at sweep end must sit near baseline.
     end_state = hygiene_state(spark)
     mem_growth_mb = round((end_state["mem"] - base["mem"]) / 1e6, 1)
+    if mem_growth_mb >= 64:
+        # ContextCleaner reclaims broadcasts/shuffles ASYNCHRONOUSLY
+        # after GC queues the cleanup; a slow cleaner can transiently
+        # hold >64 MB at sweep end on an otherwise-healthy sweep.
+        # Before declaring failure, force a GC round and give the
+        # cleaner a moment, then re-read — only a PERSISTENT breach
+        # fails the verdict.
+        import gc
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(5)
+        end_state = hygiene_state(spark)
+        mem_growth_mb = round((end_state["mem"] - base["mem"]) / 1e6, 1)
     hygiene_ok = (all(h["rdds_left"] == 0 for h in hygiene.values())
                   and mem_growth_mb < 64)
     max_reclaimed = max((h["reclaimed_rdds"] for h in hygiene.values()),
@@ -477,12 +496,31 @@ def main() -> None:
     # under the cap; the FULL per-query map lands in bench_detail.json
     # beside the repo (gitignored — regenerated every run).
     ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    # Quiet-record policy (r9): the committed BENCH_r08 sweep ran ~6%
+    # hot despite quiet START/END brackets — a mid-sweep contention
+    # burst the bracket probes can't see. Classify the sweep WINDOW
+    # from the per-entry ambient micro-probes instead: if more than 2
+    # of the top-10 entries (by time — the ones that dominate the
+    # record) carry a probe above the quiet band (~0.08–0.12 s on
+    # this host, PLANS.md §calibration), the record is stamped
+    # `window: contended` — a contended record should be re-swept
+    # before being committed as the round artifact; its per-query
+    # deltas are not comparable round-over-round.
+    QUIET_PROBE_SEC = 0.13
+    hot_probes = [n for n, _ in ranked[:10]
+                  if hygiene.get(n, {}).get("probe_sec", 0.0)
+                  > QUIET_PROBE_SEC]
+    window = "contended" if len(hot_probes) > 2 else "quiet"
+    if window == "contended":
+        print(f"# WINDOW CONTENDED: top-10 entries with hot ambient "
+              f"probes (> {QUIET_PROBE_SEC}s): {hot_probes} — re-sweep "
+              f"before committing this record", file=sys.stderr)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as f:
         json.dump({"metric": "headline_suite_runtime", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf,
                    "calibration": calib, "hygiene": hygiene_summary,
-                   "hygiene_per_entry": hygiene}, f)
+                   "window": window, "hygiene_per_entry": hygiene}, f)
 
     def record(top_n: int) -> str:
         return json.dumps({
@@ -502,6 +540,10 @@ def main() -> None:
             # ok=false means some entry's storage could not be
             # reclaimed or block-manager memory grew past baseline
             "hygiene": hygiene_summary,
+            # quiet-record policy: "contended" = >2 of the top-10
+            # entries ran under a hot ambient probe — re-sweep before
+            # committing; per-query deltas not comparable
+            "window": window,
         }, separators=(",", ":"))
 
     # Shrink ADAPTIVELY to the driver's ~2000 B stdout-tail budget:

@@ -20,9 +20,9 @@ their shared batch (intra-batch, via the self-join) — so the
 canonicalized union over all batches must equal the batch-at-once
 ``minhash_near_dups`` over the full corpus, pair for pair including
 the estimate doubles (agreeing-component counts / 64 are dyadic, so
-double equality is exact). The reference re-loads every feed whole
-(nvd2mysqlloader.py:340-368); this gate is the engine's continuous
-answer.
+double equality is exact). The reference re-loads every feed whole, one REPLACE INTO per row
+(nvd2mysqlloader.py:448-486, feed loop 516-525); this gate is the
+engine's continuous answer.
 """
 
 from __future__ import annotations

@@ -593,7 +593,7 @@ def cve2cpe_authority_scores(spark: SparkSession,
         "included — counts/64 are dyadic, so double equality is "
         "exact), pinned TRUE beside DuckDB's corpus/batch count "
         "anchors. The reference re-loads every feed whole "
-        "(nvd2mysqlloader.py:340-368, REPLACE INTO per row); this is "
+        "(nvd2mysqlloader.py:448-486, REPLACE INTO per row); this is "
         "the engine's answer at 100 TB: never touch the corpus to "
         "admit a batch."
     ),
@@ -651,7 +651,7 @@ def minhash_incremental_dedup(spark: SparkSession,
 # 7. Small-file compaction on the oracle surface (r7 stretch #7) —
 # the 100 TB table-maintenance mode. Micro-batch ingest accretes tiny
 # files (the reference's per-feed REPLACE INTO has the same accretion
-# shape in MySQL pages, nvd2mysqlloader.py:340-368); at scale the
+# shape in MySQL pages, nvd2mysqlloader.py:448-486); at scale the
 # parquet answer is OPTIMIZE-style rewrite. The verdict pins the two
 # contracted properties per round: the file count really dropped, and
 # the compacted table is the SAME relation (exact multiset both ways).

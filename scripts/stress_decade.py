@@ -63,11 +63,18 @@ def build_replica(spark, factor: int) -> str:
     for k in range(factor):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * _OFF))
         if k > 0:
+            # split on \s+ and drop empties, mirroring functions.text
+            # tokens()/shingle3: a literal single-space split would
+            # leave tab/newline-separated words unprefixed and turn
+            # multi-space runs into bare 'r{k}x' tokens, letting
+            # replica universes share shingles with the base corpus
+            # and corrupt the constant-dup-density construction
             pre = F.lit(f"r{k}x")
             d = d.withColumn(
                 "text",
                 F.concat_ws(" ", F.transform(
-                    F.split(F.col("text"), " "),
+                    F.filter(F.split(F.col("text"), r"\s+"),
+                             lambda t: t != ""),
                     lambda t: F.concat(pre, t))))
         parts.append(d)
     rep = parts[0]
