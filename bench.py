@@ -357,13 +357,8 @@ def hygiene_state(spark) -> dict:
 
 def hygiene_sweep(spark, base: dict) -> dict:
     """Reclaim entry-local storage and report what was left behind."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    stray = [int(i) for i in jmap.keySet()]
-    reclaimed = 0
-    for rid in stray:
-        if rid not in base["rdd_ids"]:
-            jmap.get(rid).unpersist(False)
-            reclaimed += 1
+    from nvd2mysqlloader_spark.operators._lineage import reclaim_new_rdds
+    reclaimed = reclaim_new_rdds(spark, base["rdd_ids"])
     new_views = [t.name for t in spark.catalog.listTables()
                  if t.isTemporary and t.name not in base["views"]]
     for v in new_views:

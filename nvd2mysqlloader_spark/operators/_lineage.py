@@ -29,3 +29,28 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     if sc.getCheckpointDir():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """IDs of every currently persisted RDD (incl. localCheckpoint
+    blocks, which a gc.collect()+System.gc() round NEVER reclaims —
+    a JVM-side reference survives py4j detach; pinned by
+    tests/test_bench_hygiene.py)."""
+    return {int(i) for i in
+            spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
+def reclaim_new_rdds(spark, pre_ids: set[int]) -> int:
+    """Deterministically unpersist every RDD not in ``pre_ids`` —
+    THE reclaim primitive shared by bench.py's between-entry
+    hygiene_sweep and the drained-stream queries whose foreachBatch
+    bodies cut lineage per micro-batch. Safe whenever the caller's
+    results are already materialized elsewhere (collected, or flushed
+    to parquet). Returns the number reclaimed."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    reclaimed = 0
+    for rid in list(jmap.keySet()):
+        if int(rid) not in pre_ids:
+            jmap.get(rid).unpersist(False)
+            reclaimed += 1
+    return reclaimed

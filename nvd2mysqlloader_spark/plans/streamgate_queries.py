@@ -1,17 +1,23 @@
 """Streaming near-dup admission gate — the STREAMING form of the
-persisted-signature-table dedup operating mode (round 8; composes
-``operators/dedup.write_signature_table`` /
-``incremental_minhash_candidates`` with the foreachBatch topology of
-``streaming_queries.stream_latest_state_upsert``).
+persisted-signature-table dedup operating mode (round 8, hardened
+round 9; composes ``operators/dedup.write_banded_signature_table`` /
+``incremental_minhash_candidates_banded`` with the foreachBatch
+topology of ``streaming_queries.stream_latest_state_upsert``).
 
 At 100 TB/day this is how new data is admitted continuously: each
 micro-batch shingles and signs ONLY ITSELF, emits its near-dup
-collisions (batch-vs-persisted-corpus via the banded probe, plus
-batch-vs-itself via the same LSH self-join), and appends its
-signatures — the corpus is never re-shingled, per-batch work is
+collisions (batch-vs-persisted-corpus via the PARTITION-PRUNED probe
+of the band-partitioned signature table, plus batch-vs-itself via
+the same LSH self-join), and appends its signatures — the corpus is
+never re-shingled or fully scanned, per-batch work is
 O(batch + collisions), and the signature table doubles as the dedup
 state store (k longs per doc, unbounded retention by design: dedup
-state must outlive any watermark).
+state must outlive any watermark). Every sink is keyed by
+``batch_id`` with dynamic partition overwrite, so the gate is
+EXACTLY-ONCE under foreachBatch's at-least-once delivery — a retried
+batch replaces its own partitions and probes only earlier batches'
+partitions (pinned by tests/test_streaming.py::
+test_stream_gate_batch_retry_idempotent).
 
 The correctness claim is ORDER- and BATCHING-INDEPENDENT and pinned
 exactly: every qualifying pair is emitted EXACTLY ONCE — in the batch
@@ -35,12 +41,76 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators._lineage import cut_lineage
+from ..operators._lineage import (cut_lineage, persistent_rdd_ids,
+                                  reclaim_new_rdds)
 from ..sources.tpch import load_table
 from .registry import query
 
 _THRESH = 0.5
 _N_BATCHES = 3
+
+
+def dedup_gate_batch(spark: SparkSession, batch_df: DataFrame,
+                     batch_id: int, sig_tbl: str, pair_tbl: str,
+                     threshold: float = _THRESH) -> None:
+    """One micro-batch of the dedup admission gate — the foreachBatch
+    body, module-level so the retry contract is testable directly
+    (tests/test_streaming.py::test_stream_gate_batch_retry_idempotent).
+
+    Shingles and signs ONLY this batch, emits its near-dup collisions
+    (batch-vs-itself LSH self-join + batch-vs-corpus pruned probe of
+    the band-partitioned signature table), then admits the batch by
+    appending its signatures. RETRY-IDEMPOTENT end to end — the
+    foreachBatch delivery contract is at-least-once, so every write
+    is keyed by ``batch_id`` with dynamic partition overwrite (a
+    retry replaces exactly its own partitions), and the probe reads
+    only signature partitions with ``batch_id < this batch``
+    (``max_batch_id_exclusive``) so its view of the corpus is
+    identical whether or not the failed attempt already appended this
+    batch's own signatures."""
+    from pyspark import StorageLevel
+
+    from ..functions.text import shingle3_udf
+    from ..operators.dedup import (incremental_minhash_candidates_banded,
+                                   minhash_near_dups,
+                                   write_banded_signature_table)
+
+    shingled = batch_df.select(
+        "doc_id", shingle3_udf()("text").alias("s"))
+    sh = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # intra-batch collisions: the standard LSH self-join over
+        # this batch only (same bands/threshold as the probe)
+        intra = (minhash_near_dups(sh, threshold=threshold)
+                 .select(F.col("id_a").alias("lo"),
+                         F.col("id_b").alias("hi"), "est_jaccard"))
+        # cross-batch collisions: pruned probe of the persisted
+        # band-partitioned corpus, restricted at partition level to
+        # batches strictly before this one (skipped entirely for the
+        # very first batch — no table yet)
+        if os.path.isdir(f"{sig_tbl}/meta"):
+            cross = (incremental_minhash_candidates_banded(
+                         spark, sig_tbl, sh, threshold=threshold,
+                         max_batch_id_exclusive=batch_id)
+                     .select(F.least("new_id", "old_id").alias("lo"),
+                             F.greatest("new_id", "old_id")
+                             .alias("hi"), "est_jaccard"))
+            emitted = intra.unionAll(cross)
+        else:
+            emitted = intra
+        # pair sink keyed by batch_id + dynamic partition overwrite:
+        # a retried batch REPLACES its own partition instead of
+        # appending a second copy — exactly-once emitted pairs under
+        # at-least-once delivery
+        (emitted.withColumn("batch_id", F.lit(batch_id).cast("long"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(pair_tbl))
+        # admit the batch: append its signatures (k longs per doc),
+        # same batch_id keying inside write_banded_signature_table
+        write_banded_signature_table(sh, sig_tbl, batch_id=batch_id)
+    finally:
+        sh.unpersist()
 
 
 @query(
@@ -55,9 +125,12 @@ _N_BATCHES = 3
         "STREAMING MinHash dedup gate: documents staged as 3 parquet "
         "files, drained availableNow with maxFilesPerTrigger=1; each "
         "micro-batch signs itself, emits batch-vs-corpus collisions "
-        "(banded probe of the persisted signature table) plus "
+        "(partition-pruned probe of the band-partitioned signature "
+        "table, restricted to batches < this one) plus "
         "batch-vs-itself collisions (same LSH self-join), then "
-        "appends its signatures. Verdict: the canonicalized emitted "
+        "appends its signatures — every sink batch_id-keyed with "
+        "dynamic partition overwrite (retry-idempotent). Verdict: "
+        "the canonicalized emitted "
         "pair set equals the batch-at-once minhash_near_dups over "
         "the full corpus as an EXACT multiset (exceptAll both ways, "
         "estimates included), and the signature table holds exactly "
@@ -70,10 +143,7 @@ def stream_minhash_dedup_gate(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
-    from ..functions.text import shingle3_udf
-    from ..operators.dedup import (incremental_minhash_candidates,
-                                   minhash_near_dups,
-                                   write_signature_table)
+    from ..operators.dedup import minhash_near_dups
     from .sketch_queries import _shingled
 
     root = tempfile.mkdtemp(prefix="stream_gate_")
@@ -93,52 +163,20 @@ def stream_minhash_dedup_gate(spark: SparkSession,
               .option("maxFilesPerTrigger", "1").parquet(landing))
 
     def gate(batch_df, batch_id):
-        shingled = batch_df.select(
-            "doc_id", shingle3_udf()("text").alias("s"))
-        sh = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            # intra-batch collisions: the standard LSH self-join over
-            # this batch only (same bands/threshold as the probe)
-            intra = (minhash_near_dups(sh, threshold=_THRESH)
-                     .select(F.col("id_a").alias("lo"),
-                             F.col("id_b").alias("hi"), "est_jaccard"))
-            # cross-batch collisions: banded probe of the persisted
-            # corpus (skipped for the very first batch — empty corpus)
-            if os.path.isdir(sig_tbl):
-                cross = (incremental_minhash_candidates(
-                             spark, sig_tbl, sh, threshold=_THRESH)
-                         .select(F.least("new_id", "old_id").alias("lo"),
-                                 F.greatest("new_id", "old_id")
-                                 .alias("hi"), "est_jaccard"))
-                emitted = intra.unionAll(cross)
-            else:
-                emitted = intra
-            # append sink: exactly-once here because availableNow +
-            # checkpoint runs each staged file once; a PRODUCTION gate
-            # facing retries would key this write by batch_id (the
-            # foreachBatch idempotence contract) — noted, not needed
-            # for the drained verdict
-            emitted.write.mode("append").parquet(pair_tbl)
-            # admit the batch: append its signatures (k longs per doc)
-            write_signature_table(sh, sig_tbl, mode="append")
-        finally:
-            sh.unpersist()
+        dedup_gate_batch(spark, batch_df, batch_id, sig_tbl, pair_tbl)
 
     # the gate's internal lineage cuts (localCheckpoint inside
     # minhash_near_dups/_materialize) stay pinned for the session once
     # the micro-batch ends — reclaim them after the drain exactly the
-    # way bench.hygiene_sweep does between entries (everything the
-    # gate produced is already flushed to parquet)
-    pre_ids = {int(i) for i in
-               spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+    # way bench.hygiene_sweep does between entries (shared primitive,
+    # operators/_lineage.reclaim_new_rdds; everything the gate
+    # produced is already flushed to parquet)
+    pre_ids = persistent_rdd_ids(spark)
     q = (stream.writeStream.foreachBatch(gate)
          .option("checkpointLocation", f"{root}/ckpt")
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in list(jmap.keySet()):
-        if int(rid) not in pre_ids:
-            jmap.get(rid).unpersist(False)
+    reclaim_new_rdds(spark, pre_ids)
 
     streamed = (spark.read.parquet(pair_tbl)
                 .select("lo", "hi", "est_jaccard"))
@@ -162,7 +200,7 @@ def stream_minhash_dedup_gate(spark: SparkSession,
         n_signable = shingled_all.agg(
             F.sum(F.when(F.size("s") > 0, 1).otherwise(0))
             .cast("long").alias("n_signable"))
-        n_sigs = (spark.read.parquet(sig_tbl)
+        n_sigs = (spark.read.parquet(sig_tbl + "/sigs")
                   .agg(F.count(F.lit(1)).alias("n_sigs"),
                        F.count_distinct("doc_id").alias("n_sig_docs")))
         verdict = (n_docs.crossJoin(F.broadcast(n_diff))
