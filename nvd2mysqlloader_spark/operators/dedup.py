@@ -99,14 +99,33 @@ def _band_explode(bands: int):
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16) -> DataFrame:
+                        bands: int = 16,
+                        bucket_cap: int | None = None) -> DataFrame:
     """Band the signatures and self-join the buckets → distinct
     candidate pairs (id_a < id_b).
 
     The band hash is ``xxhash64`` over the band's slice of the
     signature; the join key is (band index, band hash) so only docs
-    agreeing on a full band collide. Skewed mega-buckets (boilerplate
-    dups) are AQE-split at scale.
+    agreeing on a full band collide. AQE skew-split handles moderate
+    bucket skew, but it only re-balances the JOIN WORK — a bucket of
+    B near-identical docs (boilerplate at 100 TB: a 100k-doc
+    template cluster) still EMITS B²/2 output pairs from one bucket,
+    an output-size pathology no scheduler can fix.
+
+    ``bucket_cap`` bounds it (r8 verdict ask #2): buckets with more
+    than ``bucket_cap`` members are collapsed to a STAR — B−1 edges
+    from the bucket's min-id anchor — instead of all-pairs emission.
+    A star spans exactly the members a clique spans, so connected
+    components over the capped pairs equal components over the
+    uncapped pairs (the dedup-cluster answer is unchanged — pinned
+    by the lsh_bucket_cap_clusters verdict query and
+    tests/test_dedup.py), while emission drops from O(B²) to O(B).
+    Pairs from buckets at or under the cap are byte-identical to the
+    uncapped output. Star edges are CLUSTER edges: a per-pair
+    Jaccard-estimate filter downstream would see only anchor-member
+    pairs from over-cap buckets, so use the capped mode to feed
+    connected components (dedup clustering), the uncapped mode when
+    every pairwise estimate matters.
     """
     # build (id, band_idx, band_hash) rows
     banded = sigs.select(
@@ -118,6 +137,28 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     # scale and a shuffle join with skew-split at 100 TB, where a
     # boilerplate mega-bucket would otherwise straggle.
     banded = _materialize(banded)
+    if bucket_cap is not None:
+        # per-bucket size + min-id anchor: one partial-agg shuffle on
+        # the same (band_idx, band_hash) key the self-join uses
+        stats = (banded.groupBy("band_idx", "band_hash")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.min(id_col).alias("anchor")))
+        tagged = banded.join(stats, ["band_idx", "band_hash"])
+        small = tagged.filter(F.col("n") <= bucket_cap) \
+                      .select(id_col, "band_idx", "band_hash")
+        # over-cap buckets: star edges (anchor, member) — anchor is
+        # the bucket min so id_a < id_b holds by construction
+        star = (tagged.filter((F.col("n") > bucket_cap)
+                              & (F.col(id_col) != F.col("anchor")))
+                .select(F.col("anchor").alias("id_a"),
+                        F.col(id_col).alias("id_b")))
+        a, b = small.alias("a"), small.alias("b")
+        allpairs = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                           & (F.col("a.band_hash") == F.col("b.band_hash"))
+                           & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                    .select(F.col(f"a.{id_col}").alias("id_a"),
+                            F.col(f"b.{id_col}").alias("id_b")))
+        return allpairs.unionAll(star).distinct()
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))

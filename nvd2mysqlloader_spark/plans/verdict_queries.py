@@ -717,3 +717,127 @@ def compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         src.unpersist()
         out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# 8. LSH mega-bucket capping (r8 verdict ask #2) — the output-size
+# pathology in banded dedup: a boilerplate cluster of B docs sharing
+# a band bucket EMITS B²/2 candidate pairs from one bucket (at 100 TB
+# a 100k-doc template cluster is 5x10^9 pairs) — AQE skew-split
+# re-balances the join WORK but cannot shrink the OUTPUT. The capped
+# mode (operators/dedup.lsh_candidate_pairs(bucket_cap=...))
+# collapses over-cap buckets to a star from the bucket's min-id
+# anchor: B−1 edges spanning exactly the members the clique spans, so
+# the dedup-cluster answer (connected components) is UNCHANGED while
+# emission drops from O(B²) to O(B). This verdict plants a
+# pathological near-identical cluster beside the real corpus and pins
+# every piece of that claim; scripts/stress_megabucket.py measures
+# the blowup at sf0.1 (table in PLANS.md).
+
+
+@query(
+    "lsh_bucket_cap_clusters",
+    oracle="""
+    SELECT CAST(count(*) + 300 AS BIGINT) AS n_docs,
+           CAST(44850 AS BIGINT) AS planted_pairs_uncapped,
+           CAST(299 AS BIGINT) AS planted_pairs_capped,
+           TRUE AS natural_buckets_under_cap,
+           TRUE AS nonplanted_pairs_untouched,
+           TRUE AS clusters_match
+    FROM documents
+    """,
+    doc=(
+        "LSH candidate generation with a bucket cap: plant a 300-doc "
+        "IDENTICAL-text cluster (doc_id >= 10M) beside the corpus, "
+        "run lsh_candidate_pairs uncapped and with bucket_cap=64, "
+        "and pin: the planted cluster emits exactly C(300,2)=44850 "
+        "pairs uncapped but exactly 299 star edges capped; every "
+        "natural band bucket is at or under the cap (so the planted "
+        "cluster is the ONLY over-cap source and 'untouched' is "
+        "meaningful); pairs between natural docs are an EXACT "
+        "multiset match across modes (exceptAll both ways); and "
+        "connected components over capped pairs equal components "
+        "over uncapped pairs as an exact (doc, component) multiset — "
+        "the dedup-cluster answer is invariant under capping. "
+        "DuckDB anchors the doc count and the two closed-form pair "
+        "counts."
+    ),
+)
+def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..functions.text import shingle3_udf
+    from ..operators.dedup import (_band_explode, lsh_candidate_pairs,
+                                   minhash_signatures)
+    from ..operators.graph import connected_components
+
+    C, CAP, OFF = 300, 64, 10_000_000
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = ("synthetic boilerplate template cluster shared header "
+              "navigation footer copyright subscribe unsubscribe terms "
+              "privacy contact")
+    planted = spark.range(C).select(
+        (F.lit(OFF) + F.col("id")).alias("doc_id"),
+        F.lit(boiler).alias("text"))
+    all_docs = (docs.unionAll(planted)
+                .repartition(spark.sparkContext.defaultParallelism))
+    shingled = all_docs.select(
+        "doc_id", shingle3_udf()("text").alias("s"))
+    sigs = cut_lineage(minhash_signatures(shingled))
+
+    uncapped = lsh_candidate_pairs(sigs) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    capped = lsh_candidate_pairs(sigs, bucket_cap=CAP) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        plant = F.col("id_a") >= OFF   # id_a<id_b: both planted iff a is
+        n_plant_un = uncapped.filter(plant).agg(
+            F.count(F.lit(1)).alias("planted_pairs_uncapped"))
+        n_plant_cap = capped.filter(plant).agg(
+            F.count(F.lit(1)).alias("planted_pairs_capped"))
+
+        nat_un = uncapped.filter(F.col("id_b") < OFF)
+        nat_cap = capped.filter(F.col("id_b") < OFF)
+        n_nat_diff = (nat_un.exceptAll(nat_cap)
+                      .unionAll(nat_cap.exceptAll(nat_un))
+                      .agg(F.count(F.lit(1)).alias("n_nat_diff")))
+
+        # largest NATURAL band bucket — the planted cluster must be
+        # the only over-cap source for 'untouched' to be meaningful
+        nat_max = (sigs.filter(F.col("doc_id") < OFF)
+                   .select("doc_id",
+                           _band_explode(16).alias("band_idx",
+                                                   "band_hash"))
+                   .groupBy("band_idx", "band_hash")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .agg(F.coalesce(F.max("n"), F.lit(0))
+                        .alias("nat_max_bucket")))
+
+        nodes = all_docs.select(F.col("doc_id").alias("id"))
+        def _cc(pairs: DataFrame) -> DataFrame:
+            return connected_components(
+                nodes, pairs.select(F.col("id_a").alias("src"),
+                                    F.col("id_b").alias("dst")))
+        cc_un = _cc(uncapped).persist(StorageLevel.MEMORY_AND_DISK)
+        cc_cap = _cc(capped).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_cc_diff = (cc_un.exceptAll(cc_cap)
+                         .unionAll(cc_cap.exceptAll(cc_un))
+                         .agg(F.count(F.lit(1)).alias("n_cc_diff")))
+            n_docs = all_docs.agg(F.count(F.lit(1)).alias("n_docs"))
+            verdict = _one_row(n_docs, n_plant_un, n_plant_cap,
+                               n_nat_diff, nat_max, n_cc_diff).select(
+                "n_docs", "planted_pairs_uncapped",
+                "planted_pairs_capped",
+                (F.col("nat_max_bucket") <= CAP)
+                .alias("natural_buckets_under_cap"),
+                (F.col("n_nat_diff") == 0)
+                .alias("nonplanted_pairs_untouched"),
+                (F.col("n_cc_diff") == 0).alias("clusters_match"))
+            return cut_lineage(verdict)
+        finally:
+            cc_un.unpersist()
+            cc_cap.unpersist()
+    finally:
+        uncapped.unpersist()
+        capped.unpersist()

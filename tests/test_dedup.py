@@ -402,6 +402,45 @@ def test_banded_keyed_retry_idempotent_and_epoch_probe(
     assert want, "no cross-batch collisions in fixture — vacuous"
 
 
+def test_lsh_bucket_cap_star_collapse(spark):
+    """Planted geometry for the capped candidate mode: a 4-doc
+    identical cluster over cap=3 collapses to 3 star edges from the
+    min-id anchor; a 2-doc cluster under the cap keeps its all-pairs
+    emission byte-identical; connected components are invariant."""
+    from nvd2mysqlloader_spark.operators.dedup import \
+        minhash_signatures as ms
+    from nvd2mysqlloader_spark.operators.graph import \
+        connected_components
+
+    rows = ([(i, "alpha beta gamma delta epsilon zeta eta theta")
+             for i in (10, 11, 12, 13)]
+            + [(i, "one two three four five six seven eight")
+               for i in (1, 2)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = docs.select("doc_id", shingle3_udf()("text").alias("s"))
+    sigs = ms(sh)
+
+    uncapped = {(r.id_a, r.id_b)
+                for r in lsh_candidate_pairs(sigs).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in lsh_candidate_pairs(sigs,
+                                           bucket_cap=3).collect()}
+    assert uncapped == ({(1, 2)}
+                        | {(a, b) for a in (10, 11, 12, 13)
+                           for b in (10, 11, 12, 13) if a < b})
+    assert capped == {(1, 2), (10, 11), (10, 12), (10, 13)}
+
+    nodes = docs.select(F.col("doc_id").alias("id"))
+
+    def cc(pairs):
+        edges = spark.createDataFrame(
+            sorted(pairs), "src long, dst long")
+        return sorted(map(tuple,
+                          connected_components(nodes, edges).collect()))
+
+    assert cc(capped) == cc(uncapped)
+
+
 def test_cosine_candidate_pairs_blocked_matches_broadcast(spark):
     """The blocked block-pair matmul (the 100 TB path: bounded task
     memory, no full-corpus gather) finds exactly the broadcast path's
