@@ -45,8 +45,11 @@ HEADLINE = sorted([
     "simhash_near_dup",
     "ngram_jaccard_pairs",
     # r8: the persisted-signature-table dedup probe (full build+probe+
-    # rebuild-verify cycle, the dedup twin of ann_topk_pq_indexed)
+    # rebuild-verify cycle, the dedup twin of ann_topk_pq_indexed);
+    # r9: band-partitioned + its maintenance/capping verdicts
     "minhash_incremental_dedup",
+    "signature_table_maintenance",
+    "lsh_bucket_cap_clusters",
     # r7 set-similarity/substring/phrase family: the prefix-filtered
     # exact Jaccard join (the PPJoin-style scale path whose naive
     # twin is ngram_jaccard_pairs), suffix-array-style maximal

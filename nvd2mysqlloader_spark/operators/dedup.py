@@ -447,6 +447,13 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
         .alias("doc_bucket"))
 
     def _write(df: DataFrame, sub: str, parts: list[str]) -> None:
+        # co-locate each partition dir's rows in ONE task before the
+        # partitionBy write: without this every task writes a file
+        # into every dir it touches (up to tasks x n_buckets tiny
+        # files per append — the small-files pathology
+        # operators/compaction.py exists to clean up); with it the
+        # append lands ~one file per touched dir
+        df = df.repartition(F.col(parts[-1]))
         if keyed:
             df = df.withColumn("batch_id",
                                F.lit(batch_id).cast("long"))
@@ -504,11 +511,16 @@ def incremental_minhash_candidates_banded(
 
     new_sigs = _materialize(
         minhash_signatures(new_shingled, id_col, shingles_col, num_perm))
-    new_banded = _materialize(
-        new_sigs.select(
-            F.col(id_col).alias("new_id"),
-            F.col("sig").alias("sig_new"),
-            _band_explode(bands).alias("band_idx", "band_hash"))
+    # NOT separately materialized: the band explode is a cheap narrow
+    # map over the already-checkpointed signatures, so its two
+    # consumers (the bucket collect and the probe join's build side)
+    # re-derive it instead of paying another eager-checkpoint job —
+    # probe latency is dominated by fixed per-job overhead at small
+    # batch sizes
+    new_banded = (new_sigs.select(
+        F.col(id_col).alias("new_id"),
+        F.col("sig").alias("sig_new"),
+        _band_explode(bands).alias("band_idx", "band_hash"))
         .withColumn("bucket",
                     F.pmod(F.xxhash64("band_idx", "band_hash"),
                            F.lit(n_buckets)).cast("int")))

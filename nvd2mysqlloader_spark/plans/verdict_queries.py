@@ -841,3 +841,96 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         uncapped.unpersist()
         capped.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# 9. Dedup-state maintenance (r8 verdict stretch #7) — the persisted
+# signature table grows forever BY DESIGN (dedup state outlives any
+# watermark) and accretes one file per touched partition dir per
+# micro-batch append; at 100 TB/day that is the same small-files
+# pathology compaction_maintenance handles for data tables, applied
+# to the engine's own dedup state. This puts the state table's
+# LIFECYCLE on the oracle surface: maintenance must be invisible to
+# the probe.
+
+
+@query(
+    "signature_table_maintenance",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT)
+             AS n_corpus_docs,
+           TRUE AS files_reduced,
+           TRUE AS probe_identical
+    FROM documents
+    """,
+    doc=(
+        "operators/compaction.compact_parquet over the band-"
+        "partitioned MinHash signature table: the corpus side "
+        "(doc_id%5!=0) is written as 8 micro-appends (one file per "
+        "touched partition dir per append — streaming-gate accretion "
+        "shape), the batch (doc_id%5==0) probes it, both subtables "
+        "(bands + sig sidecar) are compacted per partition dir with "
+        "atomic version publish, and the probe re-runs. Verdict: "
+        "file count really dropped, and the post-compaction probe "
+        "equals the pre-compaction probe as an EXACT multiset "
+        "(exceptAll both ways, estimates included) — table "
+        "maintenance is invisible to dedup semantics, beside "
+        "DuckDB's corpus-count anchor. Partition dirs are preserved "
+        "by compaction, so the probe's partition pruning survives "
+        "maintenance (tests/test_dedup.py::"
+        "test_banded_probe_plan_partition_prunes_both_scans pins the "
+        "pruning itself)."
+    ),
+)
+def signature_table_maintenance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators.compaction import compact_parquet, list_data_files
+    from ..operators.dedup import (incremental_minhash_candidates_banded,
+                                   write_banded_signature_table)
+    from .sketch_queries import _shingled
+
+    sh = _shingled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        new_side = F.col("doc_id") % 5 == 0
+        corpus, batch = sh.filter(~new_side), sh.filter(new_side)
+        path = _tmp_index("sig_maint_")
+        # 8 micro-appends: the accretion shape a streaming gate
+        # produces (each append lands ~one file per touched dir)
+        for k in range(8):
+            write_banded_signature_table(
+                corpus.filter(F.col("doc_id") % 8 == k), path)
+
+        def probe():
+            return (incremental_minhash_candidates_banded(
+                        spark, path, batch)
+                    .select("new_id", "old_id", "est_jaccard"))
+
+        before = probe().persist(StorageLevel.MEMORY_AND_DISK)
+        before.count()
+        files_before = (len(list_data_files(f"{path}/bands"))
+                        + len(list_data_files(f"{path}/sigs")))
+        for sub in ("/bands", "/sigs"):
+            compact_parquet(spark, path + sub,
+                            target_bytes=64 * 1024 * 1024)
+        files_after = (len(list_data_files(f"{path}/bands"))
+                       + len(list_data_files(f"{path}/sigs")))
+        after = probe().persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            diff = before.exceptAll(after).unionAll(
+                after.exceptAll(before))
+            n_corpus = corpus.agg(
+                F.count(F.lit(1)).alias("n_corpus_docs"))
+            n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+            verdict = _one_row(n_corpus, n_diff).select(
+                "n_corpus_docs",
+                F.lit(files_after < files_before)
+                .alias("files_reduced"),
+                (F.col("n_diff") == 0).alias("probe_identical"))
+            return cut_lineage(verdict)
+        finally:
+            before.unpersist()
+            after.unpersist()
+    finally:
+        sh.unpersist()
