@@ -378,7 +378,7 @@ def incremental_minhash_candidates(spark, sig_path: str,
 #   that would multiply signature bytes by ``bands``); the estimate
 #   join fetches only the candidate old-ids' buckets, O(collisions)
 #   of them.
-# * ``{path}/meta``   — 1-row (num_perm, bands, n_buckets, keyed).
+# * ``{path}/meta.json`` — (num_perm, bands, n_buckets, keyed).
 #   The probe derives EVERY geometry parameter from meta, so a
 #   probe/table drift (the silent-empty-result failure mode the
 #   width check above guards against) is impossible by construction;
@@ -397,9 +397,13 @@ N_SIG_BUCKETS = 64
 
 
 def _read_sig_meta(spark, path: str) -> dict:
-    row = spark.read.parquet(path + "/meta").first()
-    return {"num_perm": row["num_perm"], "bands": row["bands"],
-            "n_buckets": row["n_buckets"], "keyed": row["keyed"]}
+    # plain JSON, not a parquet relation: geometry is DRIVER-side
+    # metadata (a catalog property at scale) and a 1-row parquet
+    # write/read costs two whole Spark jobs per append/probe
+    # (measured 7.6 s for the write alone at sf0.1)
+    import json
+    with open(path + "/meta.json") as f:
+        return json.load(f)
 
 
 def write_banded_signature_table(shingled: DataFrame, path: str,
@@ -413,23 +417,25 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     comment above; ``batch_id`` keys the write for foreachBatch
     retry idempotence (dynamic partition overwrite of the batch's own
     partitions)."""
+    import json
     import os
     spark = shingled.sparkSession
     keyed = batch_id is not None
-    if os.path.isdir(path + "/meta"):
+    got = {"num_perm": num_perm, "bands": bands,
+           "n_buckets": n_buckets, "keyed": keyed}
+    if os.path.isfile(path + "/meta.json"):
         meta = _read_sig_meta(spark, path)
-        got = {"num_perm": num_perm, "bands": bands,
-               "n_buckets": n_buckets, "keyed": keyed}
         if meta != got:
             raise ValueError(
                 f"banded signature table at {path} has geometry {meta} "
                 f"but the write was called with {got}; a mismatched "
                 "append would make band hashes unmatchable")
     else:
-        spark.createDataFrame(
-            [(num_perm, bands, n_buckets, keyed)],
-            "num_perm int, bands int, n_buckets int, keyed boolean"
-        ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+        os.makedirs(path, exist_ok=True)
+        tmp = path + "/meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(got, f)
+        os.replace(tmp, path + "/meta.json")   # atomic vs readers
 
     # signatures computed ONCE for both writes (the sidecar and the
     # band index derive from the same relation)

@@ -88,7 +88,7 @@ def dedup_gate_batch(spark: SparkSession, batch_df: DataFrame,
         # band-partitioned corpus, restricted at partition level to
         # batches strictly before this one (skipped entirely for the
         # very first batch — no table yet)
-        if os.path.isdir(f"{sig_tbl}/meta"):
+        if os.path.isfile(f"{sig_tbl}/meta.json"):
             cross = (incremental_minhash_candidates_banded(
                          spark, sig_tbl, sh, threshold=threshold,
                          max_batch_id_exclusive=batch_id)

@@ -857,7 +857,8 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "signature_table_maintenance",
     oracle="""
-    SELECT CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT)
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 5 <> 0
+                                 AND doc_id % 2 = 0) AS BIGINT)
              AS n_corpus_docs,
            TRUE AS files_reduced,
            TRUE AS probe_identical
@@ -866,9 +867,13 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "operators/compaction.compact_parquet over the band-"
         "partitioned MinHash signature table: the corpus side "
-        "(doc_id%5!=0) is written as 8 micro-appends (one file per "
-        "touched partition dir per append — streaming-gate accretion "
-        "shape), the batch (doc_id%5==0) probes it, both subtables "
+        "(doc_id%5!=0 and doc_id%2==0 — the claim is lifecycle "
+        "correctness, not throughput, so the artifact runs on a "
+        "deterministic corpus slice) is written as 4 micro-appends "
+        "(one file per touched partition dir per append — "
+        "streaming-gate accretion shape; n_buckets=16 keeps the "
+        "artifact's per-append dir-commit overhead proportionate), "
+        "the batch (doc_id%5==0) probes it, both subtables "
         "(bands + sig sidecar) are compacted per partition dir with "
         "atomic version publish, and the probe re-runs. Verdict: "
         "file count really dropped, and the post-compaction probe "
@@ -894,13 +899,18 @@ def signature_table_maintenance(spark: SparkSession,
     sh = _shingled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         new_side = F.col("doc_id") % 5 == 0
-        corpus, batch = sh.filter(~new_side), sh.filter(new_side)
+        corpus = sh.filter(~new_side & (F.col("doc_id") % 2 == 0))
+        batch = sh.filter(new_side)
         path = _tmp_index("sig_maint_")
-        # 8 micro-appends: the accretion shape a streaming gate
-        # produces (each append lands ~one file per touched dir)
-        for k in range(8):
+        # 4 micro-appends: the accretion shape a streaming gate
+        # produces (each append lands ~one file per touched dir);
+        # hash-sliced so every slice is nonempty (corpus ids are all
+        # even — a modular split would leave half the slices empty)
+        for k in range(4):
             write_banded_signature_table(
-                corpus.filter(F.col("doc_id") % 8 == k), path)
+                corpus.filter(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(4)) == k),
+                path, n_buckets=16)
 
         def probe():
             return (incremental_minhash_candidates_banded(
