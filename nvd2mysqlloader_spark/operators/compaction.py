@@ -125,31 +125,53 @@ def compact_parquet(spark: SparkSession, path: str,
             return {"before_files": n, "after_files": n, "bytes": total,
                     "partitions": len(part_dirs), "skipped": True}
         vdir = table_io.next_version_dir(path)
-        # ONE-JOB fast path: when every partition needs compaction and
-        # each fits a single target file (the micro-append accretion
-        # shape — thousands of dirs, each a pile of tiny files), a
-        # per-dir rewrite loop launches one driver-side Spark job PER
-        # DIRECTORY (a 10k-partition table = 10k sequential jobs, the
-        # real bottleneck at scale: measured 128 jobs / ~45 s for a
-        # 64-dir x 2-subtable signature table locally). Instead read
-        # the whole table once, co-locate each dir's rows in one task
-        # (repartition by the partition columns), and write all dirs
-        # in a single partitionBy job — one shuffle, one job,
-        # one file per dir.
-        all_small = all(
-            (p["worth_it"] or force)
-            and p["total_bytes"] <= target_bytes
-            for p in plans.values())
-        if all_small:
-            part_cols = [c.split("=", 1)[0]
-                         for c in part_dirs[0].split(os.sep)]
+        # ONE-JOB fast path: when every partition that NEEDS
+        # compaction fits a single target file (the micro-append
+        # accretion shape — thousands of dirs, each a pile of tiny
+        # files), a per-dir rewrite loop launches one driver-side
+        # Spark job PER DIRECTORY (a 10k-partition table = 10k
+        # sequential jobs, the real bottleneck at scale: measured
+        # 128 jobs / ~45 s for a 64-dir x 2-subtable signature table
+        # locally). Instead read the worth-it dirs once, co-locate
+        # each dir's rows in one task (repartition by the partition
+        # columns), and write them all in a single partitionBy job —
+        # one shuffle, one job, one file per dir; healthy dirs carry
+        # over as hardlinks as in the per-dir path. Restricted to
+        # single-level integer-valued partitioning when a partition
+        # FILTER is needed (dir-name strings round-trip exactly
+        # through an int cast; exotic value encodings fall back to
+        # the per-dir loop).
+        worth = [d for d in part_dirs
+                 if plans[d]["worth_it"] or force]
+        small = [d for d in worth
+                 if plans[d]["total_bytes"] <= target_bytes]
+        part_cols = [c.split("=", 1)[0]
+                     for c in part_dirs[0].split(os.sep)]
+        vals = [d.split("=", 1)[1] for d in small]
+        filter_ok = (len(small) == len(part_dirs)
+                     or (len(part_cols) == 1
+                         and all(v.lstrip("-").isdigit()
+                                 for v in vals)))
+        if worth and small == worth and filter_ok:
             from pyspark.sql import functions as F
             df = spark.read.parquet(cur)
+            if len(small) < len(part_dirs):
+                df = df.filter(
+                    F.col(part_cols[0]).cast("string").isin(vals))
             df = df.repartition(*[F.col(c) for c in part_cols])
             if sort_by:
-                df = df.sortWithinPartitions(*sort_by)
+                # partition cols FIRST: the partitionBy writer
+                # requires ordering on them and would otherwise
+                # insert its own sort, voiding sort_by's within-file
+                # min/max locality
+                df = df.sortWithinPartitions(*part_cols, *sort_by)
             df.write.partitionBy(*part_cols).mode("overwrite") \
                 .parquet(vdir)
+            small_set = set(small)
+            for d in part_dirs:
+                if d not in small_set:
+                    table_io.link_tree(os.path.join(cur, d),
+                                       os.path.join(vdir, d))
             before = sum(p["n_files"] for p in plans.values())
             after = total = 0
             for d in table_io.leaf_partition_dirs(vdir):

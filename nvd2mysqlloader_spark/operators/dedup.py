@@ -143,7 +143,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         stats = (banded.groupBy("band_idx", "band_hash")
                  .agg(F.count(F.lit(1)).alias("n"),
                       F.min(id_col).alias("anchor")))
-        tagged = banded.join(stats, ["band_idx", "band_hash"])
+        # materialized: three consumers (both self-join sides + the
+        # star branch) would otherwise re-run the aggregate shuffle
+        # and join per consumer (AQE defeats ReuseExchange here — see
+        # _materialize)
+        tagged = _materialize(banded.join(stats,
+                                          ["band_idx", "band_hash"]))
         small = tagged.filter(F.col("n") <= bucket_cap) \
                       .select(id_col, "band_idx", "band_hash")
         # over-cap buckets: star edges (anchor, member) — anchor is
@@ -396,7 +401,7 @@ def incremental_minhash_candidates(spark, sig_path: str,
 N_SIG_BUCKETS = 64
 
 
-def _read_sig_meta(spark, path: str) -> dict:
+def _read_sig_meta(path: str) -> dict:
     # plain JSON, not a parquet relation: geometry is DRIVER-side
     # metadata (a catalog property at scale) and a 1-row parquet
     # write/read costs two whole Spark jobs per append/probe
@@ -404,6 +409,20 @@ def _read_sig_meta(spark, path: str) -> dict:
     import json
     with open(path + "/meta.json") as f:
         return json.load(f)
+
+
+def _has_data_files(path: str) -> bool:
+    """Any committed parquet data file under ``path``? meta.json is
+    written BEFORE the data commits, so 'table exists' checks on the
+    meta alone would crash probes against a table whose first write
+    crashed mid-flight or committed zero rows (all-unsignable batch —
+    only _SUCCESS markers on disk)."""
+    import os
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("_"):
+                return True
+    return False
 
 
 def write_banded_signature_table(shingled: DataFrame, path: str,
@@ -424,7 +443,7 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     got = {"num_perm": num_perm, "bands": bands,
            "n_buckets": n_buckets, "keyed": keyed}
     if os.path.isfile(path + "/meta.json"):
-        meta = _read_sig_meta(spark, path)
+        meta = _read_sig_meta(path)
         if meta != got:
             raise ValueError(
                 f"banded signature table at {path} has geometry {meta} "
@@ -501,13 +520,21 @@ def incremental_minhash_candidates_banded(
     relation so the RETURNED plan shows both pruned parquet scans —
     for plan inspection/tests only (the default cut computes the
     candidates once instead of once per consumer)."""
-    meta = _read_sig_meta(spark, path)
+    meta = _read_sig_meta(path)
     num_perm, bands = meta["num_perm"], meta["bands"]
     n_buckets = meta["n_buckets"]
     if max_batch_id_exclusive is not None and not meta["keyed"]:
         raise ValueError(
             f"table at {path} is not batch_id-keyed; "
             "max_batch_id_exclusive is meaningless")
+    # meta lands before the data commits: a first write that crashed
+    # mid-flight, or whose batch had zero signable docs, leaves a
+    # table with meta but no parquet — an empty corpus, not an error
+    # (the retry-idempotent gate depends on the probe tolerating it)
+    if not (_has_data_files(path + "/bands")
+            and _has_data_files(path + "/sigs")):
+        return spark.createDataFrame(
+            [], "new_id long, old_id long, est_jaccard double")
 
     def _epoch(df: DataFrame) -> DataFrame:
         if max_batch_id_exclusive is not None:
@@ -562,7 +589,13 @@ def incremental_minhash_candidates_banded(
     est = (F.size(F.filter(F.zip_with("sig_new", "sig_old",
                                       lambda x, y: x == y),
                            lambda v: v)).cast("double") / num_perm)
-    return (F.broadcast(cand).join(sidecar, "old_id")
+    # no broadcast HINT on the candidate side: collisions are usually
+    # batch-sized (AQE broadcasts them anyway) but are UNBOUNDED under
+    # a boilerplate mega-cluster — a forced broadcast of millions of
+    # 64-long-sig rows would blow the broadcast/driver limits exactly
+    # when the probe is under the most load; let AQE pick from the
+    # runtime size
+    return (cand.join(sidecar, "old_id")
             .select("new_id", "old_id", est.alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold))
 

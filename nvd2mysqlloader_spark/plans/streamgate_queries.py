@@ -178,8 +178,16 @@ def stream_minhash_dedup_gate(spark: SparkSession,
     q.awaitTermination()
     reclaim_new_rdds(spark, pre_ids)
 
-    streamed = (spark.read.parquet(pair_tbl)
-                .select("lo", "hi", "est_jaccard"))
+    # a corpus where NO batch emits pairs leaves only _SUCCESS markers
+    # behind (schema inference would fail) — the verdict must still
+    # compute, comparing empty to empty
+    from ..operators.compaction import list_data_files
+    if list_data_files(pair_tbl):
+        streamed = (spark.read.parquet(pair_tbl)
+                    .select("lo", "hi", "est_jaccard"))
+    else:
+        streamed = spark.createDataFrame(
+            [], "lo long, hi long, est_jaccard double")
     shingled_all = _shingled(spark, sf_dir) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     truth = (minhash_near_dups(shingled_all, threshold=_THRESH)
@@ -200,9 +208,16 @@ def stream_minhash_dedup_gate(spark: SparkSession,
         n_signable = shingled_all.agg(
             F.sum(F.when(F.size("s") > 0, 1).otherwise(0))
             .cast("long").alias("n_signable"))
-        n_sigs = (spark.read.parquet(sig_tbl + "/sigs")
-                  .agg(F.count(F.lit(1)).alias("n_sigs"),
-                       F.count_distinct("doc_id").alias("n_sig_docs")))
+        # same _SUCCESS-only guard as the pair table: an all-unsignable
+        # corpus appends zero signature rows per batch
+        if list_data_files(sig_tbl + "/sigs"):
+            n_sigs = (spark.read.parquet(sig_tbl + "/sigs")
+                      .agg(F.count(F.lit(1)).alias("n_sigs"),
+                           F.count_distinct("doc_id")
+                           .alias("n_sig_docs")))
+        else:
+            n_sigs = spark.createDataFrame(
+                [(0, 0)], "n_sigs long, n_sig_docs long")
         verdict = (n_docs.crossJoin(F.broadcast(n_diff))
                    .crossJoin(F.broadcast(n_sigs))
                    .crossJoin(F.broadcast(n_signable))

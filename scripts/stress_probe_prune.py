@@ -139,6 +139,8 @@ def main() -> None:
 
         pairs = sorted(map(tuple, incremental_minhash_candidates_banded(
             spark, banded, batch).collect()))
+        assert pairs, ("batch found no collisions — the flat-probe "
+                       "measurement would be vacuous")
         if baseline_pairs is None:
             baseline_pairs = pairs
         assert pairs == baseline_pairs, (

@@ -355,6 +355,23 @@ def test_banded_write_geometry_mismatch_fails_loudly(
         write_banded_signature_table(old, path, batch_id=0)
 
 
+def test_banded_probe_tolerates_meta_only_table(spark, shingled,
+                                                tmp_path):
+    """meta.json lands before the data commits: a first write whose
+    batch had zero signable docs (or that crashed mid-flight) leaves
+    a table with meta but no parquet. The probe must treat that as an
+    EMPTY corpus, not crash — the retry-idempotent gate depends on
+    it."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+    path = str(tmp_path / "metaonly")
+    write_banded_signature_table(shingled.filter(F.lit(False)), path)
+    got = incremental_minhash_candidates_banded(
+        spark, path, shingled.limit(5))
+    assert got.count() == 0
+
+
 def test_banded_keyed_retry_idempotent_and_epoch_probe(
         spark, shingled, tmp_path):
     """foreachBatch retry contract on the keyed table: re-writing the
