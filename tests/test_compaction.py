@@ -174,3 +174,35 @@ def test_multilevel_partitioned_compaction(spark, tmp_path):
     assert post.count() == pre_rows
     assert post.agg(F.sum("id")).first()[0] == pre_sum
     assert post.filter("year = 1 AND month = 2").count() == pre_y1m2
+
+
+def test_mixed_string_partitioned_compaction_falls_back(spark, tmp_path):
+    """The one-job fast path's partition FILTER is restricted to
+    int-valued single-level dirs (dir-name strings round-trip exactly
+    through an int cast); a mixed STRING-partitioned table must take
+    the per-dir loop and still compact correctly — healthy partition
+    hardlinked, fragmented partition rewritten, relation unchanged."""
+    import glob
+    import os
+    path = str(tmp_path / "strmixed")
+    (spark.range(500).selectExpr("id", "'aa' AS grp")
+     .coalesce(1).write.partitionBy("grp").parquet(path))
+    for i in range(12):
+        (spark.range(i * 10, (i + 1) * 10)
+         .selectExpr("id", "'bb' AS grp")
+         .coalesce(1).write.mode("append").partitionBy("grp")
+         .parquet(path))
+    healthy = {os.stat(p).st_ino
+               for p in glob.glob(f"{path}/grp=aa/*.parquet")}
+    n_frag = len(glob.glob(f"{path}/grp=bb/*.parquet"))
+    assert n_frag == 12
+
+    stats = compact_parquet(spark, path, target_bytes=1024 * 1024)
+    assert stats["partitions"] == 2
+    assert stats["after_files"] < stats["before_files"]
+    assert {os.stat(p).st_ino
+            for p in glob.glob(f"{path}/grp=aa/*.parquet")} == healthy
+    assert len(glob.glob(f"{path}/grp=bb/*.parquet")) < n_frag
+    post = spark.read.parquet(path)
+    assert post.count() == 500 + 120
+    assert post.filter(F.col("grp") == "bb").count() == 120
