@@ -56,6 +56,41 @@ def plan_compaction(path: str, target_bytes: int = 128 * 1024 * 1024,
     }
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _value_round_trips(v: str) -> bool:
+    """True iff a ``col=v`` dir value survives Spark partition type
+    inference and a ``partitionBy`` rewrite byte-identically.
+
+    Canonical integers round-trip (inference reads them as int/long
+    and the writer renders the same digits). Anything inference could
+    coerce — zero-padded or ``-0`` integers (``month=07`` reads as 7,
+    re-renders ``month=7``), float/decimal-looking values
+    (``x=1.50`` → ``x=1.5``), date/timestamp-looking values, the Hive
+    null sentinel — may re-render differently (or merge with a
+    colliding canonical dir), so the one-job fast path must not touch
+    them: the per-dir rewrite loop never re-renders dir names.
+    """
+    if v == _HIVE_NULL:
+        return False
+    try:
+        return str(int(v)) == v
+    except ValueError:
+        pass
+    try:
+        float(v)
+        return False
+    except ValueError:
+        pass
+    # date/timestamp inference canonicalizes e.g. 2021-1-1 -> 2021-01-01
+    head = v.split(" ", 1)[0].split("T", 1)[0]
+    parts = head.split("-")
+    if 2 <= len(parts) <= 3 and all(p.isdigit() for p in parts if p):
+        return False
+    return True
+
+
 def _rewrite_into(spark: SparkSession, src: str, dst: str,
                   n_target: int, sort_by: list[str] | None) -> None:
     df = spark.read.parquet(src)
@@ -136,11 +171,11 @@ def compact_parquet(spark: SparkSession, path: str,
         # each dir's rows in one task (repartition by the partition
         # columns), and write them all in a single partitionBy job —
         # one shuffle, one job, one file per dir; healthy dirs carry
-        # over as hardlinks as in the per-dir path. Restricted to
-        # single-level integer-valued partitioning when a partition
-        # FILTER is needed (dir-name strings round-trip exactly
-        # through an int cast; exotic value encodings fall back to
-        # the per-dir loop).
+        # over as hardlinks as in the per-dir path. Taken only when
+        # every dir value round-trips through partition inference
+        # (see _value_round_trips) — and, when a partition FILTER is
+        # needed, only for single-level layouts; anything else falls
+        # back to the per-dir loop.
         worth = [d for d in part_dirs
                  if plans[d]["worth_it"] or force]
         small = [d for d in worth
@@ -148,11 +183,18 @@ def compact_parquet(spark: SparkSession, path: str,
         part_cols = [c.split("=", 1)[0]
                      for c in part_dirs[0].split(os.sep)]
         vals = [d.split("=", 1)[1] for d in small]
+        # EVERY dir value in EVERY level must round-trip through
+        # partition inference — not just the filtered ones: a single
+        # non-canonical value (month=07) either vanishes under the
+        # cast('string') filter (inference reads 7, "7" ∉ {"07"} —
+        # silent data loss) or is re-rendered/merged by the
+        # partitionBy writer. Non-round-tripping layouts take the
+        # per-dir loop, which never re-renders dir names.
+        safe = all(_value_round_trips(c.split("=", 1)[1])
+                   for d in part_dirs for c in d.split(os.sep))
         filter_ok = (len(small) == len(part_dirs)
-                     or (len(part_cols) == 1
-                         and all(v.lstrip("-").isdigit()
-                                 for v in vals)))
-        if worth and small == worth and filter_ok:
+                     or len(part_cols) == 1)
+        if worth and small == worth and safe and filter_ok:
             from pyspark.sql import functions as F
             df = spark.read.parquet(cur)
             if len(small) < len(part_dirs):

@@ -206,3 +206,75 @@ def test_mixed_string_partitioned_compaction_falls_back(spark, tmp_path):
     post = spark.read.parquet(path)
     assert post.count() == 500 + 120
     assert post.filter(F.col("grp") == "bb").count() == 120
+
+
+def test_leading_zero_int_partition_falls_back_no_data_loss(spark, tmp_path):
+    """Zero-padded integer dir values (``month=07``, common in
+    externally-written Hive layouts) must NOT take the one-job fast
+    path: partition inference reads ``07`` as 7, so the fast path's
+    ``cast('string')`` filter would drop the partition entirely
+    (silent data loss) and the partitionBy writer would re-render the
+    dir as ``month=7``. The per-dir loop preserves rows AND the exact
+    dir names."""
+    import glob
+    import os
+    path = str(tmp_path / "zeropad")
+    os.makedirs(path)
+    # write non-canonical dirs by hand (Spark itself always renders
+    # canonically, so build the layout the way an external writer would)
+    for val, lo, hi, nfiles in [("07", 0, 120, 12), ("11", 200, 700, 1)]:
+        d = os.path.join(path, f"month={val}")
+        step = (hi - lo) // nfiles
+        for i in range(nfiles):
+            (spark.range(lo + i * step, lo + (i + 1) * step)
+             .coalesce(1).write.mode("append").parquet(d))
+    pre = spark.read.parquet(path)
+    pre_rows, pre_sum = pre.count(), pre.agg(F.sum("id")).first()[0]
+
+    stats = compact_parquet(spark, path, target_bytes=1024 * 1024)
+    assert stats["partitions"] == 2
+    assert stats["after_files"] < stats["before_files"]
+    # exact dir names preserved — no month=7 canonicalization, no merge
+    dirs = sorted(os.path.basename(p.rstrip("/"))
+                  for p in glob.glob(f"{path}/month=*/"))
+    assert dirs == ["month=07", "month=11"]
+    post = spark.read.parquet(path)
+    assert post.count() == pre_rows
+    assert post.agg(F.sum("id")).first()[0] == pre_sum
+
+
+def test_colliding_noncanonical_dirs_preserved(spark, tmp_path):
+    """``month=7`` and ``month=07`` in one table: inference maps both
+    to 7, so any whole-table rewrite would merge them. The round-trip
+    guard must force the per-dir loop, keeping both dirs distinct with
+    their own rows."""
+    import glob
+    import os
+    path = str(tmp_path / "collide")
+    os.makedirs(path)
+    for val, lo, hi, nfiles in [("7", 0, 100, 10), ("07", 1000, 1100, 10)]:
+        d = os.path.join(path, f"month={val}")
+        step = (hi - lo) // nfiles
+        for i in range(nfiles):
+            (spark.range(lo + i * step, lo + (i + 1) * step)
+             .coalesce(1).write.mode("append").parquet(d))
+
+    compact_parquet(spark, path, target_bytes=1024 * 1024)
+    dirs = sorted(os.path.basename(p.rstrip("/"))
+                  for p in glob.glob(f"{path}/month=*/"))
+    assert dirs == ["month=07", "month=7"]
+    assert spark.read.parquet(f"{path}/month=07").count() == 100
+    assert spark.read.parquet(f"{path}/month=7").count() == 100
+
+
+def test_value_round_trips_classifier():
+    from nvd2mysqlloader_spark.operators.compaction import \
+        _value_round_trips as rt
+    assert rt("7") and rt("-7") and rt("0") and rt("123456789012")
+    assert rt("aa") and rt("us-east") and rt("a1b2")
+    assert not rt("07") and not rt("-0") and not rt("007")
+    assert not rt("1.5") and not rt("1.50") and not rt("1e3")
+    assert not rt("nan") and not rt("Infinity")
+    assert not rt("2021-01-01") and not rt("2021-1-1")
+    assert not rt("2021-01-01 00:00:00") and not rt("2021-01")
+    assert not rt("__HIVE_DEFAULT_PARTITION__")
