@@ -425,6 +425,76 @@ def _has_data_files(path: str) -> bool:
     return False
 
 
+def _manifest_file(path: str) -> str:
+    return path + "/manifest.json"
+
+
+def _read_manifest(path: str) -> dict | None:
+    """{"bands": {rel_dir: rows}, "sigs": {rel_dir: rows}} or None
+    for a pre-manifest table (probes fall back to recursive partition
+    listing)."""
+    import json
+    import os
+    p = _manifest_file(path)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(path: str, man: dict) -> None:
+    import json
+    import os
+    tmp = _manifest_file(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, sort_keys=True)
+    os.replace(tmp, _manifest_file(path))   # atomic vs readers
+
+
+def _dir_rows(d: str) -> int:
+    """Row count of one leaf partition dir from parquet footers —
+    driver-side metadata reads, no Spark job."""
+    import os
+    import pyarrow.parquet as pq
+    n = 0
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            n += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return n
+
+
+def rebuild_signature_manifest(path: str) -> dict:
+    """Full filesystem rebuild of the banded table's dir manifest
+    (VERDICT r9 ask #4): rel leaf partition dir → row count for both
+    subtables, written atomically to ``{path}/manifest.json``.
+
+    The manifest is the probe's DIR DISCOVERY: resolving the touched
+    buckets against it replaces the per-probe recursive partition
+    listing, whose fixed cost grows with n_buckets (measured 17.9 s
+    at 5,120 dirs on local FS — a metadata-catalog concern; the
+    manifest is the driver-side catalog stand-in, the local analog of
+    an Iceberg manifest list). Appends maintain it incrementally
+    (touched dirs only); this rebuild repairs a table written before
+    manifests existed or whose writer crashed between the data commit
+    and the manifest update. Dir-level (not file-level) on purpose:
+    compaction (operators/compaction.py) preserves the partition-dir
+    set and per-dir row counts exactly, so maintenance never
+    invalidates the manifest."""
+    import os
+
+    from . import table_io
+    man = {}
+    for sub in ("bands", "sigs"):
+        root = os.path.realpath(os.path.join(path, sub))
+        dirs = {}
+        if os.path.isdir(root):
+            for d in table_io.leaf_partition_dirs(root):
+                dirs[d] = _dir_rows(os.path.join(root, d))
+        man[sub] = dirs
+    _write_manifest(path, man)
+    return man
+
+
 def write_banded_signature_table(shingled: DataFrame, path: str,
                                  id_col: str = "doc_id",
                                  shingles_col: str = "s",
@@ -492,13 +562,38 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     _write(banded, "/bands", ["bucket"])
     _write(sidecar, "/sigs", ["doc_bucket"])
 
+    # incremental manifest update — touched dirs only. ONE bounded
+    # job collects both subtables' touched bucket values (≤
+    # batch·bands + batch ints, off the already-materialized sigs);
+    # the row recounts are driver-side parquet-footer reads of just
+    # those dirs. The update is part of the single-writer append
+    # protocol: a writer that crashes between the data commit and
+    # this replace leaves dirs the manifest misses — re-run the
+    # append (the gate's at-least-once contract) or
+    # rebuild_signature_manifest to repair.
+    touched = (banded.select(F.lit("bands").alias("t"),
+                             F.col("bucket").alias("b"))
+               .unionAll(sidecar.select(F.lit("sigs").alias("t"),
+                                        F.col("doc_bucket").alias("b")))
+               .distinct().collect())
+    man = _read_manifest(path) or {"bands": {}, "sigs": {}}
+    pref = f"batch_id={batch_id}/" if keyed else ""
+    for r in touched:
+        col = "bucket" if r["t"] == "bands" else "doc_bucket"
+        rel = f"{pref}{col}={r['b']}"
+        d = os.path.join(os.path.realpath(path + "/" + r["t"]), rel)
+        if os.path.isdir(d):
+            man[r["t"]][rel] = _dir_rows(d)
+    _write_manifest(path, man)
+
 
 def incremental_minhash_candidates_banded(
         spark, path: str, new_shingled: DataFrame,
         id_col: str = "doc_id", shingles_col: str = "s",
         threshold: float = 0.5,
         max_batch_id_exclusive: int | None = None,
-        materialize: bool = True) -> DataFrame:
+        materialize: bool = True,
+        max_candidates_per_new: int | None = None) -> DataFrame:
     """Pruned probe of the band-partitioned signature table: near-dup
     candidates (new_id, old_id, est_jaccard) of a NEW batch against
     the persisted corpus, reading ONLY
@@ -519,7 +614,30 @@ def incremental_minhash_candidates_banded(
     ``materialize=False`` skips the lineage cut on the candidate
     relation so the RETURNED plan shows both pruned parquet scans —
     for plan inspection/tests only (the default cut computes the
-    candidates once instead of once per consumer)."""
+    candidates once instead of once per consumer).
+
+    ``max_candidates_per_new`` is the probe-side ADMISSION CAP
+    (VERDICT r9 ask #1), the probe's analog of
+    :func:`lsh_candidate_pairs`'s ``bucket_cap``: a new batch hitting
+    a persisted boilerplate cluster of B docs otherwise emits
+    |batch|·B candidates (bounded — never corpus² — but unboundedly
+    larger than the batch). With the cap set, (a) a corpus band-hash
+    group larger than the cap admits only its min-``doc_id`` anchor
+    into the probe join — collapsing the |batch|·B emission to
+    |batch| BEFORE any pair exists, the star-collapse move — and
+    (b) each new doc keeps at most ``max_candidates_per_new``
+    admitted candidates (deterministic min-``old_id`` order). What
+    the dedup GATE consumes is invariant on boilerplate clusters:
+    the anchor is near-identical to every member it stands for, so
+    the set of new docs flagged ≥ threshold and their cluster
+    assignment (the anchor's connected component IS the cluster's)
+    match the uncapped probe — pinned by the ``probe_admission_cap``
+    verdict query on a planted batch-vs-mega-cluster fixture, with
+    natural (under-cap) pairs byte-identical by construction. Use
+    the capped mode to feed the gate; leave it None when every
+    pairwise estimate matters."""
+    import os
+
     meta = _read_sig_meta(path)
     num_perm, bands = meta["num_perm"], meta["bands"]
     n_buckets = meta["n_buckets"]
@@ -527,20 +645,66 @@ def incremental_minhash_candidates_banded(
         raise ValueError(
             f"table at {path} is not batch_id-keyed; "
             "max_batch_id_exclusive is meaningless")
+
+    def _empty() -> DataFrame:
+        # id-typed, not hard-coded long: string-keyed tables must get
+        # string-typed empty frames or unions against a nonempty
+        # probe result become schema-dependent on corpus emptiness
+        idt = new_shingled.schema[id_col].dataType
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("new_id", idt),
+            T.StructField("old_id", idt),
+            T.StructField("est_jaccard", T.DoubleType())]))
+
     # meta lands before the data commits: a first write that crashed
     # mid-flight, or whose batch had zero signable docs, leaves a
     # table with meta but no parquet — an empty corpus, not an error
     # (the retry-idempotent gate depends on the probe tolerating it)
     if not (_has_data_files(path + "/bands")
             and _has_data_files(path + "/sigs")):
-        return spark.createDataFrame(
-            [], "new_id long, old_id long, est_jaccard double")
+        return _empty()
 
     def _epoch(df: DataFrame) -> DataFrame:
         if max_batch_id_exclusive is not None:
             return df.filter(
                 F.col("batch_id") < F.lit(max_batch_id_exclusive))
         return df
+
+    man = _read_manifest(path)
+
+    def _pruned_scan(sub: str, col: str,
+                     bucket_vals: list[int]) -> DataFrame | None:
+        """Scan of ``{path}/{sub}`` restricted to ``bucket_vals``.
+
+        With a manifest, the touched dirs are resolved DRIVER-side
+        and passed as explicit paths (basePath keeps the partition
+        columns), so Spark never lists the other n_buckets−touched
+        dirs — the fixed per-probe listing cost that grows with
+        n_buckets (17.9 s at 5,120 dirs on local FS) drops to a dict
+        lookup. The partition IN-filter (and the epoch filter) stay
+        on the relation as belt-and-braces against a stale manifest
+        — and they keep the pinned plan shape: two partition-pruned
+        scans. None ⇒ no matching dirs (empty corpus slice).
+        Pre-manifest tables fall back to the recursive root read."""
+        want = set(bucket_vals)
+        if man is None:
+            return _epoch(spark.read.parquet(path + "/" + sub)) \
+                .filter(F.col(col).isin(bucket_vals))
+        root = os.path.realpath(path + "/" + sub)
+        sel = []
+        for rel in man.get(sub, {}):
+            parts = dict(p.split("=", 1) for p in rel.split("/"))
+            if int(parts[col]) not in want:
+                continue
+            bid = parts.get("batch_id")
+            if (max_batch_id_exclusive is not None and bid is not None
+                    and int(bid) >= max_batch_id_exclusive):
+                continue
+            sel.append(os.path.join(root, rel))
+        if not sel:
+            return None
+        df = spark.read.option("basePath", root).parquet(*sorted(sel))
+        return _epoch(df).filter(F.col(col).isin(bucket_vals))
 
     new_sigs = _materialize(
         minhash_signatures(new_shingled, id_col, shingles_col, num_perm))
@@ -563,16 +727,41 @@ def incremental_minhash_candidates_banded(
     buckets = sorted({r["bucket"] for r in
                       new_banded.select("bucket").distinct().collect()})
     if not buckets:              # batch had no signable docs
-        return spark.createDataFrame(
-            [], "new_id long, old_id long, est_jaccard double")
-    corpus_bands = _epoch(spark.read.parquet(path + "/bands")) \
-        .filter(F.col("bucket").isin(buckets))
+        return _empty()
+    corpus_bands = _pruned_scan("bands", "bucket", buckets)
+    if corpus_bands is None:     # batch touches no existing dirs
+        return _empty()
+    if max_candidates_per_new is not None:
+        # corpus-side star collapse BEFORE the join: over-cap
+        # band-hash groups admit only their min-id anchor. A group
+        # never straddles buckets (bucket = hash(band_idx,
+        # band_hash)), so the window over the PRUNED rows sees exact
+        # group sizes; one extra shuffle over pruned rows, capped
+        # mode only.
+        from pyspark.sql import Window
+        wb = Window.partitionBy("band_idx", "band_hash")
+        corpus_bands = (corpus_bands
+                        .withColumn("_n", F.count(F.lit(1)).over(wb))
+                        .withColumn("_a", F.min("doc_id").over(wb))
+                        .filter((F.col("_n")
+                                 <= F.lit(max_candidates_per_new))
+                                | (F.col("doc_id") == F.col("_a")))
+                        .drop("_n", "_a"))
     cand = (corpus_bands
             .join(F.broadcast(new_banded.drop("bucket")),
                   ["band_idx", "band_hash"])
             .filter(F.col("new_id") != F.col("doc_id"))
             .select("new_id", F.col("doc_id").alias("old_id"), "sig_new")
             .dropDuplicates(["new_id", "old_id"]))
+    if max_candidates_per_new is not None:
+        # per-new admission bound over the ALREADY star-collapsed
+        # pairs (≤ batch·bands·cap rows — never |batch|·|cluster|):
+        # deterministic min-old_id representatives
+        from pyspark.sql import Window
+        wn = Window.partitionBy("new_id").orderBy("old_id")
+        cand = (cand.withColumn("_rn", F.row_number().over(wn))
+                .filter(F.col("_rn") <= F.lit(max_candidates_per_new))
+                .drop("_rn"))
     if materialize:
         cand = _materialize(cand)
     # candidate old-ids' doc buckets — O(collisions) distinct values
@@ -580,12 +769,12 @@ def incremental_minhash_candidates_banded(
         F.pmod(F.xxhash64("old_id"), F.lit(n_buckets)).cast("int")
         .alias("b")).distinct().collect()})
     if not doc_buckets:          # no collisions: empty probe result
-        return spark.createDataFrame(
-            [], "new_id long, old_id long, est_jaccard double")
-    sidecar = _epoch(spark.read.parquet(path + "/sigs")) \
-        .filter(F.col("doc_bucket").isin(doc_buckets)) \
-        .select(F.col("doc_id").alias("old_id"),
-                F.col("sig").alias("sig_old"))
+        return _empty()
+    sidecar = _pruned_scan("sigs", "doc_bucket", doc_buckets)
+    if sidecar is None:          # stale-manifest guard: no sig dirs
+        return _empty()
+    sidecar = sidecar.select(F.col("doc_id").alias("old_id"),
+                             F.col("sig").alias("sig_old"))
     est = (F.size(F.filter(F.zip_with("sig_new", "sig_old",
                                       lambda x, y: x == y),
                            lambda v: v)).cast("double") / num_perm)
@@ -598,6 +787,89 @@ def incremental_minhash_candidates_banded(
     return (cand.join(sidecar, "old_id")
             .select("new_id", "old_id", est.alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold))
+
+
+def rebucket_signature_table(spark, path: str, n_buckets: int) -> dict:
+    """Geometry migration for the banded signature table (VERDICT r9
+    ask #3): rewrite BOTH subtables under a new ``n_buckets`` and
+    publish data + ``meta.json`` + ``manifest.json`` together as ONE
+    atomic version flip of the whole table directory
+    (``operators.table_io``).
+
+    The production sizing policy (PLANS.md §Round-9) is n_buckets ∝
+    corpus so the pruned probe's scanned bytes stay constant — but
+    append geometry is frozen at first write (mismatches raise), so a
+    live table grown 100× needs this migration. Shape:
+
+    * each subtable rewrites in ONE Spark job — read through the
+      current version, recompute the bucket column from the SAME
+      stored columns the writer hashed (``xxhash64(band_idx,
+      band_hash)`` / ``xxhash64(doc_id)``, types round-trip through
+      parquet so the hashes are identical), co-locate with a
+      ``repartition`` on the new bucket, ``partitionBy`` write into
+      the staged version dir. Cost is one pass over the signature
+      state (k longs per doc × bands) — never the corpus text;
+    * ``meta.json`` (with the new n_buckets) and a rebuilt manifest
+      are written INSIDE the staged version dir, then
+      ``publish_version`` flips the table symlink: a prober resolves
+      geometry, manifest, and data through the same pointer, so it
+      sees the old geometry or the new, never a mix — the
+      probe/table drift the meta file exists to prevent cannot occur
+      mid-migration. A crash before the flip leaves the current
+      version untouched (``cleanup_stale`` sweeps the debris);
+    * probe-before == probe-after as an exact multiset, pinned by the
+      ``signature_table_rebucket`` verdict query; the previous
+      version is retained so an in-flight probe finishes its scan.
+
+    Appends after the migration must pass the NEW n_buckets (or adopt
+    it from meta); the loud geometry check is unchanged. Returns
+    {n_buckets_old, n_buckets_new, bands_dirs, sigs_dirs}."""
+    import json
+    import os
+
+    from . import table_io
+
+    path = path.rstrip("/")
+    meta = _read_sig_meta(path)
+    old_n = meta["n_buckets"]
+    man = _read_manifest(path)
+    if n_buckets == old_n:
+        if man is None:
+            man = rebuild_signature_manifest(path)
+        return {"n_buckets_old": old_n, "n_buckets_new": n_buckets,
+                "bands_dirs": len(man["bands"]),
+                "sigs_dirs": len(man["sigs"]), "skipped": True}
+    table_io.ensure_versioned(path)
+    table_io.cleanup_stale(path)
+    cur = table_io.current_version(path)
+    vdir = table_io.next_version_dir(path)
+    os.makedirs(vdir)
+    keyed = meta["keyed"]
+    if _has_data_files(cur + "/bands"):
+        bands = (spark.read.parquet(os.path.realpath(cur + "/bands"))
+                 .withColumn("bucket",
+                             F.pmod(F.xxhash64("band_idx", "band_hash"),
+                                    F.lit(n_buckets)).cast("int")))
+        (bands.repartition(F.col("bucket"))
+         .write.partitionBy(*(["batch_id", "bucket"] if keyed
+                              else ["bucket"]))
+         .mode("overwrite").parquet(vdir + "/bands"))
+    if _has_data_files(cur + "/sigs"):
+        sigs = (spark.read.parquet(os.path.realpath(cur + "/sigs"))
+                .withColumn("doc_bucket",
+                            F.pmod(F.xxhash64("doc_id"),
+                                   F.lit(n_buckets)).cast("int")))
+        (sigs.repartition(F.col("doc_bucket"))
+         .write.partitionBy(*(["batch_id", "doc_bucket"] if keyed
+                              else ["doc_bucket"]))
+         .mode("overwrite").parquet(vdir + "/sigs"))
+    with open(vdir + "/meta.json", "w") as f:       # staged, unpublished
+        json.dump(dict(meta, n_buckets=n_buckets), f)
+    man = rebuild_signature_manifest(vdir)
+    table_io.publish_version(path, vdir)
+    return {"n_buckets_old": old_n, "n_buckets_new": n_buckets,
+            "bands_dirs": len(man["bands"]),
+            "sigs_dirs": len(man["sigs"])}
 
 
 def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",

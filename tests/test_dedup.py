@@ -955,3 +955,161 @@ def test_persisted_histogram_sketch_quantiles(spark, tmp_path):
     write_histogram_sketch(nulls, npath, "value", scale_bits=4)
     est = histogram_quantile(spark, npath, [0.5]).first()["est"]
     assert est <= 2.0 < est + 1.0 / 16      # percentile_disc(0.5) == 2.0
+
+
+def test_manifest_maintained_and_probe_fallback_identical(
+        spark, banded_split, tmp_path):
+    """Appends maintain {path}/manifest.json incrementally; it must
+    equal a from-scratch filesystem rebuild, and the manifest-pruned
+    probe must return exactly what the pre-manifest fallback (root
+    listing + partition filter) returns."""
+    import os
+
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _read_manifest, incremental_minhash_candidates_banded,
+        rebuild_signature_manifest)
+    _old, new, path = banded_split
+    man = _read_manifest(path)
+    assert man is not None and man["bands"] and man["sigs"]
+    with_man = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+    # rebuild must be a no-op on a consistently-maintained table
+    assert rebuild_signature_manifest(path) == man
+    # pre-manifest table (fallback path): same relation
+    os.rename(path + "/manifest.json", path + "/manifest.json.bak")
+    try:
+        without = sorted(map(
+            tuple, incremental_minhash_candidates_banded(
+                spark, path, new).collect()))
+    finally:
+        os.rename(path + "/manifest.json.bak", path + "/manifest.json")
+    assert with_man == without and with_man
+
+
+def test_probe_admission_cap_planted_cluster(spark, tmp_path):
+    """max_candidates_per_new on the banded probe: a planted
+    boilerplate cluster of 30 identical corpus docs collapses to its
+    min-id anchor (1 candidate per probing new doc instead of 30),
+    natural pairs are byte-identical, and the flagged-new-doc set is
+    unchanged."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+
+    boiler = ("lorem template header footer nav subscribe privacy "
+              "terms contact about careers press blog help status")
+    nat = [(i, f"natural document number {i} with some shared words "
+            f"alpha beta gamma delta epsilon zeta token{i}")
+           for i in range(10)]
+    cluster = [(1000 + i, boiler) for i in range(30)]
+    corpus = spark.createDataFrame(nat + cluster, "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(2000 + i, boiler) for i in range(5)]
+        + [(2100, nat[3][1])],            # near-dup of natural doc 3
+        "doc_id long, text string")
+
+    def sh(df):
+        return df.select(
+            "doc_id",
+            F.expr("transform(sequence(1, greatest(size(split(text, ' '))"
+                   " - 2, 1)), i -> concat_ws(' ', slice(split(text, ' '),"
+                   " i, 3)))").alias("s"))
+
+    path = str(tmp_path / "capped")
+    write_banded_signature_table(sh(corpus), path, n_buckets=16)
+    unc = incremental_minhash_candidates_banded(
+        spark, path, sh(probes)).collect()
+    cap = incremental_minhash_candidates_banded(
+        spark, path, sh(probes), max_candidates_per_new=4).collect()
+
+    plant_unc = [r for r in unc if r["old_id"] >= 1000]
+    plant_cap = [r for r in cap if r["old_id"] >= 1000]
+    assert len(plant_unc) == 5 * 30          # every member, uncapped
+    assert len(plant_cap) == 5               # anchor only, capped
+    assert all(r["old_id"] == 1000 for r in plant_cap)
+    assert all(r["est_jaccard"] == 1.0 for r in plant_cap)
+    # natural pairs byte-identical across modes
+    nat_unc = sorted(tuple(r) for r in unc if r["old_id"] < 1000)
+    nat_cap = sorted(tuple(r) for r in cap if r["old_id"] < 1000)
+    assert nat_unc == nat_cap
+    assert any(r[0] == 2100 and r[1] == 3 for r in nat_cap)
+    # flagged set invariant
+    assert {r["new_id"] for r in unc} == {r["new_id"] for r in cap}
+    # capped output is a subset of the uncapped output
+    assert set(map(tuple, cap)) <= set(map(tuple, unc))
+
+
+def test_rebucket_preserves_probe_and_updates_geometry(
+        spark, banded_split):
+    """rebucket_signature_table: probe-before == probe-after across a
+    16→48 geometry change, meta.json flips atomically with the data,
+    the manifest reflects the new layout, and appends at the NEW
+    geometry succeed while the old geometry now fails loudly."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _read_manifest, _read_sig_meta,
+        incremental_minhash_candidates_banded, rebucket_signature_table,
+        write_banded_signature_table)
+    old, new, path = banded_split          # written at n_buckets=64
+
+    before = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+    stats = rebucket_signature_table(spark, path, 48)
+    assert stats["n_buckets_old"] == 64
+    assert stats["n_buckets_new"] == 48
+    assert _read_sig_meta(path)["n_buckets"] == 48
+    man = _read_manifest(path)
+    assert man and len(man["bands"]) <= 48 and len(man["sigs"]) <= 48
+    after = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+    assert before == after and before
+
+    # appends: old geometry rejected, new geometry accepted and visible
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="geometry"):
+        write_banded_signature_table(new, path, n_buckets=64)
+    write_banded_signature_table(new.limit(0), path, n_buckets=48)
+
+    # idempotent no-op path
+    again = rebucket_signature_table(spark, path, 48)
+    assert again.get("skipped") is True
+
+
+def test_probe_empty_paths_id_typed(spark, tmp_path):
+    """All three empty-result paths must type new_id/old_id from the
+    batch's id column, not hard-coded long — a string-keyed corpus
+    returns string-typed empties (unionable with nonempty probes)."""
+    from pyspark.sql import types as T
+
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", [f"a{i}", f"b{i}", f"c{i}"]) for i in range(6)],
+        "doc_id string, s array<string>")
+    path = str(tmp_path / "strkeyed")
+    # path 1: meta-only table (empty first write)
+    write_banded_signature_table(docs.limit(0), path)
+    got = incremental_minhash_candidates_banded(spark, path, docs)
+    assert got.schema["new_id"].dataType == T.StringType()
+    assert got.schema["old_id"].dataType == T.StringType()
+    assert got.count() == 0
+    # path 2: unsignable batch (no buckets) against a real corpus
+    write_banded_signature_table(docs, path)
+    got2 = incremental_minhash_candidates_banded(
+        spark, path, docs.limit(0))
+    assert got2.schema["new_id"].dataType == T.StringType()
+    assert got2.count() == 0
+    # path 3: collision-less batch (disjoint shingle universe)
+    other = spark.createDataFrame(
+        [("zzz-1", ["q1", "q2", "q3"])], "doc_id string, s array<string>")
+    got3 = incremental_minhash_candidates_banded(spark, path, other)
+    assert got3.schema["old_id"].dataType == T.StringType()
+    assert got3.count() == 0
+    # and the nonempty case still works with string ids end-to-end:
+    # same shingles under fresh ids collide with the stored corpus
+    renamed = docs.withColumn(
+        "doc_id", F.concat(F.lit("new-"), F.col("doc_id")))
+    got4 = incremental_minhash_candidates_banded(spark, path, renamed)
+    assert got4.count() == 6
+    assert got4.unionAll(got3).count() == got4.count()
