@@ -635,7 +635,19 @@ def incremental_minhash_candidates_banded(
     verdict query on a planted batch-vs-mega-cluster fixture, with
     natural (under-cap) pairs byte-identical by construction. Use
     the capped mode to feed the gate; leave it None when every
-    pairwise estimate matters."""
+    pairwise estimate matters.
+
+    Snapshot semantics: against a VERSIONED table (any table that has
+    been rebucketed/compacted) the scans are version-pinned — dir
+    paths resolve through ``os.path.realpath`` into the current
+    version dir, so a returned DataFrame stays consistent across a
+    later publish for as long as that version is retained. A probe
+    created against a not-yet-versioned (plain-directory) table
+    re-binds through the first ``ensure_versioned`` rename: hold such
+    a result across a mutation only after materializing it
+    (``cut_lineage``/collect) — Spark's cache-by-path invalidation
+    will otherwise lazily recompute even a persisted plan against the
+    mutated table."""
     import os
 
     meta = _read_sig_meta(path)

@@ -944,3 +944,239 @@ def signature_table_maintenance(spark: SparkSession,
             after.unpersist()
     finally:
         sh.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# 10. Probe-side admission cap (r9 verdict ask #1) — the last named
+# dedup residual: a new batch colliding with a PERSISTED boilerplate
+# cluster of B docs makes the banded incremental probe emit
+# |batch|·B candidates (bounded — never corpus² — but unboundedly
+# larger than the batch; at 100 TB a 100k-doc template cluster turns
+# a 10k-doc batch into 10^9 candidate rows). With
+# ``max_candidates_per_new`` set, over-cap corpus band-hash groups
+# admit only their min-id anchor into the probe join (the
+# lsh_bucket_cap_clusters star-collapse applied to the probe) and
+# each new doc keeps at most that many admitted candidates. This
+# verdict plants the pathology beside the real corpus and pins that
+# everything the dedup GATE consumes is invariant;
+# scripts/stress_probe_cap.py measures the emission/wall blowup the
+# cap removes (table in PLANS.md).
+
+
+@query(
+    "probe_admission_cap",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) + 300
+                AS BIGINT) AS n_corpus_docs,
+           CAST(count(*) FILTER (WHERE doc_id % 5 = 0) + 40
+                AS BIGINT) AS n_new_docs,
+           CAST(12000 AS BIGINT) AS planted_pairs_uncapped,
+           CAST(40 AS BIGINT) AS planted_pairs_capped,
+           TRUE AS planted_partner_is_anchor,
+           TRUE AS natural_pairs_untouched,
+           TRUE AS flagged_sets_equal,
+           TRUE AS capped_subset_of_uncapped
+    FROM documents
+    """,
+    doc=(
+        "Banded-probe admission cap (operators/dedup."
+        "incremental_minhash_candidates_banded(max_candidates_per_new"
+        "=64)): persist the natural corpus (doc_id % 5 <> 0) plus a "
+        "planted 300-doc IDENTICAL-text cluster (ids >= 10M) into a "
+        "banded signature table, probe it with the natural batch "
+        "(doc_id % 5 = 0) plus 40 planted near-identical probe docs "
+        "(ids >= 20M), capped and uncapped. Pins: the planted "
+        "collision emits exactly 40*300=12000 pairs uncapped but "
+        "exactly 40 anchor pairs capped (every probe doc's sole "
+        "partner IS the cluster's min-id anchor, so cluster "
+        "assignment via the anchor's connected component equals the "
+        "uncapped assignment); natural pairs are an EXACT multiset "
+        "match across modes (exceptAll both ways); the set of new "
+        "docs flagged >= threshold is unchanged; and the capped "
+        "output is a subset of the uncapped output. DuckDB anchors "
+        "the doc counts and both closed-form pair counts."
+    ),
+)
+def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..functions.text import shingle3_udf
+    from ..operators.dedup import (incremental_minhash_candidates_banded,
+                                   write_banded_signature_table)
+
+    C, Q, CAP = 300, 40, 64
+    OFF_C, OFF_Q = 10_000_000, 20_000_000
+    boiler = ("synthetic boilerplate template cluster shared header "
+              "navigation footer copyright subscribe unsubscribe terms "
+              "privacy contact")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted_corpus = spark.range(C).select(
+        (F.lit(OFF_C) + F.col("id")).alias("doc_id"),
+        F.lit(boiler).alias("text"))
+    planted_probes = spark.range(Q).select(
+        (F.lit(OFF_Q) + F.col("id")).alias("doc_id"),
+        F.lit(boiler).alias("text"))
+
+    def sh(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", shingle3_udf()("text").alias("s"))
+
+    corpus = sh(docs.filter(F.col("doc_id") % 5 != 0)
+                .unionAll(planted_corpus)
+                .repartition(spark.sparkContext.defaultParallelism))
+    batch = cut_lineage(sh(docs.filter(F.col("doc_id") % 5 == 0)
+                           .unionAll(planted_probes)))
+    path = _tmp_index("probe_cap_")
+    write_banded_signature_table(corpus, path)
+
+    unc = incremental_minhash_candidates_banded(spark, path, batch) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cap = incremental_minhash_candidates_banded(
+        spark, path, batch, max_candidates_per_new=CAP) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        plant = F.col("old_id") >= OFF_C
+        n_plant_unc = unc.filter(plant).agg(
+            F.count(F.lit(1)).alias("planted_pairs_uncapped"))
+        plant_cap_stats = cap.filter(plant).agg(
+            F.count(F.lit(1)).alias("planted_pairs_capped"),
+            F.min(F.col("old_id") == OFF_C).alias("anchor_only"))
+        nat_unc, nat_cap = unc.filter(~plant), cap.filter(~plant)
+        n_nat_diff = (nat_unc.exceptAll(nat_cap)
+                      .unionAll(nat_cap.exceptAll(nat_unc))
+                      .agg(F.count(F.lit(1)).alias("n_nat_diff")))
+        flagged_unc = unc.select("new_id").distinct()
+        flagged_cap = cap.select("new_id").distinct()
+        n_flag_diff = (flagged_unc.exceptAll(flagged_cap)
+                       .unionAll(flagged_cap.exceptAll(flagged_unc))
+                       .agg(F.count(F.lit(1)).alias("n_flag_diff")))
+        n_extra = cap.exceptAll(unc).agg(
+            F.count(F.lit(1)).alias("n_extra"))
+        n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+        n_new = batch.agg(F.count(F.lit(1)).alias("n_new_docs"))
+        verdict = _one_row(n_corpus, n_new, n_plant_unc,
+                           plant_cap_stats, n_nat_diff, n_flag_diff,
+                           n_extra).select(
+            "n_corpus_docs", "n_new_docs", "planted_pairs_uncapped",
+            "planted_pairs_capped",
+            F.col("anchor_only").alias("planted_partner_is_anchor"),
+            (F.col("n_nat_diff") == 0).alias("natural_pairs_untouched"),
+            (F.col("n_flag_diff") == 0).alias("flagged_sets_equal"),
+            (F.col("n_extra") == 0).alias("capped_subset_of_uncapped"))
+        return cut_lineage(verdict)
+    finally:
+        unc.unpersist()
+        cap.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# 11. Signature-table geometry migration (r9 verdict ask #3) — the
+# banded table's production sizing policy is n_buckets ∝ corpus
+# (constant pruned-probe scan bytes), but append geometry is frozen
+# at first write; growing a live table 100× needs a migration that a
+# prober can never observe half-applied. rebucket_signature_table
+# rewrites both subtables under the new n_buckets and publishes
+# data + meta.json + manifest.json with ONE atomic whole-table
+# version flip (operators/table_io). This verdict pins the lifecycle:
+# the probe is invariant across the migration, the geometry really
+# changed, and the table keeps accepting appends at the new geometry.
+
+
+@query(
+    "signature_table_rebucket",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 5 <> 0)
+                AS BIGINT) AS n_corpus_docs,
+           CAST(16 AS BIGINT) AS n_buckets_before,
+           CAST(48 AS BIGINT) AS n_buckets_after,
+           TRUE AS probe_identical,
+           TRUE AS meta_updated,
+           TRUE AS layout_rebucketed,
+           TRUE AS append_after_rebucket_ok
+    FROM documents
+    """,
+    doc=(
+        "operators/dedup.rebucket_signature_table over a live banded "
+        "signature table: build at n_buckets=16 from two micro-"
+        "appends of the corpus (doc_id % 5 <> 0, hash-sliced), probe "
+        "with the batch (doc_id % 5 = 0), migrate to n_buckets=48, "
+        "probe again — the probe result is an EXACT multiset match "
+        "across the migration (exceptAll both ways, estimates "
+        "included); meta.json reports the new geometry (it travels "
+        "inside the published version, so geometry and data flip "
+        "together); the manifest shows more band dirs than the old "
+        "geometry could hold (the rewrite really redistributed); and "
+        "an append at the NEW geometry lands and its docs surface as "
+        "candidates in the next probe (probe-after-append is a "
+        "superset of probe-before). DuckDB anchors the corpus count "
+        "and both geometry constants."
+    ),
+)
+def signature_table_rebucket(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import (_read_manifest, _read_sig_meta,
+                                   incremental_minhash_candidates_banded,
+                                   rebucket_signature_table,
+                                   write_banded_signature_table)
+    from .sketch_queries import _shingled
+
+    sh = _shingled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        new_side = F.col("doc_id") % 5 == 0
+        corpus, batch = sh.filter(~new_side), sh.filter(new_side)
+        path = _tmp_index("sig_rebucket_")
+        for k in range(2):
+            write_banded_signature_table(
+                corpus.filter(F.pmod(F.xxhash64("doc_id"),
+                                     F.lit(2)) == k),
+                path, n_buckets=16)
+
+        def probe():
+            # cut_lineage, not persist: a probe result HELD ACROSS a
+            # table mutation must be materialized with its lineage
+            # truncated — the next write's cache-by-path invalidation
+            # would otherwise lazily RECOMPUTE a persisted plan
+            # through the flipped version pointer (probes created
+            # against a not-yet-versioned table re-bind through the
+            # first ensure_versioned rename) and silently change the
+            # snapshot. Post-migration probes are version-pinned via
+            # realpath and don't need this.
+            return cut_lineage(
+                incremental_minhash_candidates_banded(spark, path, batch)
+                .select("new_id", "old_id", "est_jaccard"))
+
+        before = probe()
+        stats = rebucket_signature_table(spark, path, 48)
+        meta_ok = _read_sig_meta(path)["n_buckets"] == 48
+        man = _read_manifest(path)
+        layout_ok = (stats["n_buckets_old"] == 16
+                     and 16 < len(man["bands"]) <= 48)
+        after = probe()
+        # lifecycle continues: an append at the NEW geometry lands
+        # and only ADDS candidates (same batch, larger corpus)
+        write_banded_signature_table(batch.limit(3), path,
+                                     n_buckets=48)
+        grown = probe()
+        diff = before.exceptAll(after).unionAll(
+            after.exceptAll(before))
+        missing = after.exceptAll(grown)
+        n_corpus = corpus.agg(
+            F.count(F.lit(1)).alias("n_corpus_docs"))
+        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+        n_missing = missing.agg(
+            F.count(F.lit(1)).alias("n_missing"))
+        verdict = _one_row(n_corpus, n_diff, n_missing).select(
+            "n_corpus_docs",
+            F.lit(stats["n_buckets_old"]).cast("long")
+            .alias("n_buckets_before"),
+            F.lit(stats["n_buckets_new"]).cast("long")
+            .alias("n_buckets_after"),
+            (F.col("n_diff") == 0).alias("probe_identical"),
+            F.lit(meta_ok).alias("meta_updated"),
+            F.lit(layout_ok).alias("layout_rebucketed"),
+            (F.col("n_missing") == 0)
+            .alias("append_after_rebucket_ok"))
+        return cut_lineage(verdict)
+    finally:
+        sh.unpersist()
