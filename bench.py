@@ -50,6 +50,11 @@ HEADLINE = sorted([
     "minhash_incremental_dedup",
     "signature_table_maintenance",
     "lsh_bucket_cap_clusters",
+    # r10: probe admission cap + geometry migration verdicts (both
+    # build a fresh banded table per call — see phase_split in
+    # bench_detail.json for the build/probe separation)
+    "probe_admission_cap",
+    "signature_table_rebucket",
     # r7 set-similarity/substring/phrase family: the prefix-filtered
     # exact Jaccard join (the PPJoin-style scale path whose naive
     # twin is ngram_jaccard_pairs), suffix-array-style maximal
@@ -410,6 +415,14 @@ def main() -> None:
     base = hygiene_state(spark)
     hygiene: dict[str, dict] = {}
 
+    # artifact-build vs probe split for the build-per-call verify
+    # entries (r9 verdict ask #2): the instrumented queries report
+    # their build/probe spans via plans._phases; the split of the
+    # LAST timed repetition is recorded per entry so the committed
+    # record stops charging index construction to query wall
+    from nvd2mysqlloader_spark.plans import _phases
+    phase_split: dict[str, dict] = {}
+
     timings: dict[str, float] = {}
     for name in HEADLINE:                       # alphabetical, fixed
         q = QUERIES[name]
@@ -426,7 +439,11 @@ def main() -> None:
             if r > 0:
                 times.append(dt)
         timings[name] = round(statistics.median(times), 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        split = _phases.last().get(name)
+        if split is not None:
+            phase_split[name] = split
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)"
+              + (f" phases={split}" if split else ""), file=sys.stderr)
         # outside the timed region, applied identically after every
         # query: release the query's DataFrame refs Python-side first
         # (py4j frees the JVM objects only after Python GC), then GC
@@ -518,7 +535,8 @@ def main() -> None:
         json.dump({"metric": "headline_suite_runtime", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf,
                    "calibration": calib, "hygiene": hygiene_summary,
-                   "window": window, "hygiene_per_entry": hygiene}, f)
+                   "window": window, "phase_split": phase_split,
+                   "hygiene_per_entry": hygiene}, f)
 
     def record(top_n: int) -> str:
         return json.dumps({

@@ -60,12 +60,14 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
     """Parse one media blob into (kind, width, height, payload bytes).
 
     REAL decoders for the formats that need no codec library: PNG
-    (zlib + filters, ``codecs.decode_png``) and WAV-PCM
-    (``codecs.decode_wav`` — width carries sample-rate/1000, height
-    channels, matching the SGM1 convention). The SGM1 fake container
-    remains the bulk-test format, and formats whose decode genuinely
-    requires a codec (JPEG's DCT entropy coding, MP4) still raise —
-    swapping in PIL/ffmpeg there changes no plan shape."""
+    (zlib + filters, ``codecs.decode_png``), BMP
+    (``codecs.decode_bmp``), GIF (pure-Python LZW,
+    ``codecs.decode_gif``) and WAV-PCM (``codecs.decode_wav`` —
+    width carries sample-rate/1000, height channels, matching the
+    SGM1 convention). The SGM1 fake container remains the bulk-test
+    format, and formats whose decode genuinely requires a codec
+    (JPEG's DCT entropy coding, MP4) still raise — swapping in
+    PIL/ffmpeg there changes no plan shape."""
     from . import codecs
 
     if content[:4] == MAGIC:
@@ -73,6 +75,14 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
         return KINDS[kind_idx], width, height, content[9:]
     if content[:8] == codecs.PNG_MAGIC:
         img = codecs.decode_png(content)
+        h, w, _ch = img.shape
+        return "image", w, h, img.tobytes()
+    if content[:2] == b"BM":
+        img = codecs.decode_bmp(content)
+        h, w, _ch = img.shape
+        return "image", w, h, img.tobytes()
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        img = codecs.decode_gif(content)
         h, w, _ch = img.shape
         return "image", w, h, img.tobytes()
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":

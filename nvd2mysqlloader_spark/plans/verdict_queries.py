@@ -453,11 +453,17 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ann_topk_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
     from ..operators.similarity import (pq_topk, pq_topk_from_index,
                                         write_pq_index)
+    from . import _phases
     emb, qs = _emb_queries(spark, sf_dir)
     path = _tmp_index("pq_idx_")
+    _t0 = _time.perf_counter()
     books = write_pq_index(emb, path, m=8, ksub=16)
+    _phases.report("ann_topk_pq_indexed",
+                   build_sec=_time.perf_counter() - _t0)
     direct = pq_topk(emb, qs, k=10, books=books)
     probed = pq_topk_from_index(emb, path, qs, k=10)
     return _probe_verdict(emb, direct, probed)
@@ -620,11 +626,19 @@ def minhash_incremental_dedup(spark: SparkSession,
         new_side = F.col("doc_id") % 5 == 0
         corpus, batch = sh.filter(~new_side), sh.filter(new_side)
         path = _tmp_index("minhash_sig_")
-        write_banded_signature_table(corpus, path)
+        import time as _time
 
+        from . import _phases
+        _t0 = _time.perf_counter()
+        write_banded_signature_table(corpus, path)
+        _t_build = _time.perf_counter() - _t0
+
+        _t0 = _time.perf_counter()
         probed = incremental_minhash_candidates_banded(
             spark, path, batch) \
             .select("new_id", "old_id", "est_jaccard")
+        _phases.report("minhash_incremental_dedup", build_sec=_t_build,
+                       probe_sec=_time.perf_counter() - _t0)
         # full-corpus rebuild truth, restricted to new-x-old pairs and
         # re-oriented (new first) to the probe's column contract
         full = minhash_near_dups(sh, threshold=0.5)
@@ -906,24 +920,35 @@ def signature_table_maintenance(spark: SparkSession,
         # produces (each append lands ~one file per touched dir);
         # hash-sliced so every slice is nonempty (corpus ids are all
         # even — a modular split would leave half the slices empty)
+        import time as _time
+
+        from . import _phases
+        _t0 = _time.perf_counter()
         for k in range(4):
             write_banded_signature_table(
                 corpus.filter(
                     F.pmod(F.xxhash64("doc_id"), F.lit(4)) == k),
                 path, n_buckets=16)
+        _t_build = _time.perf_counter() - _t0
 
         def probe():
             return (incremental_minhash_candidates_banded(
                         spark, path, batch)
                     .select("new_id", "old_id", "est_jaccard"))
 
+        _t0 = _time.perf_counter()
         before = probe().persist(StorageLevel.MEMORY_AND_DISK)
         before.count()
+        _t_probe = _time.perf_counter() - _t0
         files_before = (len(list_data_files(f"{path}/bands"))
                         + len(list_data_files(f"{path}/sigs")))
+        _t0 = _time.perf_counter()
         for sub in ("/bands", "/sigs"):
             compact_parquet(spark, path + sub,
                             target_bytes=64 * 1024 * 1024)
+        _phases.report("signature_table_maintenance",
+                       build_sec=_t_build, probe_sec=_t_probe,
+                       compact_sec=_time.perf_counter() - _t0)
         files_after = (len(list_data_files(f"{path}/bands"))
                        + len(list_data_files(f"{path}/sigs")))
         after = probe().persist(StorageLevel.MEMORY_AND_DISK)
@@ -1026,7 +1051,13 @@ def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = cut_lineage(sh(docs.filter(F.col("doc_id") % 5 == 0)
                            .unionAll(planted_probes)))
     path = _tmp_index("probe_cap_")
+    import time as _time
+
+    from . import _phases
+    _t0 = _time.perf_counter()
     write_banded_signature_table(corpus, path)
+    _phases.report("probe_admission_cap",
+                   build_sec=_time.perf_counter() - _t0)
 
     unc = incremental_minhash_candidates_banded(spark, path, batch) \
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1126,11 +1157,16 @@ def signature_table_rebucket(spark: SparkSession,
         new_side = F.col("doc_id") % 5 == 0
         corpus, batch = sh.filter(~new_side), sh.filter(new_side)
         path = _tmp_index("sig_rebucket_")
+        import time as _time
+
+        from . import _phases
+        _t0 = _time.perf_counter()
         for k in range(2):
             write_banded_signature_table(
                 corpus.filter(F.pmod(F.xxhash64("doc_id"),
                                      F.lit(2)) == k),
                 path, n_buckets=16)
+        _t_build = _time.perf_counter() - _t0
 
         def probe():
             # cut_lineage, not persist: a probe result HELD ACROSS a
@@ -1146,8 +1182,14 @@ def signature_table_rebucket(spark: SparkSession,
                 incremental_minhash_candidates_banded(spark, path, batch)
                 .select("new_id", "old_id", "est_jaccard"))
 
+        _t0 = _time.perf_counter()
         before = probe()
+        _t_probe = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         stats = rebucket_signature_table(spark, path, 48)
+        _phases.report("signature_table_rebucket", build_sec=_t_build,
+                       probe_sec=_t_probe,
+                       rebucket_sec=_time.perf_counter() - _t0)
         meta_ok = _read_sig_meta(path)["n_buckets"] == 48
         man = _read_manifest(path)
         layout_ok = (stats["n_buckets_old"] == 16

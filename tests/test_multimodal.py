@@ -170,3 +170,130 @@ def test_decode_features_on_real_png_and_wav(spark):
     assert (got[2].kind, got[2].width, got[2].height) == ("audio", 16, 1)
     assert got[2].n_payload_bytes == 200 and got[2].mean_byte == 0.0
     assert (got[3].kind, got[3].width, got[3].height) == ("image", 8, 2)
+
+
+def test_bmp_roundtrip_and_variants():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from nvd2mysqlloader_spark.multimodal.codecs import (decode_bmp,
+                                                         encode_bmp)
+    rng = np.random.default_rng(13)
+    # widths that exercise 4-byte row padding (w*3 % 4 != 0)
+    for w in (5, 6, 7, 8):
+        img = rng.integers(0, 256, size=(9, w, 3), dtype=np.uint8)
+        back = decode_bmp(encode_bmp(img))
+        assert back.shape == img.shape and (back == img).all()
+    # top-down (negative height) decodes to the same array
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    b = bytearray(encode_bmp(img))
+    h = struct.unpack("<i", b[22:26])[0]
+    struct.pack_into("<i", b, 22, -h)
+    stride = 6 * 3 + 2  # 18 -> pad to 20
+    pix = np.frombuffer(bytes(b[54:]), dtype=np.uint8).reshape(4, 20)
+    flipped = pix[::-1].tobytes()
+    assert (decode_bmp(bytes(b[:54]) + flipped) == img).all()
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="compressed"):
+        bad = bytearray(encode_bmp(img))
+        struct.pack_into("<I", bad, 30, 1)       # BI_RLE8
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_8bit_palette():
+    import struct
+
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.codecs import decode_bmp
+    # hand-build a 2x3 8-bpp BMP with a 4-entry palette
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255), (255, 255, 255)]
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    stride = (3 + 3) & ~3                       # 3 -> 4
+    rows = np.zeros((2, stride), dtype=np.uint8)
+    rows[:, :3] = idx[::-1]                     # bottom-up
+    pal_bytes = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+    pix_off = 14 + 40 + len(pal_bytes)
+    data = (b"BM" + struct.pack("<IHHI", pix_off + rows.size, 0, 0,
+                                pix_off)
+            + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0,
+                          rows.size, 0, 0, len(pal), 0)
+            + pal_bytes + rows.tobytes())
+    out = decode_bmp(data)
+    assert out.shape == (2, 3, 3)
+    want = np.array([[pal[0], pal[1], pal[2]],
+                     [pal[3], pal[2], pal[1]]], dtype=np.uint8)
+    assert (out == want).all()
+
+
+def test_gif_roundtrip_golden_and_lzw_paths():
+    import numpy as np
+    import pytest
+
+    from nvd2mysqlloader_spark.multimodal.codecs import (_lzw_decode,
+                                                         _lzw_encode,
+                                                         decode_gif,
+                                                         encode_gif)
+    # the canonical 43-byte 1x1 GIF89a (black pixel, 2-color table):
+    # an EXTERNALLY-authored golden blob, so the decoder is pinned
+    # against the real format, not just our own encoder
+    golden = bytes.fromhex(
+        "474946383961"                  # GIF89a
+        "01000100800000"                # 1x1, 2-entry global table
+        "000000ffffff"                  # palette black, white
+        "21f9040100000000"              # graphic control extension
+        "2c00000000010001000002024401003b")
+    g = decode_gif(golden)
+    assert g.shape == (1, 1, 3) and (g == 0).all()
+
+    rng = np.random.default_rng(17)
+    # few colors, long runs: dict growth beyond initial width
+    img = np.repeat(((rng.integers(0, 5, size=(40, 33)) * 50)
+                     .astype(np.uint8))[:, :, None], 3, axis=2)
+    assert (decode_gif(encode_gif(img)) == img).all()
+    # ~200 colors: multi-step code-size growth
+    v = rng.integers(0, 200, size=(80, 90), dtype=np.uint8)
+    img2 = np.stack([v, v // 2, 255 - v], axis=2)
+    assert (decode_gif(encode_gif(img2)) == img2).all()
+    # big low-entropy image: 12-bit table fill + mid-stream re-clear
+    img3 = np.zeros((300, 300, 3), dtype=np.uint8)
+    img3[::2, :, 0] = 255
+    assert (decode_gif(encode_gif(img3)) == img3).all()
+    # KwKwK: aaa... emits a code one past the table end
+    seq = np.zeros(64, dtype=np.uint8)
+    assert (_lzw_decode(2, _lzw_encode(2, seq), 64) == seq).all()
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="truncated"):
+        # keep min_code_size, drop the pixel sub-block entirely
+        decode_gif(golden[:-5] + b"\x00\x3b")
+
+
+def test_decode_features_on_bmp_and_gif(spark):
+    """BMP and GIF rows decode for real through the SAME mapInPandas
+    feature op as PNG/WAV/SGM1 — one mixed table, executor-side."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.binary import \
+        decode_media_features
+    from nvd2mysqlloader_spark.multimodal.codecs import (encode_bmp,
+                                                         encode_gif)
+    bmp_img = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    gif_img = np.repeat(
+        ((np.arange(12) % 3) * 100).astype(np.uint8)
+        .reshape(3, 4)[:, :, None], 3, axis=2)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(bmp_img))),
+         (2, bytearray(encode_gif(gif_img)))],
+        "media_id long, content binary")
+    rows = {r["media_id"]: r for r in
+            decode_media_features(media).collect()}
+    assert (rows[1]["kind"], rows[1]["width"], rows[1]["height"],
+            rows[1]["n_payload_bytes"]) == ("image", 4, 3, 36)
+    assert rows[1]["mean_byte"] == 17.5
+    assert (rows[2]["kind"], rows[2]["width"], rows[2]["height"],
+            rows[2]["n_payload_bytes"]) == ("image", 4, 3, 36)
+    assert rows[2]["mean_byte"] == 100.0
