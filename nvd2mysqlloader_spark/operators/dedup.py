@@ -451,16 +451,30 @@ def _write_manifest(path: str, man: dict) -> None:
     os.replace(tmp, _manifest_file(path))   # atomic vs readers
 
 
-def _dir_rows(d: str) -> int:
-    """Row count of one leaf partition dir from parquet footers —
-    driver-side metadata reads, no Spark job."""
+def _dir_rows(d: str) -> dict:
+    """{"rows", "files"} of one leaf partition dir from parquet
+    footers — driver-side metadata reads, no Spark job. File counts
+    feed the manifest-driven compaction policy
+    (:func:`maintain_signature_table`); row counts feed the growth
+    policy and observability."""
     import os
     import pyarrow.parquet as pq
-    n = 0
+    rows = files = 0
     for f in sorted(os.listdir(d)):
         if f.endswith(".parquet") and not f.startswith((".", "_")):
-            n += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-    return n
+            rows += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            files += 1
+    return {"rows": rows, "files": files}
+
+
+def _man_rows(v) -> int:
+    """Manifest value → row count; accepts the pre-r10.5 bare-int
+    form so tables written by earlier builds keep working."""
+    return v["rows"] if isinstance(v, dict) else int(v)
+
+
+def _man_files(v) -> int:
+    return v.get("files", 1) if isinstance(v, dict) else 1
 
 
 def rebuild_signature_manifest(path: str) -> dict:
@@ -817,10 +831,19 @@ def rebucket_signature_table(spark, path: str, n_buckets: int) -> dict:
       current version, recompute the bucket column from the SAME
       stored columns the writer hashed (``xxhash64(band_idx,
       band_hash)`` / ``xxhash64(doc_id)``, types round-trip through
-      parquet so the hashes are identical), co-locate with a
-      ``repartition`` on the new bucket, ``partitionBy`` write into
-      the staged version dir. Cost is one pass over the signature
-      state (k longs per doc × bands) — never the corpus text;
+      parquet so the hashes are identical), ``partitionBy`` write
+      into the staged version dir. Cost is one pass over the
+      signature state (k longs per doc × bands) — never the corpus
+      text. When the new geometry is a MULTIPLE of the old
+      (``n_new % n_old == 0`` — the production growth shape:
+      doubling as the corpus doubles), the rewrite is a NARROW map
+      with no shuffle at all: ``h mod n_new`` refines ``h mod
+      n_old``, so every old bucket dir splits locally into exactly
+      ``n_new/n_old`` new dirs and each task touches only its input
+      dirs' images (plan pinned shuffle-free in
+      tests/test_dedup.py). Non-multiple geometries co-locate with a
+      ``repartition`` on the new bucket first — full shuffle of the
+      signature state, still one job;
     * ``meta.json`` (with the new n_buckets) and a rebuilt manifest
       are written INSIDE the staged version dir, then
       ``publish_version`` flips the table symlink: a prober resolves
@@ -857,31 +880,105 @@ def rebucket_signature_table(spark, path: str, n_buckets: int) -> dict:
     vdir = table_io.next_version_dir(path)
     os.makedirs(vdir)
     keyed = meta["keyed"]
-    if _has_data_files(cur + "/bands"):
-        bands = (spark.read.parquet(os.path.realpath(cur + "/bands"))
-                 .withColumn("bucket",
-                             F.pmod(F.xxhash64("band_idx", "band_hash"),
-                                    F.lit(n_buckets)).cast("int")))
-        (bands.repartition(F.col("bucket"))
-         .write.partitionBy(*(["batch_id", "bucket"] if keyed
-                              else ["bucket"]))
-         .mode("overwrite").parquet(vdir + "/bands"))
-    if _has_data_files(cur + "/sigs"):
-        sigs = (spark.read.parquet(os.path.realpath(cur + "/sigs"))
-                .withColumn("doc_bucket",
-                            F.pmod(F.xxhash64("doc_id"),
-                                   F.lit(n_buckets)).cast("int")))
-        (sigs.repartition(F.col("doc_bucket"))
-         .write.partitionBy(*(["batch_id", "doc_bucket"] if keyed
-                              else ["doc_bucket"]))
-         .mode("overwrite").parquet(vdir + "/sigs"))
+    # multiple-of-old geometry: h mod n_new determines h mod n_old,
+    # so each old dir's rows land in exactly n_new/n_old new dirs —
+    # a narrow local split, no co-locating shuffle needed (each task
+    # writes only its own input dirs' images). The production growth
+    # path at 100 TB state scale: doubling is a map job over the
+    # signature state, not a full reshuffle of it.
+    narrow = n_buckets % old_n == 0
+
+    def _rewrite(sub: str, part_col: str, bucket_expr) -> None:
+        if not _has_data_files(cur + "/" + sub):
+            return
+        df = (spark.read.parquet(os.path.realpath(cur + "/" + sub))
+              .withColumn(part_col,
+                          F.pmod(bucket_expr,
+                                 F.lit(n_buckets)).cast("int")))
+        if not narrow:
+            df = df.repartition(F.col(part_col))
+        (df.write.partitionBy(*(["batch_id", part_col] if keyed
+                                else [part_col]))
+         .mode("overwrite").parquet(vdir + "/" + sub))
+
+    _rewrite("bands", "bucket", F.xxhash64("band_idx", "band_hash"))
+    _rewrite("sigs", "doc_bucket", F.xxhash64("doc_id"))
     with open(vdir + "/meta.json", "w") as f:       # staged, unpublished
         json.dump(dict(meta, n_buckets=n_buckets), f)
     man = rebuild_signature_manifest(vdir)
     table_io.publish_version(path, vdir)
     return {"n_buckets_old": old_n, "n_buckets_new": n_buckets,
+            "narrow": narrow,
             "bands_dirs": len(man["bands"]),
             "sigs_dirs": len(man["sigs"])}
+
+
+def maintain_signature_table(spark, path: str,
+                             target_rows_per_bucket: int = 2_000_000,
+                             max_files_per_dir: int = 16,
+                             compact_target_bytes: int = 128 * 1024
+                             * 1024) -> dict:
+    """Manifest-driven maintenance policy for the banded signature
+    table — the executable form of the n_buckets ∝ corpus sizing rule
+    (PLANS.md §Round-9/-10). PLANNING IS ZERO SPARK JOBS: every
+    decision reads the driver-side manifest (dir → rows/files), never
+    the data.
+
+    Two triggers, applied in order:
+
+    * **growth**: when the band index averages more than
+      ``target_rows_per_bucket`` rows per bucket, double n_buckets
+      until back under target (always a power-of-two multiple of the
+      current geometry, so :func:`rebucket_signature_table` takes its
+      NARROW shuffle-free split path). Constant rows-per-bucket is
+      what keeps the pruned probe's scanned bytes flat as the corpus
+      grows — touched dirs ≤ batch·bands regardless of n_buckets,
+      rows/dir held ≈ constant by this policy.
+    * **small files**: when any subtable dir accretes more than
+      ``max_files_per_dir`` files (micro-append accretion — ~one
+      file per touched dir per append), compact that subtable
+      (``operators.compaction.compact_parquet``: per-dir layout
+      preserved, atomic version publish, probe-invariant — pinned by
+      the ``signature_table_maintenance`` verdict query). Skipped
+      when a rebucket already ran: the rebucket rewrite IS a
+      compaction (one file set per fresh dir).
+
+    Returns {rebucketed, n_buckets, compacted, bands_rows,
+    rows_per_bucket} — callers log it; a no-op maintenance pass
+    costs only the manifest read. Crash-safe by composition: both
+    actions publish atomically and the manifest travels with each
+    publish."""
+    meta = _read_sig_meta(path)
+    man = _read_manifest(path) or rebuild_signature_manifest(path)
+    bands_rows = sum(_man_rows(v) for v in man["bands"].values())
+    n = meta["n_buckets"]
+    rpb = bands_rows / max(n, 1)
+    target_n = n
+    while bands_rows / max(target_n, 1) > target_rows_per_bucket:
+        target_n *= 2
+    rebucketed = False
+    if target_n != n:
+        stats = rebucket_signature_table(spark, path, target_n)
+        assert stats["narrow"], stats     # power-of-two multiple
+        n, rebucketed = target_n, True
+        man = _read_manifest(path)
+    compacted = []
+    if not rebucketed:
+        from .compaction import compact_parquet
+        for sub in ("bands", "sigs"):
+            if any(_man_files(v) > max_files_per_dir
+                   for v in man[sub].values()):
+                compact_parquet(spark, path + "/" + sub,
+                                target_bytes=compact_target_bytes,
+                                force=True)
+                compacted.append(sub)
+        if compacted:
+            # dir set and per-dir rows are compaction-invariant, but
+            # file counts changed — refresh them
+            rebuild_signature_manifest(path)
+    return {"rebucketed": rebucketed, "n_buckets": n,
+            "compacted": compacted, "bands_rows": bands_rows,
+            "rows_per_bucket": round(rpb, 1)}
 
 
 def remove_duplicated_spans(docs: DataFrame, text_col: str = "text",

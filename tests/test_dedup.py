@@ -1113,3 +1113,94 @@ def test_probe_empty_paths_id_typed(spark, tmp_path):
     got4 = incremental_minhash_candidates_banded(spark, path, renamed)
     assert got4.count() == 6
     assert got4.unionAll(got3).count() == got4.count()
+
+
+def test_rebucket_narrow_split_no_shuffle(spark, banded_split):
+    """Multiple-of-old geometry (64→128) takes the NARROW split: the
+    probe result is unchanged, stats report narrow=True, and every
+    Spark job the migration ran is SINGLE-STAGE (a shuffle would
+    split the rewrite into map+reduce stages) — the doubling
+    migration moves the signature state without reshuffling it."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates_banded, rebucket_signature_table)
+    _old, new, path = banded_split          # written at n_buckets=64
+    before = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+    sc = spark.sparkContext
+    sc.setJobGroup("narrow_rebucket", "narrow split")
+    try:
+        stats = rebucket_signature_table(spark, path, 128)
+    finally:
+        sc.setJobGroup(None, None)
+    assert stats["narrow"] is True
+    assert stats["n_buckets_new"] == 128
+    tracker = sc.statusTracker()
+    jobs = tracker.getJobIdsForGroup("narrow_rebucket")
+    assert jobs, "no jobs recorded for the migration"
+    for j in jobs:
+        info = tracker.getJobInfo(j)
+        assert len(info.stageIds) == 1, (j, info.stageIds)
+    after = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+    assert before == after and before
+    # non-multiple target: generic (shuffled) path, same relation
+    stats2 = rebucket_signature_table(spark, path, 48)
+    assert stats2["narrow"] is False
+    again = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+    assert again == before
+
+
+def test_maintain_signature_table_policy(spark, shingled, tmp_path):
+    """Manifest-driven maintenance: growth doubles n_buckets through
+    the narrow path (probe invariant), micro-append accretion
+    triggers subtable compaction (file counts drop, probe invariant),
+    and a healthy table is a no-op."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _man_files, _read_manifest, _read_sig_meta,
+        incremental_minhash_candidates_banded, maintain_signature_table,
+        write_banded_signature_table)
+    old = shingled.filter(F.col("doc_id") % 5 != 0)
+    new = shingled.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "maint")
+    # 5 micro-appends at a small geometry: accretes files per dir
+    for k in range(5):
+        write_banded_signature_table(
+            old.filter(F.pmod(F.xxhash64("doc_id"), F.lit(5)) == k),
+            path, n_buckets=8)
+    before = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+
+    # growth trigger: tiny target forces doubling (8 -> multiple of 8)
+    stats = maintain_signature_table(spark, path,
+                                     target_rows_per_bucket=100)
+    assert stats["rebucketed"] is True
+    n1 = stats["n_buckets"]
+    assert n1 > 8 and n1 % 8 == 0
+    assert _read_sig_meta(path)["n_buckets"] == n1
+    assert sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect())) == before
+
+    # accrete again at the new geometry, then small-files trigger
+    for k in range(3):
+        write_banded_signature_table(
+            new.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == k),
+            path, n_buckets=n1)
+    grown = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, old.limit(10)).collect()))
+    stats2 = maintain_signature_table(spark, path,
+                                      target_rows_per_bucket=10**9,
+                                      max_files_per_dir=2)
+    assert stats2["rebucketed"] is False
+    assert stats2["compacted"]
+    man = _read_manifest(path)
+    assert all(_man_files(v) <= 2 for sub in ("bands", "sigs")
+               for v in man[sub].values())
+    assert sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, old.limit(10)).collect())) == grown
+
+    # healthy table: no-op
+    stats3 = maintain_signature_table(spark, path,
+                                      target_rows_per_bucket=10**9,
+                                      max_files_per_dir=64)
+    assert stats3["rebucketed"] is False and not stats3["compacted"]
