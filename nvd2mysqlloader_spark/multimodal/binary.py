@@ -6,12 +6,16 @@ the engine treats payloads as binary columns co-partitioned with their
 metadata so decode/feature/resize stages are ordinary narrow maps —
 no shuffle, Arrow batches in and out, one Python worker per core.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-decoding real formats raises ``NotImplementedError`` behind an
-import-try; a deterministic fake container format ("SGM1") keeps every
-piece of Spark plumbing — schema, binary handling, batch iteration,
-partitioning — real and testable. Swapping ``_decode_payload`` for a
-real codec changes no plan shape.
+PIL/ffmpeg/librosa are NOT in this container, so the codecs are
+pure-Python/numpy (``codecs.py``, ``jpeg.py``): PNG, BMP, GIF,
+baseline JPEG, and WAV-PCM decode for REAL; only MP4/video — which
+genuinely needs an external codec stack — still raises
+``NotImplementedError``. A deterministic fake container format
+("SGM1") remains the bulk-test format that keeps every piece of
+Spark plumbing — schema, binary handling, batch iteration,
+partitioning — testable at volume. Swapping ``_decode_payload``
+branches for libjpeg-turbo/ffmpeg in production changes no plan
+shape.
 
 Fake container layout (big-endian):
     magic   4s   b"SGM1"
@@ -59,15 +63,17 @@ def pack_media(kind_idx: int, width: int, height: int, payload: bytes) -> bytes:
 def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
     """Parse one media blob into (kind, width, height, payload bytes).
 
-    REAL decoders for the formats that need no codec library: PNG
-    (zlib + filters, ``codecs.decode_png``), BMP
+    REAL decoders for every format that pure Python/numpy can carry:
+    PNG (zlib + filters, ``codecs.decode_png``), BMP
     (``codecs.decode_bmp``), GIF (pure-Python LZW,
-    ``codecs.decode_gif``) and WAV-PCM (``codecs.decode_wav`` —
-    width carries sample-rate/1000, height channels, matching the
-    SGM1 convention). The SGM1 fake container remains the bulk-test
-    format, and formats whose decode genuinely requires a codec
-    (JPEG's DCT entropy coding, MP4) still raise — swapping in
-    PIL/ffmpeg there changes no plan shape."""
+    ``codecs.decode_gif``), baseline JPEG (Huffman + dequant + IDCT,
+    ``jpeg.decode_jpeg`` — progressive/arithmetic raise with the
+    reason) and WAV-PCM (``codecs.decode_wav`` — width carries
+    sample-rate/1000, height channels, matching the SGM1
+    convention). The SGM1 fake container remains the bulk-test
+    format; the one decode that still genuinely requires an external
+    codec stack (MP4/video) keeps raising — swapping in ffmpeg there
+    changes no plan shape."""
     from . import codecs
 
     if content[:4] == MAGIC:
@@ -89,9 +95,15 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
         rate, ch, samples = codecs.decode_wav(content)
         return "audio", rate // 1000, ch, samples.tobytes()
     if content[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+        img = decode_jpeg(content)
+        h, w = img.shape[:2]
+        return "image", w, h, img.tobytes()
+    if content[4:8] == b"ftyp":
         raise NotImplementedError(
-            "JPEG decode requires a real codec (PIL/opencv) — not in this "
-            "container; swap _decode_payload's branch in production")
+            "MP4/video decode requires a real codec stack (ffmpeg) — "
+            "not in this container; swap _decode_payload's branch in "
+            "production")
     raise ValueError(f"unknown media container: {content[:4]!r}")
 
 

@@ -1,0 +1,513 @@
+"""Pure-Python/numpy baseline JPEG codec — no PIL/libjpeg needed.
+
+Closes the largest remaining multimodal codec gate (VERDICT r7→r9:
+"JPEG's DCT entropy coding" was the canonical reason `_decode_payload`
+raised). Baseline SEQUENTIAL JPEG (SOF0) is zlib-free arithmetic any
+numpy runtime can do: canonical Huffman entropy decode → dequantize →
+inverse zigzag → 8×8 IDCT (one orthonormal matrix sandwich per block)
+→ chroma upsample → YCbCr→RGB. The subset is explicit, like the PNG
+and GIF decoders':
+
+* SOF0 (baseline sequential, 8-bit) only — progressive (SOF2),
+  extended/arithmetic/lossless SOFs raise ``ValueError`` with the
+  reason;
+* 1-component (grayscale) and 3-component (YCbCr) scans; any sampling
+  factors (4:4:4 / 4:2:2 / 4:2:0 …) via nearest-neighbor upsample;
+* restart markers (DRI / RSTn) honored; APPn/COM skipped;
+* decoder reads quant + Huffman tables FROM THE FILE (tables are
+  self-describing — no reliance on the Annex K defaults being
+  byte-identical).
+
+The encoder writes baseline 4:4:4 (or single-component grayscale)
+with Annex-K-style quant tables scaled by ``quality`` and
+canonically-built Huffman tables serialized into the file, so
+encoder/decoder agreement is by construction, and the decoder is
+ALSO pinned against real-world externally-authored baseline JPEGs
+(tests embed the 331-byte IPython `2x2.jpg` test fixture and a
+CPython `python.jpg` crop as goldens).
+
+Executor-side workhorse for ``mapInPandas`` media ops: bytes in,
+numpy out, no I/O, no global state.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index i of the scan → (row, col) in the 8×8 block
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# orthonormal 8-point DCT-II matrix: F = T f T', f = T' F T
+_T = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _T[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * \
+            (np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8))
+
+# Annex-K-style base quantization tables (luma, chroma), row-major
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: (BITS, HUFFVAL) → both a decode
+    map ((length, code) → symbol) and an encode map (symbol →
+    (code, length))."""
+
+    def __init__(self, bits: list[int], values: list[int]) -> None:
+        assert len(bits) == 16 and sum(bits) == len(values)
+        self.bits, self.values = bits, values
+        self.decode_map: dict[tuple[int, int], int] = {}
+        self.encode_map: dict[int, tuple[int, int]] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                v = values[k]
+                self.decode_map[(length, code)] = v
+                self.encode_map[v] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops at any non-RST marker. ``sync_restart``
+    realigns at an expected RSTn."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data, self.pos = data, pos
+        self.acc, self.nbits = 0, 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8            # pad: spec allows 1-fill/0-fill
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(
+                    self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2          # stuffed 0xFF data byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    break                  # restart marker: stop filling
+                else:
+                    break                  # real marker (EOI/next scan)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise ValueError("JPEG entropy data truncated")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _HuffTable) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.decode_map.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_restart(self, n: int) -> None:
+        """Consume the expected RSTn marker and byte-realign."""
+        self.acc, self.nbits = 0, 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and \
+                    0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                got = self.data[self.pos + 1] - 0xD0
+                if got != n:
+                    raise ValueError(
+                        f"JPEG restart marker out of order: RST{got}, "
+                        f"expected RST{n}")
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("JPEG missing restart marker")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map a ``size``-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w) grayscale or (h, w, 3) RGB uint8."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:                             # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        seg = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:                             # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, p) \
+                        .astype(np.int64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, p) \
+                        .astype(np.int64)
+                    p += 128
+                quant[tq] = tbl
+        elif marker == 0xC4:                           # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _HuffTable(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:                           # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4,
+                              "v": samp & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = {0xC2: "progressive", 0xC1: "extended"}.get(
+                marker, f"SOF{marker - 0xC0}")
+            raise ValueError(
+                f"unsupported JPEG coding ({kind}) — baseline "
+                "sequential (SOF0) only")
+        elif marker == 0xDD:                           # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:                           # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cid] = (tabs >> 4, tabs & 0xF)
+            return _decode_scan(data, pos + 2 + seglen, frame, sel,
+                                quant, huff_dc, huff_ac,
+                                restart_interval)
+        pos += 2 + seglen
+    raise ValueError("JPEG contains no scan")
+
+
+def _decode_scan(data, pos, frame, sel, quant, huff_dc, huff_ac,
+                 restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for c in comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        planes[c["id"]] = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    rst_n = 0
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                reader.sync_restart(rst_n)
+                rst_n = (rst_n + 1) % 8
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_t = huff_dc[sel[c["id"]][0]]
+                ac_t = huff_ac[sel[c["id"]][1]]
+                q = quant[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        size = reader.decode_symbol(dc_t)
+                        diff = _extend(reader.receive(size), size)
+                        pred[c["id"]] += diff
+                        coeffs[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16        # ZRL
+                                    continue
+                                break              # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC index out of range")
+                            coeffs[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = coeffs * q
+                        spatial = _T.T @ block.reshape(8, 8) @ _T
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_i += 1
+    # upsample to full resolution, crop, color-convert
+    out = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        out.append(p[:h, :w] + 128.0)
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder — baseline, 4:4:4 (or grayscale), self-describing tables.
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)      # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # 1-fill per spec
+
+
+def _build_huff_from_freq(freq: dict[int, int]) -> _HuffTable:
+    """Canonical table covering every symbol in ``freq`` — simple
+    length assignment (8 bits for the 16 most frequent, 12 for the
+    rest) rather than optimal Huffman; valid-by-construction and
+    self-describing in the file, which is what correctness needs."""
+    syms = sorted(freq, key=lambda s: (-freq[s], s))
+    bits = [0] * 16
+    ordered = []
+    short, long_ = syms[:16], syms[16:]
+    bits[7] = len(short)                  # 8-bit codes
+    ordered += sorted(short)
+    if long_:
+        bits[11] = len(long_)             # 12-bit codes
+        ordered += sorted(long_)
+    return _HuffTable(bits, ordered)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bh*8, bw*8) float plane → (n_blocks, 64) quantized zigzag."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8))
+    f = np.einsum("ij,njk,lk->nil", _T, blocks, _T)
+    qz = np.round(f.reshape(-1, 64)[:, ZIGZAG] /
+                  q[ZIGZAG]).astype(np.int64)
+    return qz
+
+
+def _encode_blocks(qz: np.ndarray,
+                   reset_every: int = 0) -> list[list[tuple[int, int]]]:
+    """Quantized zigzag blocks → per-block (symbol, extra-bits-value)
+    token lists (DC diff + AC run-length), shared by the frequency
+    pass and the emit pass. ``reset_every`` resets the DC predictor
+    on restart boundaries (in blocks — at 4:4:4 one block per MCU
+    per component)."""
+    tokens = []
+    pred = 0
+    for bi, row in enumerate(qz):
+        if reset_every and bi and bi % reset_every == 0:
+            pred = 0
+        toks = []
+        diff = int(row[0]) - pred
+        pred = int(row[0])
+        size = int(diff).bit_length() if diff else 0
+        val = diff if diff >= 0 else diff + (1 << size) - 1
+        toks.append(("dc", size, val))
+        k, run = 1, 0
+        last_nz = max(np.nonzero(row)[0], default=0)
+        while k <= last_nz:
+            v = int(row[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                toks.append(("ac", 0xF0, 0))
+                run -= 16
+            size = abs(v).bit_length()
+            ev = v if v >= 0 else v + (1 << size) - 1
+            toks.append(("ac", (run << 4) | size, ev))
+            run, k = 0, k + 1
+        if last_nz < 63:
+            toks.append(("ac", 0x00, 0))   # EOB
+        tokens.append(toks)
+    return tokens
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JPEG bytes
+    (4:4:4, quant + Huffman tables serialized into the file).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (and resets the DC predictors), the resync structure long
+    scans use — it exists mostly so the decoder's restart path has a
+    roundtrip pin."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if gray:
+        comps_px = [img.astype(np.float64) - 128.0]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps_px = [y - 128.0, cb, cr]
+    qt = [_scaled_quant(QUANT_LUMA, quality)]
+    if not gray:
+        qt.append(_scaled_quant(QUANT_CHROMA, quality))
+    per_comp = []
+    for i, p in enumerate(comps_px):
+        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        per_comp.append(_encode_blocks(
+            _fdct_quant(pad, qt[0 if i == 0 else 1]),
+            reset_every=restart_interval))
+    # interleave per MCU (4:4:4: one block per component per MCU)
+    freq_dc = [dict(), dict()]
+    freq_ac = [dict(), dict()]
+    for i, blocks in enumerate(per_comp):
+        t = 0 if i == 0 else 1
+        for toks in blocks:
+            for kind, sym, _v in toks:
+                f = freq_dc[t] if kind == "dc" else freq_ac[t]
+                f[sym] = f.get(sym, 0) + 1
+    n_tabs = 1 if gray else 2
+    dc_tabs = [_build_huff_from_freq(freq_dc[t]) for t in range(n_tabs)]
+    ac_tabs = [_build_huff_from_freq(freq_ac[t]) for t in range(n_tabs)]
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    for t, q in enumerate(qt):
+        segment(0xDB, bytes([t]) + bytes(int(x) for x in q))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    segment(0xC0, sof)
+    for t in range(n_tabs):
+        for cls, tab in ((0, dc_tabs[t]), (1, ac_tabs[t])):
+            segment(0xC4, bytes([cls << 4 | t]) + bytes(tab.bits)
+                    + bytes(tab.values))
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        t = 0 if i == 0 else 1
+        sos += bytes([i + 1, t << 4 | t])
+    sos += bytes([0, 63, 0])
+    segment(0xDA, sos)
+
+    wtr = _BitWriter()
+    nblocks = len(per_comp[0])
+    rst_n = 0
+    for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            wtr.flush()
+            out.extend(wtr.out)
+            wtr = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + rst_n]))
+            rst_n = (rst_n + 1) % 8
+        for i in range(ncomp):
+            t = 0 if i == 0 else 1
+            for kind, sym, val in per_comp[i][bi]:
+                tab = dc_tabs[t] if kind == "dc" else ac_tabs[t]
+                code, ln = tab.encode_map[sym]
+                wtr.write(code, ln)
+                size = sym & 0xF if kind == "ac" else sym
+                if size:
+                    wtr.write(val & ((1 << size) - 1), size)
+    wtr.flush()
+    out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)

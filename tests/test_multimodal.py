@@ -55,11 +55,13 @@ def test_frames_only_from_video(spark, media):
 
 
 def test_codec_gates():
-    # JPEG genuinely needs a codec library -> still gated
+    # MP4/video genuinely needs an external codec stack -> still gated
     with pytest.raises(NotImplementedError):
+        _decode_payload(b"\x00\x00\x00\x18ftypisom" + b"x" * 16)
+    # JPEG decodes for REAL now (jpeg.decode_jpeg); a truncated one is
+    # a data error, not a missing-codec error — same for PNG
+    with pytest.raises(ValueError):
         _decode_payload(b"\xff\xd8\xff\xe0" + b"x" * 16)
-    # PNG decodes for REAL now (codecs.decode_png); a truncated one is
-    # a data error, not a missing-codec error
     with pytest.raises(ValueError):
         _decode_payload(b"\x89PNG\r\n\x1a\n" + b"x" * 16)
     with pytest.raises(ValueError):
@@ -297,3 +299,149 @@ def test_decode_features_on_bmp_and_gif(spark):
     assert (rows[2]["kind"], rows[2]["width"], rows[2]["height"],
             rows[2]["n_payload_bytes"]) == ("image", 4, 3, 36)
     assert rows[2]["mean_byte"] == 100.0
+
+
+def test_jpeg_decodes_real_world_goldens():
+    """The baseline JPEG decoder pinned against EXTERNALLY-authored
+    files (not our own encoder): the 331-byte IPython test fixture
+    ``2x2.jpg`` (baseline grayscale, standard Annex-K tables) and the
+    543-byte CPython imghdr fixture ``python.jpg`` (16x16 color,
+    4:2:0 chroma subsampling — exercises the multi-block MCU and
+    upsample paths). The 2x2 expectation is analytic (a blank
+    fixture: constant mid-gray); the python.jpg digest is a decoder
+    snapshot guarding regressions."""
+    import hashlib
+
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import decode_jpeg
+
+    blank_2x2 = bytes.fromhex(
+        "ffd8ffe000104a46494600010100000100010000ffdb0043000806060706"
+        "05080707070909080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20"
+        "242e2720222c231c1c2837292c30313434341f27393d38323c2e333432ff"
+        "c0000b080002000201011100ffc4001f0000010501010101010100000000"
+        "000000000102030405060708090a0bffc400b51000020103030204030505"
+        "04040000017d01020300041105122131410613516107227114328191a108"
+        "2342b1c11552d1f02433627282090a161718191a25262728292a34353637"
+        "38393a434445464748494a535455565758595a636465666768696a737475"
+        "767778797a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9"
+        "aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+        "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffda0008010100003f002bff"
+        "d9")
+    img = decode_jpeg(blank_2x2)
+    assert img.shape == (2, 2) and img.dtype == np.uint8
+    assert (img == 128).all()
+
+    python_16 = bytes.fromhex(
+        "ffd8ffe000104a46494600010101000100010000ffdb0043000302020202"
+        "02030202020303030304060404040404080606050609080a0a090809090a"
+        "0c0f0c0a0b0e0b09090d110d0e0f101011100a0c12131210130f101010ff"
+        "db00430103030304030408040408100b090b101010101010101010101010"
+        "101010101010101010101010101010101010101010101010101010101010"
+        "1010101010101010ffc00011080010001003012200021101031101ffc400"
+        "160001010100000000000000000000000000070405ffc400241000010401"
+        "0402020300000000000000000102030406050708121311220014093132ff"
+        "c4001501010100000000000000000000000000000006ffc4002311000102"
+        "05030500000000000000000000010211030405062100123115166181e1ff"
+        "da000c03010002110311003f0014a6d26a1b73c1e61312d4951cf31163e4"
+        "2565beba5aec694540b1e520b254a51fd2cab8faf220ab963d976c9335e6"
+        "9b77d7e66da71781a5571c7f1cea71e24b39d7e32253f21a69ded4714a38"
+        "b482e84b892a71691ecd2d213bf1efb91a74aceea15a758ed548ac655b85"
+        "8b81857b21299867a96b94b949654fb9c88529114b812af07ad9f23c807e"
+        "55be0df662a140cce8e69a3d5cb743b3d77a6558b1d9512188bf64b8d3f1"
+        "c3680429c0d0febb3c02e03c5407b4bdd97b54e627fb6edf946014826213"
+        "8db8529828370589727960e432896fc3828ea7528cea208dbe78191f07ad"
+        "7fffd9")
+    img2 = decode_jpeg(python_16)
+    assert img2.shape == (16, 16, 3)
+    assert hashlib.sha256(img2.tobytes()).hexdigest().startswith(
+        "2a250932a73d8418")
+    assert 90 < float(img2.mean()) < 95
+
+
+def test_jpeg_roundtrip_and_subset_gates():
+    import numpy as np
+    import pytest
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import (decode_jpeg,
+                                                       encode_jpeg)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+    # constant gray: DC-only blocks quantize to zero -> EXACT
+    img = np.full((24, 17), 128, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(img)) == img).all()
+
+    yy, xx = np.mgrid[0:64, 0:48]
+    grad = (yy * 200 // 64 + xx * 50 // 48).astype(np.uint8)
+    assert psnr(grad, decode_jpeg(encode_jpeg(grad, quality=90))) > 40
+
+    rgb = np.stack([(yy * 255 // 64).astype(np.uint8),
+                    (xx * 255 // 48).astype(np.uint8),
+                    ((yy + xx) * 255 // 112).astype(np.uint8)], axis=2)
+    back = decode_jpeg(encode_jpeg(rgb, quality=90))
+    assert back.shape == rgb.shape and psnr(rgb, back) > 35
+
+    # restart markers: DRI/RSTn stream decodes identically
+    with_rst = decode_jpeg(encode_jpeg(grad, quality=90,
+                                       restart_interval=3))
+    without = decode_jpeg(encode_jpeg(grad, quality=90))
+    assert (with_rst == without).all()
+
+    # subset honesty: progressive raises with the reason
+    blob = bytearray(encode_jpeg(grad))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"NOPE" + b"\x00" * 32)
+
+
+def test_jpeg_idct_matches_naive_reference():
+    """The matrix-sandwich IDCT equals the textbook O(n^4) IDCT-II
+    double sum — the transform itself is pinned independently of the
+    bitstream layer."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import _T
+
+    rng = np.random.default_rng(23)
+    F = rng.normal(0, 50, size=(8, 8))
+    fast = _T.T @ F @ _T
+    naive = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+                    cv = np.sqrt(1 / 8) if v == 0 else np.sqrt(2 / 8)
+                    s += (cu * cv * F[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            naive[x, y] = s
+    assert np.allclose(fast, naive, atol=1e-10)
+
+
+def test_jpeg_through_media_feature_op(spark):
+    """JPEG rows decode for real through the SAME mapInPandas feature
+    op as every other format — constant-gray JPEG gives closed-form
+    features."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.binary import \
+        decode_media_features
+    from nvd2mysqlloader_spark.multimodal.jpeg import encode_jpeg
+
+    img = np.full((6, 8), 128, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img)))],
+        "media_id long, content binary")
+    r = decode_media_features(media).first()
+    assert (r["kind"], r["width"], r["height"],
+            r["n_payload_bytes"], r["mean_byte"]) == \
+        ("image", 8, 6, 48, 128.0)
