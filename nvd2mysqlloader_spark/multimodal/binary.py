@@ -7,15 +7,18 @@ metadata so decode/feature/resize stages are ordinary narrow maps —
 no shuffle, Arrow batches in and out, one Python worker per core.
 
 PIL/ffmpeg/librosa are NOT in this container, so the codecs are
-pure-Python/numpy (``codecs.py``, ``jpeg.py``): PNG, BMP, GIF,
-baseline JPEG, and WAV-PCM decode for REAL; only MP4/video — which
-genuinely needs an external codec stack — still raises
-``NotImplementedError``. A deterministic fake container format
-("SGM1") remains the bulk-test format that keeps every piece of
-Spark plumbing — schema, binary handling, batch iteration,
-partitioning — testable at volume. Swapping ``_decode_payload``
-branches for libjpeg-turbo/ffmpeg in production changes no plan
-shape.
+pure-Python/numpy (``codecs.py``, ``jpeg.py``, ``mp4.py``): PNG,
+BMP, GIF, baseline JPEG, and WAV-PCM decode for REAL, and MP4
+parses at the container level for real (track metadata + actual
+frame byte ranges from the sample tables). The ONE remaining gate
+is decoding a video sample's bitstream to pixels
+(H.264/HEVC — ``mp4.decode_frame_pixels`` raises
+``NotImplementedError``), which genuinely needs an external codec
+stack. A deterministic fake container format ("SGM1") remains the
+bulk-test format that keeps every piece of Spark plumbing — schema,
+binary handling, batch iteration, partitioning — testable at
+volume. Swapping in libjpeg-turbo/ffmpeg in production changes no
+plan shape.
 
 Fake container layout (big-endian):
     magic   4s   b"SGM1"
@@ -100,10 +103,13 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
         h, w = img.shape[:2]
         return "image", w, h, img.tobytes()
     if content[4:8] == b"ftyp":
-        raise NotImplementedError(
-            "MP4/video decode requires a real codec stack (ffmpeg) — "
-            "not in this container; swap _decode_payload's branch in "
-            "production")
+        from .mp4 import parse_mp4
+        info = parse_mp4(content)
+        t = info["tracks"][0] if info["tracks"] else {}
+        payload = b"".join(content[o:o + s]
+                           for o, s in t.get("samples", []))
+        return ("video", t.get("width", 0), t.get("height", 0),
+                payload)
     raise ValueError(f"unknown media container: {content[:4]!r}")
 
 
@@ -179,12 +185,22 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
                   max_frames: int = 8) -> DataFrame:
     """Frame sampling for 'video' rows: one output row per sampled
     frame (media_id, frame_idx, frame binary) — the explode-shaped
-    multimodal op (UNNEST of a decoded stream)."""
+    multimodal op (UNNEST of a decoded stream). Real MP4 containers
+    emit their ACTUAL samples (frame payloads from the stsz/stsc/stco
+    tables, ``mp4.extract_samples``); the SGM1 fake container keeps
+    the fixed-stride slicing its oracle replays in SQL."""
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                kind, w, h, payload = _decode_payload(bytes(content))
+                content = bytes(content)
+                if content[4:8] == b"ftyp":
+                    from .mp4 import extract_samples
+                    for i, s in enumerate(
+                            extract_samples(content)[:max_frames]):
+                        rows.append((mid, i, s))
+                    continue
+                kind, w, h, payload = _decode_payload(content)
                 if kind != "video":
                     continue
                 for i in range(0, min(max_frames * every_n_bytes,

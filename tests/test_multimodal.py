@@ -55,11 +55,12 @@ def test_frames_only_from_video(spark, media):
 
 
 def test_codec_gates():
-    # MP4/video genuinely needs an external codec stack -> still gated
-    with pytest.raises(NotImplementedError):
+    # every container parses for REAL now — a truncated MP4/JPEG/PNG
+    # is a data error, not a missing-codec error; the one remaining
+    # NotImplementedError is sample-bitstream pixel decode
+    # (mp4.decode_frame_pixels, pinned in the mp4 test)
+    with pytest.raises(ValueError):
         _decode_payload(b"\x00\x00\x00\x18ftypisom" + b"x" * 16)
-    # JPEG decodes for REAL now (jpeg.decode_jpeg); a truncated one is
-    # a data error, not a missing-codec error — same for PNG
     with pytest.raises(ValueError):
         _decode_payload(b"\xff\xd8\xff\xe0" + b"x" * 16)
     with pytest.raises(ValueError):
@@ -445,3 +446,59 @@ def test_jpeg_through_media_feature_op(spark):
     assert (r["kind"], r["width"], r["height"],
             r["n_payload_bytes"], r["mean_byte"]) == \
         ("image", 8, 6, 48, 128.0)
+
+
+def test_mp4_container_roundtrip_and_subset_gates():
+    import struct
+
+    import pytest
+
+    from nvd2mysqlloader_spark.multimodal.mp4 import (decode_frame_pixels,
+                                                      encode_mp4,
+                                                      extract_samples,
+                                                      parse_mp4)
+    samples = [bytes([i]) * (10 + i * 7) for i in range(5)]
+    blob = encode_mp4(samples, width=64, height=48, timescale=30)
+    info = parse_mp4(blob)
+    assert info["brand"] == "isom" and len(info["tracks"]) == 1
+    t = info["tracks"][0]
+    assert (t["handler"], t["codec"]) == ("vide", "raw ")
+    assert (t["width"], t["height"]) == (64, 48)
+    assert (t["timescale"], t["duration"]) == (30, 5)
+    assert t["n_samples"] == 5
+    assert extract_samples(blob) == samples
+
+    # sample-table consistency check fires on a corrupted stsz count
+    bad = bytearray(blob)
+    p = bad.find(b"stsz")
+    (declared,) = struct.unpack(">I", bad[p + 12:p + 16])
+    struct.pack_into(">I", bad, p + 12, declared + 1)
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+
+    with pytest.raises(ValueError, match="not an MP4"):
+        parse_mp4(b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="codec stack"):
+        decode_frame_pixels(samples[0], "avc1")
+
+
+def test_mp4_through_media_ops(spark):
+    """A real MP4 container flows through the SAME mapInPandas ops:
+    features report track dims + concatenated sample bytes, and
+    sample_frames emits the ACTUAL stsz/stco frame payloads, not
+    byte strides."""
+    from nvd2mysqlloader_spark.multimodal.binary import (
+        decode_media_features, sample_frames)
+    from nvd2mysqlloader_spark.multimodal.mp4 import encode_mp4
+
+    samples = [b"\x10" * 40, b"\x20" * 24, b"\x30" * 16]
+    blob = encode_mp4(samples, width=32, height=24)
+    media = spark.createDataFrame(
+        [(7, bytearray(blob))], "media_id long, content binary")
+    r = decode_media_features(media).first()
+    assert (r["kind"], r["width"], r["height"]) == ("video", 32, 24)
+    assert r["n_payload_bytes"] == 80
+    assert r["mean_byte"] == (0x10 * 40 + 0x20 * 24 + 0x30 * 16) / 80
+    frames = sample_frames(media, max_frames=8).collect()
+    assert [bytes(f["frame"]) for f in
+            sorted(frames, key=lambda f: f["frame_idx"])] == samples
