@@ -105,11 +105,24 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
     if content[4:8] == b"ftyp":
         from .mp4 import parse_mp4
         info = parse_mp4(content)
-        t = info["tracks"][0] if info["tracks"] else {}
+        tracks = info["tracks"]
+        # kind from the media HANDLER, not assumed: an .m4a is an
+        # audio container with the same ftyp magic. Prefer the first
+        # video track; else the first audio track; else whatever is
+        # there (metadata-only containers stay "video" with 0 dims).
+        t = next((x for x in tracks if x.get("handler") == "vide"),
+                 None)
+        kind = "video"
+        if t is None:
+            t = next((x for x in tracks
+                      if x.get("handler") == "soun"), None)
+            if t is not None:
+                kind = "audio"
+        if t is None:
+            t = tracks[0] if tracks else {}
         payload = b"".join(content[o:o + s]
                            for o, s in t.get("samples", []))
-        return ("video", t.get("width", 0), t.get("height", 0),
-                payload)
+        return (kind, t.get("width", 0), t.get("height", 0), payload)
     raise ValueError(f"unknown media container: {content[:4]!r}")
 
 
@@ -195,10 +208,16 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 content = bytes(content)
                 if content[4:8] == b"ftyp":
-                    from .mp4 import extract_samples
-                    for i, s in enumerate(
-                            extract_samples(content)[:max_frames]):
-                        rows.append((mid, i, s))
+                    # frames come from the first VIDEO track only —
+                    # an audio-only container (.m4a) contributes none
+                    from .mp4 import parse_mp4
+                    info = parse_mp4(content)
+                    vt = next((x for x in info["tracks"]
+                               if x.get("handler") == "vide"), None)
+                    if vt is not None:
+                        for i, (o, s) in enumerate(
+                                vt["samples"][:max_frames]):
+                            rows.append((mid, i, content[o:o + s]))
                     continue
                 kind, w, h, payload = _decode_payload(content)
                 if kind != "video":

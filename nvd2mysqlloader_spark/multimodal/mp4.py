@@ -209,9 +209,16 @@ def encode_mp4(samples: list[bytes], width: int = 64, height: int = 48,
     ``mdat``; ``extract_samples`` round-trips them."""
     n = len(samples)
     dur = n
-    stsd_entry = (struct.pack(">I", 16 + 70) + codec + b"\x00" * 6
+    # VisualSampleEntry, exactly 86 bytes: size(4) fourcc(4)
+    # reserved(6) data_ref_idx(2) | pre_defined(2) reserved(2)
+    # pre_defined(12) | width(2) height(2) | horiz_res(4) vert_res(4)
+    # reserved(4) frame_count(2) compressorname(32) depth(2)
+    # pre_defined(2) — declared size and emitted bytes must agree or
+    # spec-conforming parsers overrun into the next box
+    stsd_entry = (struct.pack(">I", 86) + codec + b"\x00" * 6
                   + struct.pack(">H", 1) + b"\x00" * 16
-                  + struct.pack(">HH", width, height) + b"\x00" * 46)
+                  + struct.pack(">HH", width, height) + b"\x00" * 50)
+    assert len(stsd_entry) == 86
     stsd = _fullbox(b"stsd", 0, struct.pack(">I", 1) + stsd_entry)
     stts = _fullbox(b"stts", 0, struct.pack(">III", 1, n, 1))
     stsz = _fullbox(b"stsz", 0, struct.pack(">II", 0, n)
@@ -243,9 +250,14 @@ def encode_mp4(samples: list[bytes], width: int = 64, height: int = 48,
         return ftyp + moov + mdat
 
     # two-pass: offsets depend on moov size, which is offset-count-
-    # stable, so one relayout converges
+    # stable, so one relayout converges. The mdat body start is
+    # computed STRUCTURALLY (file length minus payload length — mdat
+    # is the last box and its body is exactly the samples), never by
+    # byte search: a sample whose payload contains the bytes 'mdat'
+    # must not corrupt the chunk offsets.
     draft = build([0] * n)
-    mdat_body = draft.rfind(b"mdat") + 4
+    total_payload = sum(len(s) for s in samples)
+    mdat_body = len(draft) - total_payload
     offs, o = [], mdat_body
     for s in samples:
         offs.append(o)

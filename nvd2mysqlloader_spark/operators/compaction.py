@@ -74,6 +74,14 @@ def _value_round_trips(v: str) -> bool:
     """
     if v == _HIVE_NULL:
         return False
+    # dir names hold the HIVE-ESCAPED form: '%' marks an escape
+    # (lang=a%3Ab stores column value 'a:b'), so any '%' value would
+    # be compared raw against the unescaped column (filter matches
+    # nothing → the dir silently drops from the rewrite) and
+    # re-rendered on write. Empty values re-render as the null
+    # sentinel. Both must take the per-dir loop.
+    if v == "" or "%" in v:
+        return False
     try:
         return str(int(v)) == v
     except ValueError:

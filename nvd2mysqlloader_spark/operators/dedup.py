@@ -585,12 +585,23 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     # this replace leaves dirs the manifest misses — re-run the
     # append (the gate's at-least-once contract) or
     # rebuild_signature_manifest to repair.
+    man = _read_manifest(path)
+    if man is None:
+        # LEGACY pre-manifest table (or crash-orphaned manifest): a
+        # targeted update seeded from an empty dict would cover only
+        # THIS batch's dirs, and the next probe — now manifest-driven
+        # — would silently skip the entire pre-existing corpus. Full
+        # rebuild instead: it walks the filesystem AFTER the writes,
+        # so old and new dirs are both covered (regression-pinned in
+        # tests/test_dedup.py::test_legacy_table_append_rebuilds_
+        # manifest).
+        rebuild_signature_manifest(path)
+        return
     touched = (banded.select(F.lit("bands").alias("t"),
                              F.col("bucket").alias("b"))
                .unionAll(sidecar.select(F.lit("sigs").alias("t"),
                                         F.col("doc_bucket").alias("b")))
                .distinct().collect())
-    man = _read_manifest(path) or {"bands": {}, "sigs": {}}
     pref = f"batch_id={batch_id}/" if keyed else ""
     for r in touched:
         col = "bucket" if r["t"] == "bands" else "doc_bucket"
@@ -639,9 +650,12 @@ def incremental_minhash_candidates_banded(
     group larger than the cap admits only its min-``doc_id`` anchor
     into the probe join — collapsing the |batch|·B emission to
     |batch| BEFORE any pair exists, the star-collapse move — and
-    (b) each new doc keeps at most ``max_candidates_per_new``
-    admitted candidates (deterministic min-``old_id`` order). What
-    the dedup GATE consumes is invariant on boilerplate clusters:
+    (b) each new doc RETURNS at most ``max_candidates_per_new``
+    pairs, ranked by estimated similarity (``old_id`` tie-break) and
+    applied AFTER the ≥-threshold filter, so a genuine near-dup can
+    never be evicted by a crowd of low-id sub-threshold band
+    collisions. What the dedup GATE consumes is invariant on
+    boilerplate clusters:
     the anchor is near-identical to every member it stands for, so
     the set of new docs flagged ≥ threshold and their cluster
     assignment (the anchor's connected component IS the cluster's)
@@ -779,15 +793,6 @@ def incremental_minhash_candidates_banded(
             .filter(F.col("new_id") != F.col("doc_id"))
             .select("new_id", F.col("doc_id").alias("old_id"), "sig_new")
             .dropDuplicates(["new_id", "old_id"]))
-    if max_candidates_per_new is not None:
-        # per-new admission bound over the ALREADY star-collapsed
-        # pairs (≤ batch·bands·cap rows — never |batch|·|cluster|):
-        # deterministic min-old_id representatives
-        from pyspark.sql import Window
-        wn = Window.partitionBy("new_id").orderBy("old_id")
-        cand = (cand.withColumn("_rn", F.row_number().over(wn))
-                .filter(F.col("_rn") <= F.lit(max_candidates_per_new))
-                .drop("_rn"))
     if materialize:
         cand = _materialize(cand)
     # candidate old-ids' doc buckets — O(collisions) distinct values
@@ -810,9 +815,26 @@ def incremental_minhash_candidates_banded(
     # 64-long-sig rows would blow the broadcast/driver limits exactly
     # when the probe is under the most load; let AQE pick from the
     # runtime size
-    return (cand.join(sidecar, "old_id")
-            .select("new_id", "old_id", est.alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= threshold))
+    result = (cand.join(sidecar, "old_id")
+              .select("new_id", "old_id", est.alias("est_jaccard"))
+              .filter(F.col("est_jaccard") >= threshold))
+    if max_candidates_per_new is not None:
+        # per-new output bound applied AFTER the threshold, ranked by
+        # estimate (strongest partners kept, old_id tie-break): an
+        # order-by-old_id cap BEFORE the estimate could evict a true
+        # near-dup behind a crowd of low-id sub-threshold collisions
+        # and silently unflag the doc. The emission bound doesn't
+        # need this stage — the corpus-side star collapse above
+        # already keeps the join input ≤ batch·bands·cap; this stage
+        # only enforces the literal per-new output contract over
+        # already-thresholded rows.
+        from pyspark.sql import Window
+        wn = Window.partitionBy("new_id").orderBy(
+            F.desc("est_jaccard"), "old_id")
+        result = (result.withColumn("_rn", F.row_number().over(wn))
+                  .filter(F.col("_rn") <= F.lit(max_candidates_per_new))
+                  .drop("_rn"))
+    return result
 
 
 def rebucket_signature_table(spark, path: str, n_buckets: int) -> dict:

@@ -275,6 +275,38 @@ def test_value_round_trips_classifier():
     assert not rt("07") and not rt("-0") and not rt("007")
     assert not rt("1.5") and not rt("1.50") and not rt("1e3")
     assert not rt("nan") and not rt("Infinity")
+    assert not rt("a%3Ab") and not rt("") and not rt("50%")
     assert not rt("2021-01-01") and not rt("2021-1-1")
     assert not rt("2021-01-01 00:00:00") and not rt("2021-01")
     assert not rt("__HIVE_DEFAULT_PARTITION__")
+
+
+def test_escaped_string_partition_falls_back_no_data_loss(spark,
+                                                          tmp_path):
+    """Hive-escaped partition values (dir lang=a%3Ab stores column
+    value 'a:b') must NOT take the one-job fast path: the partition
+    filter compares raw dir strings against unescaped column values
+    (matches nothing — silent loss) and the writer would re-escape.
+    The per-dir loop preserves rows and exact dir names."""
+    import glob
+    import os
+    path = str(tmp_path / "escaped")
+    (spark.range(10).selectExpr("id", "'a:b' AS lang")
+     .coalesce(1).write.partitionBy("lang").parquet(path))
+    for i in range(8):
+        (spark.range(100 + i * 10, 110 + i * 10)
+         .selectExpr("id", "'plain' AS lang")
+         .coalesce(1).write.mode("append").partitionBy("lang")
+         .parquet(path))
+    pre = spark.read.parquet(path)
+    pre_rows, pre_sum = pre.count(), pre.agg(F.sum("id")).first()[0]
+    assert os.path.isdir(f"{path}/lang=a%3Ab")
+
+    compact_parquet(spark, path, target_bytes=1024 * 1024)
+    dirs = sorted(os.path.basename(p.rstrip("/"))
+                  for p in glob.glob(f"{path}/lang=*/"))
+    assert dirs == ["lang=a%3Ab", "lang=plain"]
+    post = spark.read.parquet(path)
+    assert post.count() == pre_rows
+    assert post.agg(F.sum("id")).first()[0] == pre_sum
+    assert post.filter(F.col("lang") == "a:b").count() == 10

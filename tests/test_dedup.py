@@ -1204,3 +1204,87 @@ def test_maintain_signature_table_policy(spark, shingled, tmp_path):
                                       target_rows_per_bucket=10**9,
                                       max_files_per_dir=64)
     assert stats3["rebucketed"] is False and not stats3["compacted"]
+
+
+def test_legacy_table_append_rebuilds_manifest(spark, shingled,
+                                               tmp_path):
+    """Appending to a PRE-MANIFEST table (or one whose manifest was
+    lost) must produce a manifest covering the WHOLE table, not just
+    the new batch's dirs — a partial manifest would make every later
+    probe silently skip the pre-existing corpus."""
+    import os
+
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _read_manifest, incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+    old = shingled.filter(F.col("doc_id") % 5 != 0)
+    new = shingled.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "legacy")
+    write_banded_signature_table(
+        old.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0), path)
+    want = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+    # simulate a pre-manifest table, then append the second slice
+    os.remove(path + "/manifest.json")
+    write_banded_signature_table(
+        old.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1), path)
+    man = _read_manifest(path)
+    assert man is not None
+    got = sorted(map(tuple, incremental_minhash_candidates_banded(
+        spark, path, new).collect()))
+    # the probe must see candidates from BOTH slices — i.e. at least
+    # everything the first slice alone produced, plus the full-table
+    # result must match a from-scratch two-slice table
+    assert set(want) <= set(got)
+    fresh = str(tmp_path / "fresh")
+    for k in range(2):
+        write_banded_signature_table(
+            old.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == k),
+            fresh)
+    assert got == sorted(map(
+        tuple, incremental_minhash_candidates_banded(
+            spark, fresh, new).collect()))
+
+
+def test_probe_cap_keeps_true_dup_behind_low_id_crowd(spark, tmp_path):
+    """The per-new output cap must rank by similarity AFTER the
+    threshold — a true near-dup at a high old_id must not be evicted
+    by a crowd of low-id sub-threshold band collisions."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    words = base.split()
+    # corpus: 30 low-id docs sharing a few shingles with the probe
+    # (band collisions, sub-threshold est) + ONE true dup at id 5000
+    crowd = [(i, " ".join(words[:6]) + f" unique{i} " +
+              " ".join(f"w{i}x{j}" for j in range(20)))
+             for i in range(30)]
+    true_dup = [(5000, base)]
+    corpus = spark.createDataFrame(crowd + true_dup,
+                                   "doc_id long, text string")
+    probe = spark.createDataFrame([(9000, base)],
+                                  "doc_id long, text string")
+
+    def sh(df):
+        return df.select(
+            "doc_id",
+            F.expr("transform(sequence(1, greatest(size(split(text,"
+                   " ' ')) - 2, 1)), i -> concat_ws(' ',"
+                   " slice(split(text, ' '), i, 3)))").alias("s"))
+
+    path = str(tmp_path / "crowd")
+    write_banded_signature_table(sh(corpus), path, n_buckets=16)
+    unc = incremental_minhash_candidates_banded(
+        spark, path, sh(probe), threshold=0.5).collect()
+    cap = incremental_minhash_candidates_banded(
+        spark, path, sh(probe), threshold=0.5,
+        max_candidates_per_new=4).collect()
+    assert any(r["old_id"] == 5000 for r in unc)
+    assert any(r["old_id"] == 5000 for r in cap), \
+        "true dup evicted by sub-threshold low-id crowd"
+    assert {r["new_id"] for r in cap} == {r["new_id"] for r in unc}
+    assert len(cap) <= 4

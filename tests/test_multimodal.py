@@ -502,3 +502,31 @@ def test_mp4_through_media_ops(spark):
     frames = sample_frames(media, max_frames=8).collect()
     assert [bytes(f["frame"]) for f in
             sorted(frames, key=lambda f: f["frame_idx"])] == samples
+
+
+def test_mp4_sample_containing_mdat_bytes_roundtrips():
+    """Chunk offsets are computed structurally — a sample whose
+    payload contains the byte sequence 'mdat' must not corrupt the
+    layout."""
+    from nvd2mysqlloader_spark.multimodal.mp4 import (encode_mp4,
+                                                      extract_samples)
+    samples = [b"xx" + b"mdat" + b"yy", b"second-frame", b"mdatmdat"]
+    assert extract_samples(encode_mp4(samples)) == samples
+
+
+def test_m4a_audio_container_classified_as_audio(spark):
+    """An audio-only MP4 (.m4a: same ftyp magic, 'soun' handler) is
+    kind=audio in features and contributes NO frames."""
+    from nvd2mysqlloader_spark.multimodal.binary import (
+        _decode_payload, decode_media_features, sample_frames)
+    from nvd2mysqlloader_spark.multimodal.mp4 import encode_mp4
+
+    pkts = [b"\x01" * 12, b"\x02" * 8]
+    m4a = encode_mp4(pkts, width=0, height=0, handler=b"soun",
+                     codec=b"mp4a")
+    kind, _w, _h, payload = _decode_payload(m4a)
+    assert kind == "audio" and payload == b"".join(pkts)
+    media = spark.createDataFrame(
+        [(1, bytearray(m4a))], "media_id long, content binary")
+    assert decode_media_features(media).first()["kind"] == "audio"
+    assert sample_frames(media).count() == 0
