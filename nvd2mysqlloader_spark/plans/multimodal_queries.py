@@ -175,8 +175,9 @@ def image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantize to zero so the lossy roundtrip is EXACT: mean "
         "128.0). The JPEG decoder is additionally pinned against "
         "externally-authored real-world files in pytest "
-        "(tests/test_multimodal.py). Only MP4/video remains gated "
-        "(NotImplementedError) — this pins that every format we "
+        "(tests/test_multimodal.py); MP4 parses at the container "
+        "level (multimodal/mp4.py) and only sample-bitstream "
+        "pixel decode remains gated — this pins that every format we "
         "CLAIM to decode really decodes, byte-exactly, "
         "executor-side."
     ),
@@ -201,3 +202,48 @@ def codec_formats_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
          (5, bytearray(jpg))],
         "media_id long, content binary")
     return decode_media_features(media).orderBy("media_id")
+
+
+@query(
+    "audio_features_verdict",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(8000 AS INT), CAST(2048 AS BIGINT),
+       CAST(2048 AS DOUBLE) / 8000, CAST(0.5 AS DOUBLE),
+       CAST(1000.0 AS DOUBLE), CAST(511 AS DOUBLE) / 2047),
+      (CAST(2 AS BIGINT), CAST(16000 AS INT), CAST(1000 AS BIGINT),
+       CAST(1000 AS DOUBLE) / 16000, CAST(0.0 AS DOUBLE),
+       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+    ) AS t(media_id, sample_rate, n_samples, duration_s, rms,
+           peak_freq_hz, zero_crossing_rate)
+    """,
+    doc=(
+        "audio feature extraction over REAL decoded PCM "
+        "(multimodal/binary.audio_features — numpy FFT inside "
+        "mapInPandas, the audio leg of decode/feature-extract): a "
+        "1 kHz ±16384 square wave at 8 kHz (2048 samples, exactly "
+        "on-bin: 256 periods of 8 samples) must report rms EXACTLY "
+        "0.5 (|x| is exactly 0.5 everywhere), dominant frequency "
+        "EXACTLY 1000.0 Hz (bin 256 of a 2048-point rfft; the "
+        "square's 1/k harmonic decay keeps the fundamental maximal), "
+        "and zero-crossing rate exactly 511/2047 (two sign changes "
+        "per period, no trailing pair); digital silence reports all "
+        "zeros. Closed-form DuckDB literals; the WAVs are built "
+        "driver-side from deterministic arrays and decoded "
+        "executor-side through codecs.decode_wav."
+    ),
+)
+def audio_features_verdict(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..multimodal.binary import audio_features
+    from ..multimodal.codecs import encode_wav
+
+    period = np.array([16384] * 4 + [-16384] * 4, dtype=np.int16)
+    square = encode_wav(np.tile(period, 256), rate=8000)
+    silence = encode_wav(np.zeros(1000, dtype=np.int16), rate=16000)
+    media = spark.createDataFrame(
+        [(1, bytearray(square)), (2, bytearray(silence))],
+        "media_id long, content binary")
+    return audio_features(media).orderBy("media_id")

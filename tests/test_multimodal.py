@@ -530,3 +530,65 @@ def test_m4a_audio_container_classified_as_audio(spark):
         [(1, bytearray(m4a))], "media_id long, content binary")
     assert decode_media_features(media).first()["kind"] == "audio"
     assert sample_frames(media).count() == 0
+
+
+def test_resize_real_images_pixel_accurate(spark):
+    """REAL image containers resize by decoded PIXELS (nearest
+    neighbor), not byte strides, and re-encode losslessly as PNG —
+    a resized JPEG must not be double-lossy."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.binary import (
+        _decode_payload, resize_images)
+    from nvd2mysqlloader_spark.multimodal.codecs import (decode_png,
+                                                         encode_png)
+    from nvd2mysqlloader_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(29)
+    big = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    small_src = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    jpeg_gray = np.full((40, 50), 128, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(big))),
+         (2, bytearray(encode_png(small_src))),     # under max_side
+         (3, bytearray(encode_jpeg(jpeg_gray)))],
+        "media_id long, content binary")
+    out = {r["media_id"]: bytes(r["content"])
+           for r in resize_images(media, max_side=32).collect()}
+
+    got = decode_png(out[1])
+    assert got.shape == (24, 32, 3)
+    ys = np.minimum((np.arange(24) * 48) // 24, 47)
+    xs = np.minimum((np.arange(32) * 64) // 32, 63)
+    assert (got == big[ys][:, xs]).all()        # exact NN downsample
+    assert out[2] == bytes(bytearray(encode_png(small_src)))  # passthrough
+    kind, w, h, payload = _decode_payload(out[3])
+    assert (kind, w, h) == ("image", 32, 26)
+    # constant JPEG decodes exactly, so the resized PNG is exactly 128
+    assert set(payload) == {128}
+
+
+def test_audio_features_sine_and_silence(spark):
+    """FFT features on decoded PCM: an on-bin sine reports its exact
+    frequency; silence reports zeros; SGM1/non-audio rows are
+    skipped."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.binary import (audio_features,
+                                                         pack_media)
+    from nvd2mysqlloader_spark.multimodal.codecs import encode_wav
+
+    n, rate, f = 4096, 16000, 500.0       # bin 128 exactly
+    t = np.arange(n) / rate
+    sine = (16384 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(sine, rate=rate))),
+         (2, bytearray(encode_wav(np.zeros(100, dtype=np.int16)))),
+         (3, bytearray(pack_media(1, 16, 1, b"\x00" * 64)))],
+        "media_id long, content binary")
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert set(rows) == {1, 2}            # SGM1 audio skipped (not PCM)
+    assert rows[1]["peak_freq_hz"] == 500.0
+    assert abs(rows[1]["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(rows[1]["zero_crossing_rate"] - 2 * f / rate) < 1e-3
+    assert rows[2]["rms"] == 0.0 and rows[2]["peak_freq_hz"] == 0.0
