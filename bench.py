@@ -246,23 +246,42 @@ def calibrate_membw(spark) -> float:
     return round(nbytes / wall / 1e9, 1)
 
 
-def synth_cve_feed(path: str, n: int, year: int = 2024) -> None:
+def synth_cve_feed(path: str, n: int, year: int = 2024,
+                   desc_pad: int = 0, reject_every: int = 0,
+                   meta_stamp: str | None = None) -> None:
     """Deterministic synthetic NVD 1.1 feed (+.meta) of n CVEs —
     benchmarks the reference's actual workload shape: nested JSON →
     flatten → upsert. The reference does ~6 MySQL round-trips per CVE
-    (nvd2mysqlloader.py:456-482); this measures our batched pipeline."""
+    (nvd2mysqlloader.py:456-482); this measures our batched pipeline.
+
+    ``desc_pad`` appends that many deterministic filler bytes to each
+    description so scripts/stress_full_corpus.py can match the real
+    corpus's ~0.5–1 GB JSON volume (real CVE entries carry far more
+    reference/description text than the minimal shape above);
+    ``reject_every`` marks every k-th CVE as withdrawn (summary
+    prefixed '** REJECT **' — the purge_rejected fixture shape);
+    ``meta_stamp`` overrides the .meta lastModifiedDate so an
+    incremental re-run can bump one feed past the high-water mark."""
     import json
     import os
     os.makedirs(path, exist_ok=True)
     items = []
     for i in range(n):
+        pad = ""
+        if desc_pad:
+            pad = " " + ("lorem%d " % year * (desc_pad // 8))[:desc_pad]
+        rejected = reject_every and i % reject_every == 0
+        desc = (f"Synthetic vulnerability {i} in component "
+                f"{i % 97} allowing remote code execution.{pad}")
+        if rejected:
+            desc = ("** REJECT ** DO NOT USE THIS CANDIDATE NUMBER. "
+                    + desc)
         items.append({
             "cve": {
                 "CVE_data_meta": {"ID": f"CVE-{year}-{i:07d}"},
                 "description": {"description_data": [
                     {"lang": "en",
-                     "value": f"Synthetic vulnerability {i} in component "
-                              f"{i % 97} allowing remote code execution."}]},
+                     "value": desc}]},
                 "references": {"reference_data": [
                     {"url": f"https://example.org/advisory/{i}",
                      "name": str(i), "refsource": "MISC", "tags": ["Patch"]}]},
@@ -290,8 +309,9 @@ def synth_cve_feed(path: str, n: int, year: int = 2024) -> None:
             "CVE_data_timestamp": f"{year}-06-01T07:00Z", "CVE_Items": items}
     with open(f"{path}/nvdcve-1.1-{year}.json", "w") as f:
         json.dump(feed, f)
+    stamp = meta_stamp or f"{year}-06-01T03:00:00-04:00"
     with open(f"{path}/nvdcve-1.1-{year}.meta", "w") as f:
-        f.write(f"lastModifiedDate:{year}-06-01T03:00:00-04:00\r\n"
+        f.write(f"lastModifiedDate:{stamp}\r\n"
                 f"size:1\r\nzipSize:1\r\ngzSize:1\r\nsha256:ab\r\n")
 
 
@@ -498,6 +518,24 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # headline_probe_runtime (VERDICT r10 ask #1): the suite total
+    # minus any artifact-BUILD seconds that still ran inside a timed
+    # repetition — the recurring per-probe cost a 100 TB deployment
+    # actually pays. With the session artifact cache the five
+    # build-per-call verify entries construct their artifact in the
+    # UNTIMED warmup repetition (build_cached=1 in the timed reps'
+    # phase split), so their medians are already probe-dominated and
+    # nothing is subtracted for them; entries that still build per
+    # call (e.g. bm25_search_indexed's inverted index) have their
+    # reported build_sec excluded here while remaining in `value`.
+    build_in_wall = {
+        name: split["build_sec"] for name, split in phase_split.items()
+        if name in timings and split.get("build_sec")
+        and not split.get("build_cached")
+    }
+    probe_runtime = round(
+        total - sum(min(b, timings[n]) for n, b in
+                    build_in_wall.items()), 4)
     calib = {"start_sec": calib_start, "end_sec": calib_end,
              "membw_gbps": [membw_start, membw_end]}
     hygiene_summary = {"ok": hygiene_ok, "mem_growth_mb": mem_growth_mb,
@@ -550,6 +588,17 @@ def main() -> None:
     }
     window = ("quiet" if light and light_median <= QUIET_PROBE_SEC
               and len(light_hot) <= len(light) // 4 else "contended")
+    # transition-round dual stamp (ADVICE r10 #4): the classifier was
+    # re-based in r10 (light-entry median) in the same round as the
+    # record it certified, so r10's "quiet" stamp was not comparable
+    # to earlier rounds'. Record the r9 rule's verdict (>2 of the
+    # top-10 entries under a hot probe = contended) ALONGSIDE the
+    # current one so round-over-round quiet claims stay auditable
+    # across the re-base. Note the five build-per-call entries now
+    # probe session-cached artifacts, which also shrinks the
+    # self-aftermath that motivated the re-base.
+    window_r9 = ("quiet" if len(window_detail["heavy_hot"]) <= 2
+                 else "contended")
     if window == "contended":
         print(f"# WINDOW CONTENDED: light-entry ambient probes "
               f"(median {light_median:.3f}s, "
@@ -559,9 +608,12 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as f:
         json.dump({"metric": "headline_suite_runtime", "value": total,
+                   "headline_probe_runtime": probe_runtime,
+                   "build_in_wall": build_in_wall,
                    "unit": "sec", "queries": timings, "sf": sf,
                    "calibration": calib, "hygiene": hygiene_summary,
-                   "window": window, "window_detail": window_detail,
+                   "window": window, "window_r9": window_r9,
+                   "window_detail": window_detail,
                    "phase_split": phase_split,
                    "hygiene_per_entry": hygiene}, f)
 
@@ -569,6 +621,11 @@ def main() -> None:
         return json.dumps({
             "metric": "headline_suite_runtime",
             "value": total,
+            # suite total minus artifact-build seconds still inside
+            # timed repetitions: the recurring per-probe cost (the
+            # five big verify entries build once per process via the
+            # session artifact cache and probe thereafter)
+            "headline_probe_runtime": probe_runtime,
             "unit": "sec",
             "n_queries": len(timings),
             "queries": dict(ranked[:top_n]),
@@ -583,10 +640,12 @@ def main() -> None:
             # ok=false means some entry's storage could not be
             # reclaimed or block-manager memory grew past baseline
             "hygiene": hygiene_summary,
-            # quiet-record policy: "contended" = >2 of the top-10
-            # entries ran under a hot ambient probe — re-sweep before
-            # committing; per-query deltas not comparable
+            # quiet-record policy (r10 rule: light-entry probe
+            # median); window_r9 = the pre-re-base rule's verdict,
+            # recorded alongside for one transition round so
+            # round-over-round quiet claims stay auditable
             "window": window,
+            "window_r9": window_r9,
         }, separators=(",", ":"))
 
     # Shrink ADAPTIVELY to the driver's ~2000 B stdout-tail budget:

@@ -272,9 +272,16 @@ def audio_features(media: DataFrame) -> DataFrame:
                     continue
                 rate, _ch, samples = codecs.decode_wav(content)
                 mono = samples.astype(np.float64).mean(axis=1)
-                denom = 255.0 if samples.dtype == np.uint8 else 32768.0
+                # Full-scale parity across bit depths: uint8 PCM is
+                # offset-binary centered at 128 with half-range 128
+                # (0..255 → ±1.0), matching int16's 32768 divisor —
+                # dividing by 255 would report ~2× lower rms for the
+                # same waveform encoded at 8 bits.
                 if samples.dtype == np.uint8:
                     mono = mono - 128.0
+                    denom = 128.0
+                else:
+                    denom = 32768.0
                 x = mono / denom
                 n = len(x)
                 rms = float(np.sqrt(np.mean(x * x))) if n else 0.0

@@ -1,22 +1,28 @@
-"""Pure-Python/numpy baseline JPEG codec — no PIL/libjpeg needed.
+"""Pure-Python/numpy JPEG codec — no PIL/libjpeg needed.
 
 Closes the largest remaining multimodal codec gate (VERDICT r7→r9:
 "JPEG's DCT entropy coding" was the canonical reason `_decode_payload`
-raised). Baseline SEQUENTIAL JPEG (SOF0) is zlib-free arithmetic any
-numpy runtime can do: canonical Huffman entropy decode → dequantize →
-inverse zigzag → 8×8 IDCT (one orthonormal matrix sandwich per block)
-→ chroma upsample → YCbCr→RGB. The subset is explicit, like the PNG
-and GIF decoders':
+raised; VERDICT r10 ask #3 added progressive). Huffman JPEG is
+zlib-free arithmetic any numpy runtime can do: canonical Huffman
+entropy decode → dequantize → inverse zigzag → 8×8 IDCT (one
+orthonormal matrix sandwich per block) → chroma upsample → YCbCr→RGB.
+The subset is explicit, like the PNG and GIF decoders':
 
-* SOF0 (baseline sequential, 8-bit) only — progressive (SOF2),
+* SOF0 (baseline sequential, 8-bit) and SOF2 (progressive, 8-bit:
+  spectral selection + successive approximation per ITU T.81 §G —
+  interleaved/non-interleaved DC-first scans, DC refinement bits,
+  AC-first scans with EOB runs, AC refinement with correction bits,
+  coefficients accumulated across scans then reconstructed once);
   extended/arithmetic/lossless SOFs raise ``ValueError`` with the
   reason;
 * 1-component (grayscale) and 3-component (YCbCr) scans; any sampling
   factors (4:4:4 / 4:2:2 / 4:2:0 …) via nearest-neighbor upsample;
-* restart markers (DRI / RSTn) honored; APPn/COM skipped;
+* restart markers (DRI / RSTn) honored (progressive scans also reset
+  their EOB run at a restart); APPn/COM skipped;
 * decoder reads quant + Huffman tables FROM THE FILE (tables are
   self-describing — no reliance on the Annex K defaults being
-  byte-identical).
+  byte-identical; progressive files redefine DHT between scans and
+  the parse loop honors that).
 
 The encoder writes baseline 4:4:4 (or single-component grayscale)
 with Annex-K-style quant tables scaled by ``quality`` and
@@ -177,7 +183,8 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w) grayscale or (h, w, 3) RGB uint8."""
+    """JPEG bytes (baseline SOF0 or progressive SOF2) → (h, w)
+    grayscale or (h, w, 3) RGB uint8."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -185,6 +192,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    progressive = False
+    coeff: dict[int, np.ndarray] | None = None
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -218,7 +227,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _HuffTable(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:                           # SOF0 baseline
+        elif marker in (0xC0, 0xC2):            # SOF0 / SOF2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -228,13 +237,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": samp >> 4,
                               "v": samp & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = {0xC2: "progressive", 0xC1: "extended"}.get(
+            kind = {0xC1: "extended"}.get(
                 marker, f"SOF{marker - 0xC0}")
             raise ValueError(
                 f"unsupported JPEG coding ({kind}) — baseline "
-                "sequential (SOF0) only")
+                "sequential (SOF0) and progressive (SOF2) only")
         elif marker == 0xDD:                           # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                           # SOS
@@ -242,13 +252,32 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             sel = {}
+            order = []
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cid] = (tabs >> 4, tabs & 0xF)
-            return _decode_scan(data, pos + 2 + seglen, frame, sel,
-                                quant, huff_dc, huff_ac,
-                                restart_interval)
+                order.append(cid)
+            if not progressive:
+                return _decode_scan(data, pos + 2 + seglen, frame,
+                                    sel, quant, huff_dc, huff_ac,
+                                    restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            if coeff is None:       # first scan: coefficient store
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mx = -(-frame["w"] // (8 * hmax))
+                my = -(-frame["h"] // (8 * vmax))
+                coeff = {c["id"]: np.zeros(
+                    (my * c["v"], mx * c["h"], 64), dtype=np.int32)
+                    for c in frame["comps"]}
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seglen, frame, order, sel,
+                ss, se, ahal >> 4, ahal & 0xF, coeff,
+                huff_dc, huff_ac, restart_interval)
+            continue
         pos += 2 + seglen
+    if progressive and coeff is not None:
+        return _progressive_reconstruct(frame, coeff, quant)
     raise ValueError("JPEG contains no scan")
 
 
@@ -307,7 +336,12 @@ def _decode_scan(data, pos, frame, sel, quant, huff_dc, huff_ac,
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = spatial
             mcu_i += 1
-    # upsample to full resolution, crop, color-convert
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, level-shift
+    and color-convert — shared by the baseline and progressive paths."""
     out = []
     for c in comps:
         p = planes[c["id"]]
@@ -321,6 +355,217 @@ def _decode_scan(data, pos, frame, sel, quant, huff_dc, huff_ac,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan decoding — ITU T.81 §G.2/G.1.2. Coefficients
+# accumulate across scans in per-component (block_y, block_x, 64)
+# int32 arrays (zigzag order); reconstruction happens once at EOI.
+
+
+def _dc_first(reader, block, dc_t, al, pred) -> int:
+    size = reader.decode_symbol(dc_t)
+    diff = _extend(reader.receive(size), size)
+    pred += diff
+    block[0] = pred << al
+    return pred
+
+
+def _ac_first(reader, block, ac_t, ss, se, al, eobrun) -> int:
+    """One block of an AC spectral-selection first scan (Ah=0).
+    Returns the remaining EOB run (this block consumed one unit if a
+    run was active or started)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                run = (1 << r) - 1          # current block is a unit
+                if r:
+                    run += reader.receive(r)
+                return run
+            k += 16                         # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index out of range")
+        block[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, block, ac_t, ss, se, al, eobrun) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (Ah>0): newly-significant coefficients arrive as ±1<<Al, and every
+    already-nonzero coefficient in the band consumes one correction
+    bit as it is passed (T.81 §G.1.2.3). Returns the remaining EOB
+    run."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k_):
+        c = int(block[k_])
+        if reader.read_bit() and (c & p1) == 0:
+            block[k_] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients,
+                # correcting nonzero-history ones passed on the way
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid JPEG AC refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if block[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overflow")
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                      # tail correction bits
+            if block[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(data, pos, frame, order, sel, ss, se,
+                             ah, al, coeff, huff_dc, huff_ac,
+                             restart_interval) -> int:
+    """Decode ONE progressive scan into ``coeff`` and return the file
+    offset of the next marker. Scan kinds (T.81 §G.1.1.1): DC first
+    (Ss=0, Ah=0 — the only kind that may interleave components), DC
+    refinement (Ss=0, Ah>0 — raw bits, no Huffman), AC first (Ss>0,
+    Ah=0, single component), AC refinement (Ss>0, Ah>0)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    scomps = [next(c for c in comps if c["id"] == cid)
+              for cid in order]
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "invalid progressive scan: Ss=0 requires Se=0 (DC and AC "
+            "bands are separate scans in progressive JPEG)")
+    if ss > 0 and (len(scomps) != 1 or ss > se or se > 63):
+        raise ValueError(
+            "invalid progressive AC scan (must be single-component "
+            "with 1 <= Ss <= Se <= 63)")
+    reader = _BitReader(data, pos)
+    interleaved = len(scomps) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        # non-interleaved scans traverse the COMPONENT's own block
+        # grid in raster order (T.81 §A.2.2) — derived from the
+        # component's pixel dims, which can be smaller than the
+        # MCU-padded coefficient array it writes into
+        c = scomps[0]
+        cw = -(-(w * c["h"]) // hmax)       # component pixel dims
+        ch = -(-(h * c["v"]) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)   # non-interleaved blocks
+        units = bw * bh
+    pred = {c["id"]: 0 for c in scomps}
+    eobrun = 0
+    rst_n = 0
+    for ui in range(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            reader.sync_restart(rst_n)
+            rst_n = (rst_n + 1) % 8
+            pred = {c["id"]: 0 for c in scomps}
+            # a restart also discards any pending EOB run: runs
+            # never span restart intervals (T.81 §G.1.2.2)
+            eobrun = 0
+        if interleaved:                     # DC scan, MCU order
+            my, mx = divmod(ui, mcus_x)
+            for c in scomps:
+                arr = coeff[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = arr[my * c["v"] + by, mx * c["h"] + bx]
+                        if ah == 0:
+                            pred[c["id"]] = _dc_first(
+                                reader, blk,
+                                huff_dc[sel[c["id"]][0]], al,
+                                pred[c["id"]])
+                        elif reader.read_bit():
+                            blk[0] |= 1 << al
+        else:
+            c = scomps[0]
+            by, bx = divmod(ui, bw)
+            blk = coeff[c["id"]][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    pred[c["id"]] = _dc_first(
+                        reader, blk, huff_dc[sel[c["id"]][0]], al,
+                        pred[c["id"]])
+                elif reader.read_bit():
+                    blk[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(reader, blk,
+                                   huff_ac[sel[c["id"]][1]],
+                                   ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(reader, blk,
+                                    huff_ac[sel[c["id"]][1]],
+                                    ss, se, al, eobrun)
+    # advance to the next marker (skipping any trailing restart)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(data)
+
+
+def _progressive_reconstruct(frame, coeff, quant) -> np.ndarray:
+    """Accumulated coefficients → image: dequantize, inverse zigzag,
+    batched IDCT (one einsum per component), then the shared
+    upsample/color-convert tail."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = {}
+    for c in comps:
+        arr = coeff[c["id"]]
+        bh, bw = arr.shape[:2]
+        deq = arr.astype(np.float64) * quant[c["tq"]]
+        nat = np.zeros_like(deq)
+        nat[..., ZIGZAG] = deq
+        blocks = nat.reshape(-1, 8, 8)
+        spatial = np.einsum("ij,njk,kl->nil", _T.T, blocks, _T)
+        planes[c["id"]] = (spatial.reshape(bh, bw, 8, 8)
+                           .transpose(0, 2, 1, 3)
+                           .reshape(bh * 8, bw * 8))
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------

@@ -451,6 +451,56 @@ def _write_manifest(path: str, man: dict) -> None:
     os.replace(tmp, _manifest_file(path))   # atomic vs readers
 
 
+def _dirty_file(path: str) -> str:
+    return path + "/manifest.dirty"
+
+
+def _mark_dirty(path: str, intent: dict) -> None:
+    """Write-ahead intent marker for the append protocol: lands
+    BEFORE the batch's parquet commits, cleared AFTER the manifest
+    replace. A writer crash inside that window leaves the marker, so
+    the next manifest consumer knows the manifest may miss committed
+    dirs and rebuilds from the filesystem instead of trusting it —
+    without the marker that committed data would be silently
+    invisible to every later probe (the manifest is the probe's SOLE
+    dir discovery on manifest-bearing tables). For UNKEYED tables
+    this rebuild is the ONLY safe repair: re-running the append is
+    not idempotent (mode=append duplicates the band/sig rows);
+    keyed tables may alternatively re-run the batch (dynamic
+    partition overwrite of its own partitions)."""
+    import json
+    import os
+    tmp = _dirty_file(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(intent, f)
+    os.replace(tmp, _dirty_file(path))
+
+
+def _clear_dirty(path: str) -> None:
+    import contextlib
+    import os
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_dirty_file(path))
+
+
+def _resolve_manifest(path: str) -> dict | None:
+    """Crash-aware manifest read — what every manifest CONSUMER
+    (probe, maintenance, rebucket) goes through. A present dirty
+    marker means some writer died between its data commit and its
+    manifest replace, so the manifest on disk may silently miss
+    committed dirs: rebuild from the filesystem (covers both the
+    orphaned batch and everything before it), clear the marker, and
+    return the repaired manifest. Returns None only for a genuinely
+    pre-manifest table (no manifest, no marker, no data yet counted),
+    where callers fall back to recursive listing or a full rebuild."""
+    import os
+    if os.path.isfile(_dirty_file(path)):
+        man = rebuild_signature_manifest(path)
+        _clear_dirty(path)
+        return man
+    return _read_manifest(path)
+
+
 def _dir_rows(d: str) -> dict:
     """{"rows", "files"} of one leaf partition dir from parquet
     footers — driver-side metadata reads, no Spark job. File counts
@@ -524,10 +574,20 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     import os
     spark = shingled.sparkSession
     keyed = batch_id is not None
+    # sig_fp: an 8-byte xxhash64 fingerprint of the FULL signature
+    # stored on every band row, so the capped probe's star collapse
+    # can admit one anchor per DISTINCT signature inside an over-cap
+    # band-hash group (instead of a single min-id anchor that could
+    # hide a genuinely different near-dup) without joining the sigs
+    # sidecar. New tables always carry it; appends to a pre-fp table
+    # stay in the legacy schema so a subtable never mixes parquet
+    # schemas.
     got = {"num_perm": num_perm, "bands": bands,
-           "n_buckets": n_buckets, "keyed": keyed}
+           "n_buckets": n_buckets, "keyed": keyed, "sig_fp": True}
     if os.path.isfile(path + "/meta.json"):
         meta = _read_sig_meta(path)
+        if "sig_fp" not in meta:
+            got.pop("sig_fp")
         if meta != got:
             raise ValueError(
                 f"banded signature table at {path} has geometry {meta} "
@@ -544,9 +604,11 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     # band index derive from the same relation)
     sigs = _materialize(
         minhash_signatures(shingled, id_col, shingles_col, num_perm))
-    banded = sigs.select(
-        F.col(id_col).alias("doc_id"),
-        _band_explode(bands).alias("band_idx", "band_hash"))
+    band_cols = [F.col(id_col).alias("doc_id"),
+                 _band_explode(bands).alias("band_idx", "band_hash")]
+    if got.get("sig_fp", False):
+        band_cols.append(F.xxhash64("sig").alias("sig_fp"))
+    banded = sigs.select(*band_cols)
     banded = banded.withColumn(
         "bucket", F.pmod(F.xxhash64("band_idx", "band_hash"),
                          F.lit(n_buckets)).cast("int"))
@@ -573,6 +635,17 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
             w = df.write.mode("append").partitionBy(*parts)
         w.parquet(path + sub)
 
+    # write-ahead dirty marker: any crash from here until the manifest
+    # replace below leaves the marker, and the next manifest consumer
+    # rebuilds from the filesystem instead of trusting a manifest that
+    # may miss committed dirs. A marker already present means a
+    # PREVIOUS writer died mid-window — its committed dirs are
+    # invisible to the incremental update path, so this append must
+    # finish with a full rebuild (which walks the FS after our writes
+    # and therefore covers the orphan and this batch together).
+    stale_marker = os.path.isfile(_dirty_file(path))
+    _mark_dirty(path, {"batch_id": batch_id, "keyed": keyed})
+
     _write(banded, "/bands", ["bucket"])
     _write(sidecar, "/sigs", ["doc_bucket"])
 
@@ -581,11 +654,13 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     # batch·bands + batch ints, off the already-materialized sigs);
     # the row recounts are driver-side parquet-footer reads of just
     # those dirs. The update is part of the single-writer append
-    # protocol: a writer that crashes between the data commit and
-    # this replace leaves dirs the manifest misses — re-run the
-    # append (the gate's at-least-once contract) or
-    # rebuild_signature_manifest to repair.
-    man = _read_manifest(path)
+    # protocol; the dirty marker above makes the
+    # data-committed/manifest-stale crash window self-healing (the
+    # next consumer rebuilds — for UNKEYED tables that rebuild is the
+    # only safe repair, since re-running a mode=append batch
+    # duplicates its band/sig rows; keyed tables may also just re-run
+    # the batch, whose dynamic partition overwrite is idempotent).
+    man = None if stale_marker else _read_manifest(path)
     if man is None:
         # LEGACY pre-manifest table (or crash-orphaned manifest): a
         # targeted update seeded from an empty dict would cover only
@@ -596,6 +671,7 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
         # tests/test_dedup.py::test_legacy_table_append_rebuilds_
         # manifest).
         rebuild_signature_manifest(path)
+        _clear_dirty(path)
         return
     touched = (banded.select(F.lit("bands").alias("t"),
                              F.col("bucket").alias("b"))
@@ -610,6 +686,7 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
         if os.path.isdir(d):
             man[r["t"]][rel] = _dir_rows(d)
     _write_manifest(path, man)
+    _clear_dirty(path)
 
 
 def incremental_minhash_candidates_banded(
@@ -647,23 +724,35 @@ def incremental_minhash_candidates_banded(
     a persisted boilerplate cluster of B docs otherwise emits
     |batch|·B candidates (bounded — never corpus² — but unboundedly
     larger than the batch). With the cap set, (a) a corpus band-hash
-    group larger than the cap admits only its min-``doc_id`` anchor
-    into the probe join — collapsing the |batch|·B emission to
-    |batch| BEFORE any pair exists, the star-collapse move — and
+    group larger than the cap admits only min-``doc_id`` ANCHORS
+    into the probe join — one per DISTINCT stored signature within
+    the group (largest signature subgroups first, at most cap of
+    them), collapsing the |batch|·B emission of a sig-identical
+    boilerplate cluster to |batch| BEFORE any pair exists while
+    keeping every genuinely different-sig member visible through its
+    own anchor — and
     (b) each new doc RETURNS at most ``max_candidates_per_new``
     pairs, ranked by estimated similarity (``old_id`` tie-break) and
     applied AFTER the ≥-threshold filter, so a genuine near-dup can
     never be evicted by a crowd of low-id sub-threshold band
-    collisions. What the dedup GATE consumes is invariant on
-    boilerplate clusters:
-    the anchor is near-identical to every member it stands for, so
-    the set of new docs flagged ≥ threshold and their cluster
-    assignment (the anchor's connected component IS the cluster's)
-    match the uncapped probe — pinned by the ``probe_admission_cap``
-    verdict query on a planted batch-vs-mega-cluster fixture, with
-    natural (under-cap) pairs byte-identical by construction. Use
-    the capped mode to feed the gate; leave it None when every
-    pairwise estimate matters.
+    collisions. CALLER-FACING CONTRACT for the capped mode: the
+    collapse is exact at SIGNATURE granularity. Sig-identical
+    cluster members are losslessly represented by their anchor (same
+    est_jaccard against any probe), so the set of new docs flagged
+    ≥ threshold and their cluster assignment (the anchor's connected
+    component IS the cluster's) match the uncapped probe — pinned by
+    the ``probe_admission_cap`` verdict query on a planted
+    batch-vs-mega-cluster fixture, with natural (under-cap) pairs
+    byte-identical by construction. What the cap does NOT promise: a
+    corpus doc hidden past the per-group anchor budget (> cap
+    DISTINCT signatures inside one band-hash group), or whose
+    similarity lives purely in position-level partial sig matches
+    inside bands it shares with a different-sig crowd, can be
+    missed; tables written before the ``sig_fp`` band column existed
+    degrade further to a single min-id anchor per over-cap group,
+    which additionally assumes over-cap groups are near-identical
+    clusters. Use the capped mode to feed the gate; leave it None
+    when every pairwise estimate matters.
 
     Snapshot semantics: against a VERSIONED table (any table that has
     been rebucketed/compacted) the scans are version-pinned — dir
@@ -710,7 +799,7 @@ def incremental_minhash_candidates_banded(
                 F.col("batch_id") < F.lit(max_batch_id_exclusive))
         return df
 
-    man = _read_manifest(path)
+    man = _resolve_manifest(path)
 
     def _pruned_scan(sub: str, col: str,
                      bucket_vals: list[int]) -> DataFrame | None:
@@ -773,20 +862,49 @@ def incremental_minhash_candidates_banded(
         return _empty()
     if max_candidates_per_new is not None:
         # corpus-side star collapse BEFORE the join: over-cap
-        # band-hash groups admit only their min-id anchor. A group
-        # never straddles buckets (bucket = hash(band_idx,
-        # band_hash)), so the window over the PRUNED rows sees exact
-        # group sizes; one extra shuffle over pruned rows, capped
-        # mode only.
+        # band-hash groups are reduced to ≤ cap REPRESENTATIVE rows —
+        # one min-id anchor per DISTINCT stored signature (sig_fp),
+        # largest signature subgroups first — instead of a single
+        # min-id anchor. Sig-identical boilerplate still collapses to
+        # one row (the common case the cap exists for), but a member
+        # whose signature genuinely differs from the crowd's keeps its
+        # own anchor, so it can't be hidden behind a sub-threshold
+        # crowd anchor (ADVICE r10 #2); the emission bound is
+        # unchanged (each group contributes ≤ cap rows either way). A
+        # group never straddles buckets (bucket = hash(band_idx,
+        # band_hash)), so the windows over the PRUNED rows see exact
+        # group sizes; one extra shuffle over pruned rows, capped mode
+        # only. RESIDUAL (caller-facing contract): the collapse is
+        # exact at signature granularity — a near-dup whose only
+        # overlap with the batch is POSITION-level partial sig matches
+        # inside bands it shares with a different-sig crowd can still
+        # be missed; pre-fp legacy tables (meta lacks sig_fp) fall
+        # back to the single min-id anchor, which additionally assumes
+        # over-cap groups are near-identical clusters.
         from pyspark.sql import Window
         wb = Window.partitionBy("band_idx", "band_hash")
-        corpus_bands = (corpus_bands
-                        .withColumn("_n", F.count(F.lit(1)).over(wb))
-                        .withColumn("_a", F.min("doc_id").over(wb))
-                        .filter((F.col("_n")
-                                 <= F.lit(max_candidates_per_new))
-                                | (F.col("doc_id") == F.col("_a")))
-                        .drop("_n", "_a"))
+        cap = F.lit(max_candidates_per_new)
+        if meta.get("sig_fp", False):
+            wsig = Window.partitionBy("band_idx", "band_hash",
+                                      "sig_fp")
+            wrank = wb.orderBy(F.desc("_sn"), "_sa")
+            corpus_bands = (corpus_bands
+                            .withColumn("_n", F.count(F.lit(1)).over(wb))
+                            .withColumn("_sa", F.min("doc_id").over(wsig))
+                            .withColumn("_sn",
+                                        F.count(F.lit(1)).over(wsig))
+                            .withColumn("_sr", F.dense_rank().over(wrank))
+                            .filter((F.col("_n") <= cap)
+                                    | ((F.col("doc_id") == F.col("_sa"))
+                                       & (F.col("_sr") <= cap)))
+                            .drop("_n", "_sa", "_sn", "_sr"))
+        else:
+            corpus_bands = (corpus_bands
+                            .withColumn("_n", F.count(F.lit(1)).over(wb))
+                            .withColumn("_a", F.min("doc_id").over(wb))
+                            .filter((F.col("_n") <= cap)
+                                    | (F.col("doc_id") == F.col("_a")))
+                            .drop("_n", "_a"))
     cand = (corpus_bands
             .join(F.broadcast(new_banded.drop("bucket")),
                   ["band_idx", "band_hash"])
@@ -889,7 +1007,7 @@ def rebucket_signature_table(spark, path: str, n_buckets: int) -> dict:
     path = path.rstrip("/")
     meta = _read_sig_meta(path)
     old_n = meta["n_buckets"]
-    man = _read_manifest(path)
+    man = _resolve_manifest(path)
     if n_buckets == old_n:
         if man is None:
             man = rebuild_signature_manifest(path)
@@ -971,7 +1089,7 @@ def maintain_signature_table(spark, path: str,
     actions publish atomically and the manifest travels with each
     publish."""
     meta = _read_sig_meta(path)
-    man = _read_manifest(path) or rebuild_signature_manifest(path)
+    man = _resolve_manifest(path) or rebuild_signature_manifest(path)
     bands_rows = sum(_man_rows(v) for v in man["bands"].values())
     n = meta["n_buckets"]
     rpb = bands_rows / max(n, 1)

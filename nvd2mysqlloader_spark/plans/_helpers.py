@@ -31,3 +31,76 @@ def disc_percentile(q: float, value_col: str,
     row_number column ordered by the value and a per-group count."""
     target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col(n_col)))
     return F.max(F.when(F.col(rn_col) == target, F.col(value_col)))
+
+
+# ---------------------------------------------------------------------------
+# Session-scoped prebuilt artifact cache (VERDICT r10 ask #1).
+#
+# A handful of verify queries exercise a PERSISTED artifact — banded
+# signature tables, PQ codes — whose operating mode at 100 TB is
+# build-once/probe-many, but whose registered query used to build the
+# artifact fresh on every call: a bench sweep (1 warmup + 3 timed
+# repetitions per entry) paid the construction four times and charged
+# three of them to query wall, so the committed record conflated
+# one-time index construction with the per-probe cost that actually
+# recurs at scale. The cache keys each artifact on (name, sf_dir[,
+# geometry...]) and builds it ONCE per process — the warmup
+# repetition — so every timed repetition probes the prebuilt
+# artifact, exactly like the operating mode. The build still runs and
+# is still reported (queries pass its cost to plans._phases as
+# build_sec, flagging reuse with build_cached=1), it just stops
+# recurring. Queries that MUTATE their artifact (compaction,
+# rebucketing) take a cheap per-call private copy via fresh_copy() so
+# the cached pristine state is never touched; the copy cost is
+# reported as copy_sec and the mutation itself stays in the wall —
+# it IS the operator under test.
+#
+# Correctness is unaffected: artifacts are deterministic functions of
+# (sf_dir, geometry), probes never write to them, and the oracle
+# surface compares query OUTPUTS, which are identical whether the
+# artifact was built this call or three calls ago.
+
+import atexit as _atexit
+import shutil as _shutil
+import tempfile as _tempfile
+import time as _time
+from typing import Any, Callable
+
+_ARTIFACTS: dict[tuple, tuple[str, Any, float]] = {}
+
+
+def _tmp_root(prefix: str) -> str:
+    d = _tempfile.mkdtemp(prefix=prefix)
+    _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def session_artifact(key: tuple, build: Callable[[str], Any]
+                     ) -> tuple[str, Any, float, bool]:
+    """Build-once artifact keyed on ``key`` (must include sf_dir and
+    any geometry the layout depends on). ``build(path)`` constructs
+    the artifact at ``path`` and may return driver-side aux state
+    (e.g. PQ codebooks). Returns (path, aux, build_sec, cached);
+    ``build_sec`` is always the REAL construction cost (the building
+    call's, preserved across hits) so phase reporting stays honest."""
+    hit = _ARTIFACTS.get(key)
+    if hit is not None:
+        return hit[0], hit[1], hit[2], True
+    path = _tmp_root(str(key[0]) + "_") + "/index"
+    t0 = _time.perf_counter()
+    aux = build(path)
+    build_sec = _time.perf_counter() - t0
+    _ARTIFACTS[key] = (path, aux, build_sec)
+    return path, aux, build_sec, False
+
+
+def fresh_copy(path: str, prefix: str) -> tuple[str, float]:
+    """Per-call private copy of a cached artifact for queries that
+    MUTATE it (compaction, rebucket): a driver-side copytree — tens
+    of MB at bench scale, orders cheaper than re-deriving the
+    artifact from corpus text through shingle/minhash jobs. Returns
+    (copy_path, copy_sec)."""
+    dst = _tmp_root(prefix + "_") + "/index"
+    t0 = _time.perf_counter()
+    _shutil.copytree(path, dst, symlinks=True)
+    return dst, _time.perf_counter() - t0

@@ -346,20 +346,27 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the direct bm25_search top-10 exactly (same shared scoring "
         "expression tree, score doubles included, via exceptAll "
         "both ways). Pinned TRUE beside DuckDB's corpus-count "
-        "anchor; fresh per-call index dir so bench/oracle sweeps "
-        "can re-invoke freely."
+        "anchor; the postings are a session-scoped read-only "
+        "artifact (built once per process, probed thereafter)."
     ),
 )
 def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.inverted_index import (bm25_topk_from_index,
                                             write_inverted_index)
+    from . import _phases
+    from ._helpers import session_artifact
     from .retrieval_queries import bm25_search
 
-    d = tempfile.mkdtemp(prefix="bm25_idx_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    path = d + "/index"
     docs = load_table(spark, sf_dir, "documents")
-    write_inverted_index(docs, path)
+    # postings persist once per session (build-once/probe-many, like
+    # the ann_*_indexed family); repeated calls probe the prebuilt
+    # index and the build is reported via phase_split instead of
+    # recurring in query wall
+    path, _, build_sec, cached = session_artifact(
+        ("bm25_idx", sf_dir),
+        lambda p: write_inverted_index(docs, p))
+    _phases.report("bm25_search_indexed", build_sec=build_sec,
+                   build_cached=float(cached))
 
     cols = ["doc_id", "score"]
     direct = _cut(bm25_search(spark, sf_dir).select(*cols))

@@ -337,12 +337,16 @@ def bpe_pack_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # 4. Persisted-index ANN probes (r6 ask #3) — the build-once/
-# query-many operating mode on the oracle surface. Each query builds
-# a fresh index in a per-CALL temp dir (bench/oracle sweeps invoke a
-# query several times per session — a shared dir would trip the
-# append contracts; the (stream,batch) collision fix taught this),
-# probes it, and asserts probe == direct as an exact relation
-# equality, cos_sim doubles included.
+# query-many operating mode on the oracle surface. Each index is a
+# SESSION-SCOPED read-only artifact (plans._helpers.session_artifact,
+# r10 ask #1): built once per process into its own temp dir — keyed
+# dirs keep the append contracts safe when bench/oracle sweeps
+# re-invoke (the (stream,batch) collision fix taught this) — then
+# probed by every later call, so bench walls measure the probe, not
+# the construction (reported via phase_split instead). probe ==
+# direct is asserted as an exact relation equality, cos_sim doubles
+# included. _tmp_index remains for queries that MUTATE their
+# artifact and therefore need a private per-call dir.
 
 
 def _tmp_index(prefix: str) -> str:
@@ -408,9 +412,14 @@ _IDX_ORACLE = """
 def ann_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (ann_topk, ann_topk_from_signatures,
                                         write_ann_signature_table)
+    from . import _phases
+    from ._helpers import session_artifact
     emb, qs = _emb_queries(spark, sf_dir)
-    path = _tmp_index("ann_sig_idx_")
-    write_ann_signature_table(emb, path, n_bits=64, seed=11)
+    path, _, build_sec, cached = session_artifact(
+        ("ann_sig_idx", sf_dir, 64, 11),
+        lambda p: write_ann_signature_table(emb, p, n_bits=64, seed=11))
+    _phases.report("ann_topk_lsh_indexed", build_sec=build_sec,
+                   build_cached=float(cached))
     direct = ann_topk(emb, qs, k=10)
     probed = ann_topk_from_signatures(emb, path, qs, k=10)
     return _probe_verdict(emb, direct, probed)
@@ -431,9 +440,14 @@ def ann_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (ivf_topk, ivf_topk_from_index,
                                         write_ivf_index)
+    from . import _phases
+    from ._helpers import session_artifact
     emb, qs = _emb_queries(spark, sf_dir)
-    path = _tmp_index("ivf_idx_")
-    cents = write_ivf_index(emb, path, nlist=16)
+    path, cents, build_sec, cached = session_artifact(
+        ("ivf_idx", sf_dir, 16),
+        lambda p: write_ivf_index(emb, p, nlist=16))
+    _phases.report("ann_topk_ivf_indexed", build_sec=build_sec,
+                   build_cached=float(cached))
     direct = ivf_topk(emb, qs, k=10, nlist=16, nprobe=4, centroids=cents)
     probed = ivf_topk_from_index(path, qs, k=10, nprobe=4)
     return _probe_verdict(emb, direct, probed)
@@ -453,17 +467,19 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ann_topk_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import time as _time
-
     from ..operators.similarity import (pq_topk, pq_topk_from_index,
                                         write_pq_index)
     from . import _phases
+    from ._helpers import session_artifact
     emb, qs = _emb_queries(spark, sf_dir)
-    path = _tmp_index("pq_idx_")
-    _t0 = _time.perf_counter()
-    books = write_pq_index(emb, path, m=8, ksub=16)
-    _phases.report("ann_topk_pq_indexed",
-                   build_sec=_time.perf_counter() - _t0)
+    # build-once/probe-many (the 100 TB operating mode): the codes
+    # table + codebooks are a session-scoped artifact keyed on
+    # (sf_dir, m, ksub); repeated calls probe the prebuilt index
+    path, books, build_sec, cached = session_artifact(
+        ("pq_idx", sf_dir, 8, 16),
+        lambda p: write_pq_index(emb, p, m=8, ksub=16))
+    _phases.report("ann_topk_pq_indexed", build_sec=build_sec,
+                   build_cached=float(cached))
     direct = pq_topk(emb, qs, k=10, books=books)
     probed = pq_topk_from_index(emb, path, qs, k=10)
     return _probe_verdict(emb, direct, probed)
@@ -625,19 +641,23 @@ def minhash_incremental_dedup(spark: SparkSession,
     try:
         new_side = F.col("doc_id") % 5 == 0
         corpus, batch = sh.filter(~new_side), sh.filter(new_side)
-        path = _tmp_index("minhash_sig_")
         import time as _time
 
         from . import _phases
-        _t0 = _time.perf_counter()
-        write_banded_signature_table(corpus, path)
-        _t_build = _time.perf_counter() - _t0
+        from ._helpers import session_artifact
+        # the signature table is written ONCE per session (the 100 TB
+        # operating mode: corpus signatures persist, every batch
+        # probes them); repeated calls probe the prebuilt artifact
+        path, _, _t_build, _cached = session_artifact(
+            ("minhash_sig", sf_dir),
+            lambda p: write_banded_signature_table(corpus, p))
 
         _t0 = _time.perf_counter()
         probed = incremental_minhash_candidates_banded(
             spark, path, batch) \
             .select("new_id", "old_id", "est_jaccard")
         _phases.report("minhash_incremental_dedup", build_sec=_t_build,
+                       build_cached=float(_cached),
                        probe_sec=_time.perf_counter() - _t0)
         # full-corpus rebuild truth, restricted to new-x-old pairs and
         # re-oriented (new first) to the probe's column contract
@@ -915,21 +935,30 @@ def signature_table_maintenance(spark: SparkSession,
         new_side = F.col("doc_id") % 5 == 0
         corpus = sh.filter(~new_side & (F.col("doc_id") % 2 == 0))
         batch = sh.filter(new_side)
-        path = _tmp_index("sig_maint_")
         # 4 micro-appends: the accretion shape a streaming gate
         # produces (each append lands ~one file per touched dir);
         # hash-sliced so every slice is nonempty (corpus ids are all
-        # even — a modular split would leave half the slices empty)
+        # even — a modular split would leave half the slices empty).
+        # The micro-appended PRISTINE state is a session-scoped
+        # artifact (built once); compaction MUTATES, so each call
+        # takes a cheap private copy and maintains THAT — the wall
+        # keeps the copy + probes + compaction (the operator under
+        # test), not the corpus-text signature construction.
         import time as _time
 
         from . import _phases
-        _t0 = _time.perf_counter()
-        for k in range(4):
-            write_banded_signature_table(
-                corpus.filter(
-                    F.pmod(F.xxhash64("doc_id"), F.lit(4)) == k),
-                path, n_buckets=16)
-        _t_build = _time.perf_counter() - _t0
+        from ._helpers import fresh_copy, session_artifact
+
+        def _build(p: str) -> None:
+            for k in range(4):
+                write_banded_signature_table(
+                    corpus.filter(
+                        F.pmod(F.xxhash64("doc_id"), F.lit(4)) == k),
+                    p, n_buckets=16)
+
+        pristine, _, _t_build, _cached = session_artifact(
+            ("sig_maint", sf_dir, 16), _build)
+        path, _t_copy = fresh_copy(pristine, "sig_maint_call")
 
         def probe():
             return (incremental_minhash_candidates_banded(
@@ -947,7 +976,8 @@ def signature_table_maintenance(spark: SparkSession,
             compact_parquet(spark, path + sub,
                             target_bytes=64 * 1024 * 1024)
         _phases.report("signature_table_maintenance",
-                       build_sec=_t_build, probe_sec=_t_probe,
+                       build_sec=_t_build, build_cached=float(_cached),
+                       copy_sec=_t_copy, probe_sec=_t_probe,
                        compact_sec=_time.perf_counter() - _t0)
         files_after = (len(list_data_files(f"{path}/bands"))
                        + len(list_data_files(f"{path}/sigs")))
@@ -1050,14 +1080,16 @@ def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .repartition(spark.sparkContext.defaultParallelism))
     batch = cut_lineage(sh(docs.filter(F.col("doc_id") % 5 == 0)
                            .unionAll(planted_probes)))
-    path = _tmp_index("probe_cap_")
-    import time as _time
-
     from . import _phases
-    _t0 = _time.perf_counter()
-    write_banded_signature_table(corpus, path)
-    _phases.report("probe_admission_cap",
-                   build_sec=_time.perf_counter() - _t0)
+    from ._helpers import session_artifact
+    # corpus + planted cluster signatures persist once per session;
+    # both probe modes below read the prebuilt table (the operating
+    # mode — the cap is a PROBE-side knob, not a table property)
+    path, _, _t_build, _cached = session_artifact(
+        ("probe_cap", sf_dir),
+        lambda p: write_banded_signature_table(corpus, p))
+    _phases.report("probe_admission_cap", build_sec=_t_build,
+                   build_cached=float(_cached))
 
     unc = incremental_minhash_candidates_banded(spark, path, batch) \
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1156,17 +1188,26 @@ def signature_table_rebucket(spark: SparkSession,
     try:
         new_side = F.col("doc_id") % 5 == 0
         corpus, batch = sh.filter(~new_side), sh.filter(new_side)
-        path = _tmp_index("sig_rebucket_")
         import time as _time
 
         from . import _phases
-        _t0 = _time.perf_counter()
-        for k in range(2):
-            write_banded_signature_table(
-                corpus.filter(F.pmod(F.xxhash64("doc_id"),
-                                     F.lit(2)) == k),
-                path, n_buckets=16)
-        _t_build = _time.perf_counter() - _t0
+        from ._helpers import fresh_copy, session_artifact
+
+        # the 16-bucket PRISTINE table is a session-scoped artifact
+        # (built once from corpus text); the migration MUTATES, so
+        # each call migrates a cheap private copy — the wall keeps
+        # copy + probes + the rebucket itself (the operator under
+        # test), not the signature construction
+        def _build(p: str) -> None:
+            for k in range(2):
+                write_banded_signature_table(
+                    corpus.filter(F.pmod(F.xxhash64("doc_id"),
+                                         F.lit(2)) == k),
+                    p, n_buckets=16)
+
+        pristine, _, _t_build, _cached = session_artifact(
+            ("sig_rebucket", sf_dir, 16), _build)
+        path, _t_copy = fresh_copy(pristine, "sig_rebucket_call")
 
         def probe():
             # cut_lineage, not persist: a probe result HELD ACROSS a
@@ -1188,6 +1229,7 @@ def signature_table_rebucket(spark: SparkSession,
         _t0 = _time.perf_counter()
         stats = rebucket_signature_table(spark, path, 48)
         _phases.report("signature_table_rebucket", build_sec=_t_build,
+                       build_cached=float(_cached), copy_sec=_t_copy,
                        probe_sec=_t_probe,
                        rebucket_sec=_time.perf_counter() - _t0)
         meta_ok = _read_sig_meta(path)["n_buckets"] == 48

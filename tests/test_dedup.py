@@ -1288,3 +1288,188 @@ def test_probe_cap_keeps_true_dup_behind_low_id_crowd(spark, tmp_path):
         "true dup evicted by sub-threshold low-id crowd"
     assert {r["new_id"] for r in cap} == {r["new_id"] for r in unc}
     assert len(cap) <= 4
+
+
+def _sh3(df):
+    return df.select(
+        "doc_id",
+        F.expr("transform(sequence(1, greatest(size(split(text, ' '))"
+               " - 2, 1)), i -> concat_ws(' ', slice(split(text, ' '),"
+               " i, 3)))").alias("s"))
+
+
+def test_dirty_marker_heals_crashed_manifest_update(spark, tmp_path):
+    """A writer that commits its parquet but dies before the manifest
+    replace leaves committed dirs the manifest misses; the dirty
+    marker written ahead of the data commit makes the next probe
+    rebuild the manifest from the filesystem instead of silently
+    skipping that data."""
+    import os
+
+    from nvd2mysqlloader_spark.operators import dedup
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _read_manifest, incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+
+    batch1 = spark.createDataFrame(
+        [(i, f"first batch doc {i} alpha beta gamma delta epsilon")
+         for i in range(8)], "doc_id long, text string")
+    target = "second batch target unique payload words here now ok yes"
+    batch2 = spark.createDataFrame(
+        [(100, target)], "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(900, target)], "doc_id long, text string")
+
+    path = str(tmp_path / "crashy")
+    write_banded_signature_table(_sh3(batch1), path, n_buckets=16)
+    man_before = _read_manifest(path)
+
+    # crash between the data commit and the manifest replace
+    real = dedup._write_manifest
+    dedup._write_manifest = lambda *a, **k: (_ for _ in ()).throw(
+        OSError("simulated crash"))
+    try:
+        import pytest as _pytest
+        with _pytest.raises(OSError):
+            write_banded_signature_table(_sh3(batch2), path,
+                                         n_buckets=16)
+    finally:
+        dedup._write_manifest = real
+
+    assert os.path.isfile(path + "/manifest.dirty")
+    assert _read_manifest(path) == man_before  # stale on disk
+
+    # probe must SEE batch2 despite the stale manifest
+    got = incremental_minhash_candidates_banded(
+        spark, path, _sh3(probe)).collect()
+    assert any(r["old_id"] == 100 and r["est_jaccard"] == 1.0
+               for r in got), "committed data invisible to probe"
+    # ...and the consumer repaired the table state as it went
+    assert not os.path.isfile(path + "/manifest.dirty")
+    man_after = _read_manifest(path)
+    assert sum(v["rows"] for v in man_after["sigs"].values()) == 9
+
+
+def test_dirty_marker_next_append_full_rebuilds(spark, tmp_path):
+    """An append that finds a PREVIOUS writer's dirty marker must
+    finish with a full manifest rebuild (covering the orphaned batch
+    and itself), not an incremental update seeded from the stale
+    manifest."""
+    import os
+
+    from nvd2mysqlloader_spark.operators import dedup
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _read_manifest, write_banded_signature_table)
+
+    def mk(i, text):
+        return spark.createDataFrame([(i, text)],
+                                     "doc_id long, text string")
+
+    path = str(tmp_path / "crashy2")
+    write_banded_signature_table(
+        _sh3(mk(1, "one two three four five six seven")), path,
+        n_buckets=16)
+    real = dedup._write_manifest
+    dedup._write_manifest = lambda *a, **k: (_ for _ in ()).throw(
+        OSError("simulated crash"))
+    try:
+        import pytest as _pytest
+        with _pytest.raises(OSError):
+            write_banded_signature_table(
+                _sh3(mk(2, "orphan doc aaa bbb ccc ddd eee fff")),
+                path, n_buckets=16)
+    finally:
+        dedup._write_manifest = real
+    # third append completes normally: full rebuild covers the orphan
+    write_banded_signature_table(
+        _sh3(mk(3, "third doc ggg hhh iii jjj kkk lll")), path,
+        n_buckets=16)
+    assert not os.path.isfile(path + "/manifest.dirty")
+    man = _read_manifest(path)
+    assert sum(v["rows"] for v in man["sigs"].values()) == 3
+
+
+def test_capped_probe_distinct_sig_member_not_hidden(spark, tmp_path):
+    """ADVICE r10 #2: an over-cap band-hash group is NOT always a
+    near-identical cluster — a member whose full signature differs
+    from the crowd's must keep its own anchor instead of being hidden
+    behind the crowd's min-id anchor. The probe doc shares band
+    hashes ONLY with the crowd's groups (it is an exact copy of the
+    crowd text), so under the old single-anchor rule the
+    different-sig member at id 5000 was unreachable."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+
+    base = ("template boilerplate header navigation footer copyright "
+            "subscribe unsubscribe terms privacy contact about press "
+            "careers status help blog sitemap search login register")
+    # 30 sig-identical crowd docs at low ids + ONE member whose text
+    # is the crowd's plus extra words: its minhash signature differs
+    # at the positions the extras displace, but most band segments —
+    # hence most band-hash groups — are still the crowd's.
+    crowd = [(i, base) for i in range(30)]
+    member = [(5000, base + " zzqx wvut extra unusual suffix words")]
+    corpus = spark.createDataFrame(crowd + member,
+                                   "doc_id long, text string")
+    probe = spark.createDataFrame([(9000, base)],
+                                  "doc_id long, text string")
+
+    path = str(tmp_path / "distinct_sig")
+    write_banded_signature_table(_sh3(corpus), path, n_buckets=16)
+
+    unc = incremental_minhash_candidates_banded(
+        spark, path, _sh3(probe), threshold=0.5).collect()
+    # precondition: 5000 is genuinely similar and reachable through
+    # the crowd's band groups (the probe's bands are exactly the
+    # crowd's, so any path to 5000 runs through an over-cap group)
+    assert any(r["old_id"] == 5000 and r["est_jaccard"] >= 0.5
+               for r in unc), "fixture: member drifted out of range"
+
+    cap = incremental_minhash_candidates_banded(
+        spark, path, _sh3(probe), threshold=0.5,
+        max_candidates_per_new=4).collect()
+    # crowd collapses to its min-id anchor...
+    anchors = [r for r in cap if r["old_id"] < 1000]
+    assert anchors == [r for r in anchors if r["old_id"] == 0]
+    assert any(r["old_id"] == 0 and r["est_jaccard"] == 1.0
+               for r in cap)
+    # ...but the different-sig member keeps its own anchor
+    assert any(r["old_id"] == 5000 for r in cap), \
+        "distinct-sig member hidden behind crowd anchor"
+    assert len(cap) <= 4
+
+
+def test_legacy_meta_table_appends_and_caps_without_sig_fp(
+        spark, tmp_path):
+    """A table whose meta predates the sig_fp band column keeps
+    working: appends stay in the legacy schema (no mixed parquet
+    schemas) and the capped probe falls back to the single min-id
+    anchor."""
+    import json
+    import os
+
+    from nvd2mysqlloader_spark.operators.dedup import (
+        incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+
+    path = str(tmp_path / "legacy")
+    os.makedirs(path)
+    with open(path + "/meta.json", "w") as f:
+        json.dump({"num_perm": 64, "bands": 16, "n_buckets": 16,
+                   "keyed": False}, f)
+
+    boiler = ("legacy shared template words one two three four five "
+              "six seven eight nine ten eleven twelve thirteen")
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string")
+    write_banded_signature_table(_sh3(corpus), path, n_buckets=16)
+    bands = spark.read.parquet(path + "/bands")
+    assert "sig_fp" not in bands.columns       # legacy schema kept
+
+    probe = spark.createDataFrame([(900, boiler)],
+                                  "doc_id long, text string")
+    cap = incremental_minhash_candidates_banded(
+        spark, path, _sh3(probe), max_candidates_per_new=3).collect()
+    assert [r["old_id"] for r in cap] == [0]   # min-id anchor only
+    assert cap[0]["est_jaccard"] == 1.0

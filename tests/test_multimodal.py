@@ -592,3 +592,41 @@ def test_audio_features_sine_and_silence(spark):
     assert abs(rows[1]["rms"] - 0.5 / np.sqrt(2)) < 1e-3
     assert abs(rows[1]["zero_crossing_rate"] - 2 * f / rate) < 1e-3
     assert rows[2]["rms"] == 0.0 and rows[2]["peak_freq_hz"] == 0.0
+
+
+def test_audio_features_8bit_full_scale_parity(spark):
+    """The same waveform encoded as 8-bit offset-binary and 16-bit
+    signed PCM must report (near-)identical normalized features:
+    uint8 divides by half-range 128 (not 255), so full scale maps to
+    ~±1.0 under both encodings."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.binary import audio_features
+    from nvd2mysqlloader_spark.multimodal.codecs import encode_wav
+
+    n, rate, f = 2048, 8000, 1000.0
+    period16 = np.array([16384] * 4 + [-16384] * 4, dtype=np.int16)
+    sq16 = encode_wav(np.tile(period16, n // 8), rate=rate)
+    # the same ±0.5-of-full-scale square in 8-bit offset binary:
+    # 128 ± 64 (half-range 128 → amplitude 0.5, matching 16384/32768)
+    period8 = np.array([192] * 4 + [64] * 4, dtype=np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(np.tile(period8, n // 8).tobytes())
+    sq8 = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(16, bytearray(sq16)), (8, bytearray(sq8))],
+        "media_id long, content binary")
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert rows[16]["rms"] == 0.5
+    assert rows[8]["rms"] == 0.5            # was ~0.251 under /255
+    assert rows[8]["peak_freq_hz"] == rows[16]["peak_freq_hz"] == f
+    assert rows[8]["zero_crossing_rate"] == \
+        rows[16]["zero_crossing_rate"]
