@@ -10,7 +10,12 @@ registered queries and records one row per query in the driver's
 exact row shape, so every round ships machine-readable green/red for
 the ~71 queries the driver never reaches. Queries without an oracle
 (minhash/simhash/ANN/kmeans — pinned by recall/twin tests instead)
-get the driver's rows-only shape with err="no_oracle".
+get the driver's rows-only shape with err="no_oracle", plus a
+DETERMINISM anchor (r10 ask #6): the query runs twice and the two
+order-insensitive value hashes must agree (hash_stable; an unstable
+entry is counted RED as err="no_oracle_unstable"); run_hash records
+the canonical digest so silent result drift across rounds is
+diffable.
 
 Usage:  python local_oracle.py [round_number]
         SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01   # default, = driver
@@ -28,7 +33,8 @@ from nvd2mysqlloader_spark.plans import QUERIES            # noqa: E402
 from nvd2mysqlloader_spark.plans.registry import (         # noqa: E402
     oracle_map, spark_queries)
 from nvd2mysqlloader_spark.session import get_spark        # noqa: E402
-from tests.oracle_harness import compare                   # noqa: E402
+from tests.oracle_harness import (_hash_lines, _lines,      # noqa: E402
+                                  compare)
 
 # Every rows-only (oracle=None) registry entry must name the pytest
 # that pins it to an exact twin / recall bound — a new engine query
@@ -106,8 +112,28 @@ def run(sf_dir: str) -> dict:
                "oracle_rows": None, "err": None}
         try:
             if q.oracle is None:
-                row["spark_rows"] = q.fn(spark, sf_dir).count()
+                # rows-only entries get a DETERMINISM anchor beside
+                # their pytest pin (VERDICT r10 ask #6): the query
+                # runs TWICE and both results are canonicalized with
+                # the harness's own order-insensitive value hash —
+                # the recall/twin pytest proves the algorithm, the
+                # stable hash catches silent nondeterminism (seed
+                # drift, iteration-order dependence) that a TRUE-pin
+                # verdict column can't see. run_hash is recorded so
+                # BETWEEN-run drift is diffable round over round when
+                # the fixtures and code are unchanged.
+                hashes = []
+                for _ in range(2):
+                    df = q.fn(spark, sf_dir)
+                    rows_ = df.collect()
+                    hashes.append(_hash_lines(
+                        _lines(df.columns, [tuple(r) for r in rows_])))
+                row["spark_rows"] = len(rows_)
                 row["err"] = "no_oracle"
+                row["run_hash"] = hashes[0][:16]
+                row["hash_stable"] = hashes[0] == hashes[1]
+                if not row["hash_stable"]:
+                    row["err"] = "no_oracle_unstable"
             else:
                 ok, msg = compare(spark, sf_dir, q.fn, q.oracle)
                 if ok:

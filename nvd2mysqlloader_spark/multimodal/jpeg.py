@@ -756,3 +756,127 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     out.extend(wtr.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            restart_interval: int = 0) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → PROGRESSIVE (SOF2)
+    JPEG bytes using pure spectral selection (Al=0): one interleaved
+    DC scan followed by one full-band AC scan per component.
+
+    Reuses the baseline encoder's block tokenizer verbatim — with
+    Al=0 a progressive DC scan is bit-identical to baseline DC
+    coding, and a baseline AC block coding IS a valid progressive
+    AC-first coding of band 1–63 (the baseline EOB symbol equals
+    progressive EOB0, an end-of-band run of exactly one block; ZRL is
+    shared). Exists so the decoder's SOF2 path has a deterministic
+    self-authored fixture beside the externally-authored goldens:
+    because both encoders share ``_fdct_quant``, decoding the
+    progressive encoding of an image must produce EXACTLY the same
+    pixels as decoding its baseline encoding."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if gray:
+        comps_px = [img.astype(np.float64) - 128.0]
+    else:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps_px = [y - 128.0, cb, cr]
+    qt = [_scaled_quant(QUANT_LUMA, quality)]
+    if not gray:
+        qt.append(_scaled_quant(QUANT_CHROMA, quality))
+    # restart_interval resets the DC predictor every that many MCUs
+    # (one block per comp per MCU at 4:4:4) AND emits RSTn between
+    # scan units — the progressive decoder additionally discards any
+    # pending EOB run there, which our encoding never carries across
+    # blocks (baseline tokens use EOB0 only)
+    per_comp = [
+        _encode_blocks(_fdct_quant(
+            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge"),
+            qt[0 if i == 0 else 1]), reset_every=restart_interval)
+        for i, p in enumerate(comps_px)]
+    ncomp = 1 if gray else 3
+    n_tabs = 1 if gray else 2
+    freq_dc = [dict(), dict()]
+    freq_ac = [dict(), dict()]
+    for i, blocks in enumerate(per_comp):
+        t = 0 if i == 0 else 1
+        for toks in blocks:
+            for kind, sym, _v in toks:
+                f = freq_dc[t] if kind == "dc" else freq_ac[t]
+                f[sym] = f.get(sym, 0) + 1
+    dc_tabs = [_build_huff_from_freq(freq_dc[t]) for t in range(n_tabs)]
+    ac_tabs = [_build_huff_from_freq(freq_ac[t]) for t in range(n_tabs)]
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    for t, q in enumerate(qt):
+        segment(0xDB, bytes([t]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    segment(0xC2, sof)                       # SOF2: progressive
+    for t in range(n_tabs):
+        for cls, tab in ((0, dc_tabs[t]), (1, ac_tabs[t])):
+            segment(0xC4, bytes([cls << 4 | t]) + bytes(tab.bits)
+                    + bytes(tab.values))
+
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+
+    def emit_scan(header: bytes, units: list) -> None:
+        """``units``: one token list per scan unit (MCU for the
+        interleaved DC scan, block for AC scans) — the granularity
+        restart markers land between."""
+        segment(0xDA, header)
+        wtr = _BitWriter()
+        rst = 0
+        for ui, toks in enumerate(units):
+            if restart_interval and ui and \
+                    ui % restart_interval == 0:
+                wtr.flush()
+                out.extend(wtr.out)
+                wtr = _BitWriter()
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+            for tab, sym, val in toks:
+                code, ln = tab.encode_map[sym]
+                wtr.write(code, ln)
+                size = sym & 0xF
+                if size:
+                    wtr.write(val & ((1 << size) - 1), size)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    # scan 1: interleaved DC (Ss=0 Se=0 Ah=0 Al=0); 4:4:4 means one
+    # block per component per MCU, so MCU order == block raster order
+    hdr = bytes([ncomp])
+    for i in range(ncomp):
+        t = 0 if i == 0 else 1
+        hdr += bytes([i + 1, t << 4])
+    hdr += bytes([0, 0, 0])
+    emit_scan(hdr, [
+        [(dc_tabs[0 if i == 0 else 1], sym, val)
+         for i in range(ncomp)
+         for kind, sym, val in per_comp[i][bi] if kind == "dc"]
+        for bi in range(len(per_comp[0]))])
+
+    # one full-band AC scan per component (Ss=1 Se=63 Ah=0 Al=0)
+    for i in range(ncomp):
+        t = 0 if i == 0 else 1
+        hdr = bytes([1, i + 1, t]) + bytes([1, 63, 0])
+        emit_scan(hdr, [
+            [(ac_tabs[t], sym, val)
+             for kind, sym, val in toks if kind == "ac"]
+            for toks in per_comp[i]])
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)

@@ -155,15 +155,19 @@ def image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
       (CAST(4 AS BIGINT), 'audio', CAST(8 AS INT), CAST(1 AS INT),
        CAST(40 AS BIGINT), CAST(127.5 AS DOUBLE)),
       (CAST(5 AS BIGINT), 'image', CAST(8 AS INT), CAST(6 AS INT),
-       CAST(48 AS BIGINT), CAST(128.0 AS DOUBLE))
+       CAST(48 AS BIGINT), CAST(128.0 AS DOUBLE)),
+      (CAST(6 AS BIGINT), 'image', CAST(12 AS INT), CAST(10 AS INT),
+       CAST(120 AS BIGINT), CAST(128.0 AS DOUBLE))
     ) AS t(media_id, kind, width, height, n_payload_bytes, mean_byte)
     """,
     doc=(
         "golden-bytes decode verdict for the REAL pure-Python codecs "
-        "(multimodal/codecs.py, multimodal/jpeg.py): five "
+        "(multimodal/codecs.py, multimodal/jpeg.py): six "
         "deterministic blobs — PNG (zlib+filters), BMP (uncompressed "
-        "DIB), GIF (pure-Python LZW with dict growth), WAV-PCM, and "
-        "baseline JPEG (Huffman + dequant + IDCT) — are built "
+        "DIB), GIF (pure-Python LZW with dict growth), WAV-PCM, "
+        "baseline JPEG (Huffman + dequant + IDCT), and PROGRESSIVE "
+        "JPEG (SOF2: interleaved DC scan + per-component AC band "
+        "scans, coefficients accumulated across scans) — are built "
         "driver-side from fixed pixel/sample arrays, decoded through "
         "the SAME Arrow mapInPandas feature op production uses "
         "(decode_media_features -> _decode_payload), and the decoded "
@@ -171,15 +175,17 @@ def image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "closed-form DuckDB literals (e.g. the GIF is 28 gray pixels "
         "of value 50*(i%5): mean 2650/28 exactly; the WAV is the "
         "int16 ramp -10..9 whose LE bytes sum to 5100: mean 127.5; "
-        "the JPEG is constant mid-gray, whose DC-only blocks "
+        "both JPEGs are constant mid-gray, whose DC-only blocks "
         "quantize to zero so the lossy roundtrip is EXACT: mean "
         "128.0). The JPEG decoder is additionally pinned against "
-        "externally-authored real-world files in pytest "
-        "(tests/test_multimodal.py); MP4 parses at the container "
-        "level (multimodal/mp4.py) and only sample-bitstream "
-        "pixel decode remains gated — this pins that every format we "
-        "CLAIM to decode really decodes, byte-exactly, "
-        "executor-side."
+        "externally-authored real-world files — baseline AND four "
+        "progressive goldens incl. full successive approximation, "
+        "cross-checked pixel-level against the JVM's javax.imageio "
+        "decoder — in pytest (tests/test_multimodal.py); MP4 parses "
+        "at the container level (multimodal/mp4.py) and only "
+        "sample-bitstream pixel decode remains gated — this pins "
+        "that every format we CLAIM to decode really decodes, "
+        "byte-exactly, executor-side."
     ),
 )
 def codec_formats_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,7 +194,7 @@ def codec_formats_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import decode_media_features
     from ..multimodal.codecs import encode_bmp, encode_gif, encode_png, \
         encode_wav
-    from ..multimodal.jpeg import encode_jpeg
+    from ..multimodal.jpeg import encode_jpeg, encode_jpeg_progressive
 
     png = encode_png(np.arange(120, dtype=np.uint8).reshape(5, 8, 3))
     bmp = encode_bmp(np.arange(162, dtype=np.uint8).reshape(9, 6, 3))
@@ -196,10 +202,12 @@ def codec_formats_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     gif = encode_gif(np.repeat(gif_vals[:, :, None], 3, axis=2))
     wav = encode_wav(np.arange(-10, 10, dtype=np.int16), rate=8000)
     jpg = encode_jpeg(np.full((6, 8), 128, dtype=np.uint8))
+    jpgp = encode_jpeg_progressive(
+        np.full((10, 12), 128, dtype=np.uint8))
     media = spark.createDataFrame(
         [(1, bytearray(png)), (2, bytearray(bmp)),
          (3, bytearray(gif)), (4, bytearray(wav)),
-         (5, bytearray(jpg))],
+         (5, bytearray(jpg)), (6, bytearray(jpgp))],
         "media_id long, content binary")
     return decode_media_features(media).orderBy("media_id")
 

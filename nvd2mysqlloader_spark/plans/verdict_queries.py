@@ -895,38 +895,49 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  AND doc_id % 2 = 0) AS BIGINT)
              AS n_corpus_docs,
            TRUE AS files_reduced,
-           TRUE AS probe_identical
+           TRUE AS probe_identical,
+           TRUE AS policy_compacted,
+           TRUE AS policy_noop,
+           TRUE AS policy_grew,
+           CAST(64 AS BIGINT) AS n_buckets_after,
+           TRUE AS probe_identical_after_growth
     FROM documents
     """,
     doc=(
-        "operators/compaction.compact_parquet over the band-"
-        "partitioned MinHash signature table: the corpus side "
-        "(doc_id%5!=0 and doc_id%2==0 — the claim is lifecycle "
-        "correctness, not throughput, so the artifact runs on a "
-        "deterministic corpus slice) is written as 4 micro-appends "
-        "(one file per touched partition dir per append — "
-        "streaming-gate accretion shape; n_buckets=16 keeps the "
-        "artifact's per-append dir-commit overhead proportionate), "
-        "the batch (doc_id%5==0) probes it, both subtables "
-        "(bands + sig sidecar) are compacted per partition dir with "
-        "atomic version publish, and the probe re-runs. Verdict: "
-        "file count really dropped, and the post-compaction probe "
-        "equals the pre-compaction probe as an EXACT multiset "
-        "(exceptAll both ways, estimates included) — table "
-        "maintenance is invisible to dedup semantics, beside "
-        "DuckDB's corpus-count anchor. Partition dirs are preserved "
-        "by compaction, so the probe's partition pruning survives "
-        "maintenance (tests/test_dedup.py::"
-        "test_banded_probe_plan_partition_prunes_both_scans pins the "
-        "pruning itself)."
+        "operators/dedup.maintain_signature_table — the AUTO-GEOMETRY "
+        "maintenance policy (r10 ask #5), deciding everything from "
+        "the driver-side manifest, zero planning Spark jobs. The "
+        "corpus side (doc_id%5!=0 and doc_id%2==0) is written as 4 "
+        "micro-appends at n_buckets=16 (one file per touched dir per "
+        "append — streaming-gate accretion shape), the batch "
+        "(doc_id%5==0) probes it, then THREE policy passes run: "
+        "(1) small-files pass (max_files_per_dir=2): the policy must "
+        "CHOOSE to compact both subtables (policy_compacted), file "
+        "count really drops (files_reduced), no rebucket, and the "
+        "post-compaction probe equals the pre-compaction probe as an "
+        "EXACT multiset (probe_identical — exceptAll both ways, "
+        "estimates included); (2) healthy pass (loose thresholds): "
+        "full no-op (policy_noop); (3) growth pass "
+        "(target_rows_per_bucket=ceil(bands_rows/64)): the n_buckets "
+        "∝ corpus rule must decide to MIGRATE 16→64 through the "
+        "narrow power-of-two path (policy_grew, n_buckets_after=64 "
+        "at EVERY sf by construction), and the post-migration probe "
+        "is again an exact multiset match "
+        "(probe_identical_after_growth). Maintenance must be "
+        "invisible to dedup semantics; DuckDB anchors the corpus "
+        "count and the target geometry. Partition pruning itself is "
+        "plan-pinned in tests/test_dedup.py::"
+        "test_banded_probe_plan_partition_prunes_both_scans."
     ),
 )
 def signature_table_maintenance(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
-    from ..operators.compaction import compact_parquet, list_data_files
-    from ..operators.dedup import (incremental_minhash_candidates_banded,
+    from ..operators.compaction import list_data_files
+    from ..operators.dedup import (_read_sig_meta,
+                                   incremental_minhash_candidates_banded,
+                                   maintain_signature_table,
                                    write_banded_signature_table)
     from .sketch_queries import _shingled
 
@@ -950,53 +961,99 @@ def signature_table_maintenance(spark: SparkSession,
         from ._helpers import fresh_copy, session_artifact
 
         def _build(p: str) -> None:
+            # slice hash SALTED with a literal so it is uncorrelated
+            # with doc_bucket = xxhash64(doc_id) % 16 — the unsalted
+            # slice (h % 4) is DETERMINED by the bucket (h % 16), so
+            # every sigs dir would receive exactly one append and
+            # never accrete; real streaming-gate batches are
+            # uncorrelated with doc buckets, and both subtables must
+            # present the accretion shape the policy exists to fix
             for k in range(4):
                 write_banded_signature_table(
                     corpus.filter(
-                        F.pmod(F.xxhash64("doc_id"), F.lit(4)) == k),
+                        F.pmod(F.xxhash64("doc_id", F.lit(11)),
+                               F.lit(4)) == k),
                     p, n_buckets=16)
 
         pristine, _, _t_build, _cached = session_artifact(
-            ("sig_maint", sf_dir, 16), _build)
+            ("sig_maint", sf_dir, 16, "salted"), _build)
         path, _t_copy = fresh_copy(pristine, "sig_maint_call")
 
         def probe():
-            return (incremental_minhash_candidates_banded(
-                        spark, path, batch)
-                    .select("new_id", "old_id", "est_jaccard"))
+            # cut_lineage, not persist: probe results are HELD ACROSS
+            # the policy passes' mutations (compaction publish, then
+            # the growth migration) — a lazy or persisted-but-evicted
+            # plan would recompute against moved version files (the
+            # rebucket verdict's lesson, and measured here: the
+            # post-compaction probe read FAILED_READ_FILE once the
+            # growth pass republished)
+            return cut_lineage(
+                incremental_minhash_candidates_banded(spark, path, batch)
+                .select("new_id", "old_id", "est_jaccard"))
 
         _t0 = _time.perf_counter()
-        before = probe().persist(StorageLevel.MEMORY_AND_DISK)
-        before.count()
+        before = probe()
         _t_probe = _time.perf_counter() - _t0
         files_before = (len(list_data_files(f"{path}/bands"))
                         + len(list_data_files(f"{path}/sigs")))
+        # policy pass 1 — small files: 4 micro-appends left ~4 files
+        # per dir, over max_files_per_dir=2, so the policy must
+        # CHOOSE compaction of both subtables (and must NOT rebucket:
+        # the growth target is loose)
         _t0 = _time.perf_counter()
-        for sub in ("/bands", "/sigs"):
-            compact_parquet(spark, path + sub,
-                            target_bytes=64 * 1024 * 1024)
+        s1 = maintain_signature_table(spark, path,
+                                      target_rows_per_bucket=10 ** 9,
+                                      max_files_per_dir=2)
+        _t_maint = _time.perf_counter() - _t0
+        policy_compacted = (not s1["rebucketed"]
+                            and sorted(s1["compacted"])
+                            == ["bands", "sigs"])
+        files_after = (len(list_data_files(f"{path}/bands"))
+                       + len(list_data_files(f"{path}/sigs")))
+        after = probe()
+        # policy pass 2 — healthy table: loose thresholds, full no-op
+        s2 = maintain_signature_table(spark, path,
+                                      target_rows_per_bucket=10 ** 9,
+                                      max_files_per_dir=64)
+        policy_noop = not s2["rebucketed"] and not s2["compacted"]
+        # policy pass 3 — growth: target = ceil(bands_rows/64) forces
+        # the n_buckets ∝ corpus rule to migrate 16→64 (narrow
+        # power-of-two split) AT EVERY SF — the target is derived
+        # from the table's own manifest row count, so the decided
+        # geometry is scale-invariant by construction
+        _t0 = _time.perf_counter()
+        s3 = maintain_signature_table(
+            spark, path,
+            target_rows_per_bucket=-(-s1["bands_rows"] // 64),
+            max_files_per_dir=64)
+        _t_grow = _time.perf_counter() - _t0
         _phases.report("signature_table_maintenance",
                        build_sec=_t_build, build_cached=float(_cached),
                        copy_sec=_t_copy, probe_sec=_t_probe,
-                       compact_sec=_time.perf_counter() - _t0)
-        files_after = (len(list_data_files(f"{path}/bands"))
-                       + len(list_data_files(f"{path}/sigs")))
-        after = probe().persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            diff = before.exceptAll(after).unionAll(
-                after.exceptAll(before))
-            n_corpus = corpus.agg(
-                F.count(F.lit(1)).alias("n_corpus_docs"))
-            n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
-            verdict = _one_row(n_corpus, n_diff).select(
-                "n_corpus_docs",
-                F.lit(files_after < files_before)
-                .alias("files_reduced"),
-                (F.col("n_diff") == 0).alias("probe_identical"))
-            return cut_lineage(verdict)
-        finally:
-            before.unpersist()
-            after.unpersist()
+                       maintain_sec=_t_maint, grow_sec=_t_grow)
+        policy_grew = s3["rebucketed"] and s3["n_buckets"] == 64
+        meta_n = _read_sig_meta(path)["n_buckets"]
+        grown = probe()
+        diff = before.exceptAll(after).unionAll(
+            after.exceptAll(before))
+        gdiff = before.exceptAll(grown).unionAll(
+            grown.exceptAll(before))
+        n_corpus = corpus.agg(
+            F.count(F.lit(1)).alias("n_corpus_docs"))
+        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+        n_gdiff = gdiff.agg(F.count(F.lit(1)).alias("n_gdiff"))
+        verdict = _one_row(n_corpus, n_diff, n_gdiff).select(
+            "n_corpus_docs",
+            F.lit(files_after < files_before)
+            .alias("files_reduced"),
+            (F.col("n_diff") == 0).alias("probe_identical"),
+            F.lit(policy_compacted).alias("policy_compacted"),
+            F.lit(policy_noop).alias("policy_noop"),
+            F.lit(policy_grew).alias("policy_grew"),
+            F.lit(meta_n).cast("long").alias("n_buckets_after"),
+            (F.col("n_gdiff") == 0)
+            .alias("probe_identical_after_growth"))
+        return cut_lineage(verdict)
     finally:
         sh.unpersist()
 

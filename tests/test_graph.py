@@ -528,3 +528,72 @@ def test_kcore_depth_exactly_max_rounds_converges(spark):
         "a long, b long").distinct()
     core = {(r.a, r.b) for r in kcore(e, k=2, max_rounds=4).collect()}
     assert core == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_aqe_skew_join_splits_hub_partition(spark):
+    """Plan pin for the graph family's heavy-hitter story (PLANS.md
+    §graph skew, scripts/stress_graph_skew.py): the per-iteration
+    edges⋈ranks join keyed on src, run as a LIVE shuffle join under
+    spark.sql.adaptive.skewJoin, must get its planted hub partition
+    skew-split by AQE (the executed plan shows a skewed
+    AQEShuffleRead). This is the mechanism the 100 TB deployment
+    relies on when it chooses the AQE remedy over salting; thresholds
+    are force-lowered because a fixture-scale partition never crosses
+    the production 256 MB default."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = ("spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold")
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                 "2")
+        conf.set("spark.sql.adaptive.skewJoin."
+                 "skewedPartitionThresholdInBytes", "64k")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                 "64k")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # planted hub: node 0 sources 80% of 200k edges; the rest
+        # spread over 1000 sources — the hub's hash partition is
+        # >5x the median and far over the 64k threshold. BOTH join
+        # inputs must feed the join DIRECTLY through their shuffles
+        # (scan → exchange → sort → join): OptimizeSkewedJoin's
+        # pattern match fails if an aggregate or window sits between
+        # the shuffle and the join, which is exactly why the shipped
+        # pagerank shape (cached pre-partitioned, window-annotated
+        # edges) uses SALTING instead — see stress_graph_skew.py.
+        n = 200_000
+        edges = spark.range(n).select(
+            F.when(F.pmod("id", F.lit(5)) < 4, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))
+            .alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5000))
+            .alias("dst"))
+        ranks = spark.range(1000).select(
+            F.col("id").alias("node"),
+            F.lit(100).cast("long").alias("rank_fp"))
+        joined = edges.join(ranks.hint("merge"),
+                            edges["src"] == ranks["node"])
+        out = (joined.groupBy("dst")
+               .agg(F.sum("rank_fp").alias("s")))
+        rows = out.collect()     # execute THIS plan (AQE finalizes it)
+        total = sum(r["s"] for r in rows)
+        assert total == n * 100          # every edge matched once
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew" in plan.lower(), (
+            "hub partition was not skew-split:\n" + plan[:2000])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                conf.set(k, v)

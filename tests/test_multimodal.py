@@ -392,12 +392,117 @@ def test_jpeg_roundtrip_and_subset_gates():
     without = decode_jpeg(encode_jpeg(grad, quality=90))
     assert (with_rst == without).all()
 
-    # subset honesty: progressive raises with the reason
+    # subset honesty: unsupported SOFs raise with the reason; a
+    # baseline stream relabeled SOF2 is MALFORMED progressive (its
+    # single scan spans Ss=0..Se=63, which progressive forbids) and
+    # must be rejected loudly, not misdecoded
     blob = bytearray(encode_jpeg(grad))
     sof = blob.find(b"\xff\xc0")
     blob[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(blob))
+    blob[sof + 1] = 0xC1
+    with pytest.raises(ValueError, match="extended"):
+        decode_jpeg(bytes(blob))
+
+
+PROGRESSIVE_GOLDENS = [
+    # externally-authored progressive (SOF2) files shipped in this
+    # container, chosen to cover the whole §G feature matrix:
+    # (path, expected shape, decoder-snapshot sha256 prefix,
+    #  (mean_lo, mean_hi))
+    # Spark's own mllib test image: 1-component, full successive
+    # approximation (DC Al=1 + refinement, AC first Al=2 + two
+    # refinement passes)
+    ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+     "multi-channel/grayscale.jpg",
+     (215, 300), "cadb16e7b0e2b902", (141.0, 143.5)),
+    # 3-component 4:4:4, spectral selection only (per-component DC
+    # scans, split AC bands, no successive approximation)
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg",
+     (58, 493, 3), "73ce8c019a427028", (232.0, 235.0)),
+    # 3-component 4:4:4 with AC successive approximation (Al=1→0)
+    ("/usr/share/doc/nodejs/full-white-stripe.jpg",
+     (312, 493, 3), "330fe1cd3ed781f8", (248.5, 251.0)),
+    # 4:2:2 subsampled with an INTERLEAVED 3-component DC scan and
+    # full successive approximation — exercises the MCU-order DC
+    # path AND the non-interleaved component block dims (chroma
+    # scans traverse ceil(w/2/8) columns, smaller than the padded
+    # coefficient array)
+    ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+     "share/doc/rust/html/embedded-book/assets/f3.jpg",
+     (477, 720, 3), "12889f7e9ddd1821", (106.5, 109.0)),
+]
+
+
+def test_jpeg_progressive_decodes_real_world_goldens():
+    """The progressive decoder pinned against EXTERNALLY-authored
+    SOF2 files (never our own encoder — we only encode baseline).
+    Digests are decoder snapshots guarding regressions; the mean
+    bands are loose analytic anchors. Pixel-level ground truth is
+    pinned separately against the JVM's javax.imageio decode in
+    test_jpeg_progressive_matches_imageio."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pytest
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import decode_jpeg
+
+    ran = 0
+    for path, shape, digest, (lo, hi) in PROGRESSIVE_GOLDENS:
+        if not os.path.isfile(path):
+            continue
+        img = decode_jpeg(open(path, "rb").read())
+        assert img.shape == shape and img.dtype == np.uint8, path
+        assert hashlib.sha256(img.tobytes()).hexdigest().startswith(
+            digest), path
+        assert lo < float(img.mean()) < hi, path
+        ran += 1
+    if not ran:
+        pytest.skip("no progressive golden files present")
+
+
+def test_jpeg_progressive_matches_imageio(spark):
+    """Ground truth for the progressive path: decode the Spark mllib
+    grayscale golden (full successive approximation) with BOTH this
+    repo's pure-Python decoder and the JVM's independent
+    javax.imageio decoder (raster samples, so Java's gray→sRGB
+    colorspace conversion can't skew the comparison) — max abs pixel
+    difference must be ≤ 1 (IDCT rounding).  Also cross-checks the
+    4:4:4 color golden with AC refinement via getRGB (no chroma
+    upsample ambiguity at 4:4:4) at ≤ 2."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import decode_jpeg
+
+    jvm = spark.sparkContext._jvm
+
+    gray = PROGRESSIVE_GOLDENS[0][0]
+    color = PROGRESSIVE_GOLDENS[2][0]
+    if not (os.path.isfile(gray) and os.path.isfile(color)):
+        pytest.skip("progressive golden files not present")
+
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(gray))
+    w, h = img.getWidth(), img.getHeight()
+    ref = np.array(
+        img.getRaster().getSamples(0, 0, w, h, 0, None),
+        dtype=np.int64).reshape(h, w)
+    mine = decode_jpeg(open(gray, "rb").read()).astype(np.int64)
+    assert int(np.abs(mine - ref).max()) <= 1
+
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(color))
+    w, h = img.getWidth(), img.getHeight()
+    a = np.array(img.getRGB(0, 0, w, h, None, 0, w),
+                 dtype=np.int64).reshape(h, w)
+    ref = np.stack([(a >> 16) & 0xFF, (a >> 8) & 0xFF, a & 0xFF],
+                   axis=2)
+    mine = decode_jpeg(open(color, "rb").read()).astype(np.int64)
+    assert int(np.abs(mine - ref).max()) <= 2
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"NOPE" + b"\x00" * 32)
 
@@ -630,3 +735,43 @@ def test_audio_features_8bit_full_scale_parity(spark):
     assert rows[8]["peak_freq_hz"] == rows[16]["peak_freq_hz"] == f
     assert rows[8]["zero_crossing_rate"] == \
         rows[16]["zero_crossing_rate"]
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """encode_jpeg_progressive shares _fdct_quant with the baseline
+    encoder, so decoding the progressive encoding of an image must
+    produce EXACTLY the same pixels as decoding its baseline encoding
+    — a self-authored pin on the SOF2 scan assembly (interleaved DC
+    scan + per-component AC band scans + coefficient accumulation)
+    that is independent of the external goldens."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    yy, xx = np.mgrid[0:33, 0:47]
+    gray = ((yy * 7 + xx * 3) % 251).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(gray))
+            == decode_jpeg(encode_jpeg(gray))).all()
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    rgb = np.stack([(yy * 9 % 255).astype(np.uint8),
+                    (xx * 5 % 255).astype(np.uint8),
+                    ((yy + xx) * 3 % 255).astype(np.uint8)], axis=2)
+    assert (decode_jpeg(encode_jpeg_progressive(rgb))
+            == decode_jpeg(encode_jpeg(rgb))).all()
+
+    # constant mid-gray quantizes to zero: progressive roundtrip EXACT
+    flat = np.full((10, 12), 128, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(flat)) == flat).all()
+
+    # restart markers inside progressive scans: RSTn realignment +
+    # DC-predictor reset + EOB-run discard per T.81 §G.1.2.2 — the
+    # decode must be identical with and without them
+    for ri in (3, 5):
+        assert (decode_jpeg(encode_jpeg_progressive(
+                    gray, restart_interval=ri))
+                == decode_jpeg(encode_jpeg(gray))).all()
+    assert (decode_jpeg(encode_jpeg_progressive(rgb,
+                                                restart_interval=4))
+            == decode_jpeg(encode_jpeg(rgb))).all()
