@@ -525,9 +525,11 @@ def main() -> None:
     # build-per-call verify entries construct their artifact in the
     # UNTIMED warmup repetition (build_cached=1 in the timed reps'
     # phase split), so their medians are already probe-dominated and
-    # nothing is subtracted for them; entries that still build per
-    # call (e.g. bm25_search_indexed's inverted index) have their
-    # reported build_sec excluded here while remaining in `value`.
+    # nothing is subtracted for them. As of r11 NO registered entry
+    # builds per call (build_in_wall is empty and probe_runtime ==
+    # value); the subtraction path stays as the contract for any
+    # future entry that reports an uncached build_sec from a timed
+    # repetition.
     build_in_wall = {
         name: split["build_sec"] for name, split in phase_split.items()
         if name in timings and split.get("build_sec")

@@ -665,14 +665,14 @@ def _encode_blocks(qz: np.ndarray,
     return tokens
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
-    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JPEG bytes
-    (4:4:4, quant + Huffman tables serialized into the file).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (and resets the DC predictors), the resync structure long
-    scans use — it exists mostly so the decoder's restart path has a
-    roundtrip pin."""
+def _prepare_frame(img: np.ndarray, quality: int,
+                   reset_every: int = 0):
+    """Shared encoder front-end (baseline AND progressive — the two
+    must stay bit-compatible, since progressive-decode ==
+    baseline-decode is a pinned invariant): level-shift / RGB→YCbCr,
+    quality-scaled quant tables, pad + FDCT + quantize + tokenize per
+    component, symbol frequencies → canonical Huffman tables.
+    Returns (h, w, ncomp, n_tabs, qt, per_comp, dc_tabs, ac_tabs)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -688,13 +688,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     qt = [_scaled_quant(QUANT_LUMA, quality)]
     if not gray:
         qt.append(_scaled_quant(QUANT_CHROMA, quality))
-    per_comp = []
-    for i, p in enumerate(comps_px):
-        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
-        per_comp.append(_encode_blocks(
-            _fdct_quant(pad, qt[0 if i == 0 else 1]),
-            reset_every=restart_interval))
-    # interleave per MCU (4:4:4: one block per component per MCU)
+    per_comp = [
+        _encode_blocks(_fdct_quant(
+            np.pad(p_, ((0, ph - h), (0, pw - w)), mode="edge"),
+            qt[0 if i == 0 else 1]), reset_every=reset_every)
+        for i, p_ in enumerate(comps_px)]
+    ncomp = 1 if gray else 3
+    n_tabs = 1 if gray else 2
     freq_dc = [dict(), dict()]
     freq_ac = [dict(), dict()]
     for i, blocks in enumerate(per_comp):
@@ -703,35 +703,55 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             for kind, sym, _v in toks:
                 f = freq_dc[t] if kind == "dc" else freq_ac[t]
                 f[sym] = f.get(sym, 0) + 1
-    n_tabs = 1 if gray else 2
     dc_tabs = [_build_huff_from_freq(freq_dc[t]) for t in range(n_tabs)]
     ac_tabs = [_build_huff_from_freq(freq_ac[t]) for t in range(n_tabs)]
+    return h, w, ncomp, n_tabs, qt, per_comp, dc_tabs, ac_tabs
 
+
+def _segment(out: bytearray, marker: int, payload: bytes) -> None:
+    out.extend(b"\xff" + bytes([marker])
+               + struct.pack(">H", len(payload) + 2) + payload)
+
+
+def _frame_headers(sof_marker: int, h: int, w: int, ncomp: int,
+                   n_tabs: int, qt, dc_tabs, ac_tabs,
+                   restart_interval: int = 0) -> bytearray:
+    """SOI + DQT(s) + SOF + DHTs (+ DRI) — identical for the baseline
+    and progressive encoders except the SOF marker byte."""
     out = bytearray(b"\xff\xd8")
-
-    def segment(marker: int, payload: bytes) -> None:
-        out.extend(b"\xff" + bytes([marker])
-                   + struct.pack(">H", len(payload) + 2) + payload)
-
     for t, q in enumerate(qt):
-        segment(0xDB, bytes([t]) + bytes(int(x) for x in q))
-    ncomp = 1 if gray else 3
+        _segment(out, 0xDB, bytes([t]) + bytes(int(x) for x in q))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for i in range(ncomp):
         sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
-    segment(0xC0, sof)
+    _segment(out, sof_marker, sof)
     for t in range(n_tabs):
         for cls, tab in ((0, dc_tabs[t]), (1, ac_tabs[t])):
-            segment(0xC4, bytes([cls << 4 | t]) + bytes(tab.bits)
-                    + bytes(tab.values))
+            _segment(out, 0xC4, bytes([cls << 4 | t]) + bytes(tab.bits)
+                     + bytes(tab.values))
     if restart_interval:
-        segment(0xDD, struct.pack(">H", restart_interval))
+        _segment(out, 0xDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → baseline JPEG bytes
+    (4:4:4, quant + Huffman tables serialized into the file).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (and resets the DC predictors), the resync structure long
+    scans use — it exists mostly so the decoder's restart path has a
+    roundtrip pin."""
+    h, w, ncomp, n_tabs, qt, per_comp, dc_tabs, ac_tabs = \
+        _prepare_frame(img, quality, reset_every=restart_interval)
+    out = _frame_headers(0xC0, h, w, ncomp, n_tabs, qt,
+                         dc_tabs, ac_tabs, restart_interval)
     sos = bytes([ncomp])
     for i in range(ncomp):
         t = 0 if i == 0 else 1
         sos += bytes([i + 1, t << 4 | t])
     sos += bytes([0, 63, 0])
-    segment(0xDA, sos)
+    _segment(out, 0xDA, sos)
 
     wtr = _BitWriter()
     nblocks = len(per_comp[0])
@@ -764,79 +784,32 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
     JPEG bytes using pure spectral selection (Al=0): one interleaved
     DC scan followed by one full-band AC scan per component.
 
-    Reuses the baseline encoder's block tokenizer verbatim — with
-    Al=0 a progressive DC scan is bit-identical to baseline DC
-    coding, and a baseline AC block coding IS a valid progressive
-    AC-first coding of band 1–63 (the baseline EOB symbol equals
-    progressive EOB0, an end-of-band run of exactly one block; ZRL is
-    shared). Exists so the decoder's SOF2 path has a deterministic
-    self-authored fixture beside the externally-authored goldens:
-    because both encoders share ``_fdct_quant``, decoding the
-    progressive encoding of an image must produce EXACTLY the same
-    pixels as decoding its baseline encoding."""
-    img = np.asarray(img)
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    if gray:
-        comps_px = [img.astype(np.float64) - 128.0]
-    else:
-        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
-        comps_px = [y - 128.0, cb, cr]
-    qt = [_scaled_quant(QUANT_LUMA, quality)]
-    if not gray:
-        qt.append(_scaled_quant(QUANT_CHROMA, quality))
-    # restart_interval resets the DC predictor every that many MCUs
-    # (one block per comp per MCU at 4:4:4) AND emits RSTn between
-    # scan units — the progressive decoder additionally discards any
-    # pending EOB run there, which our encoding never carries across
-    # blocks (baseline tokens use EOB0 only)
-    per_comp = [
-        _encode_blocks(_fdct_quant(
-            np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge"),
-            qt[0 if i == 0 else 1]), reset_every=restart_interval)
-        for i, p in enumerate(comps_px)]
-    ncomp = 1 if gray else 3
-    n_tabs = 1 if gray else 2
-    freq_dc = [dict(), dict()]
-    freq_ac = [dict(), dict()]
-    for i, blocks in enumerate(per_comp):
-        t = 0 if i == 0 else 1
-        for toks in blocks:
-            for kind, sym, _v in toks:
-                f = freq_dc[t] if kind == "dc" else freq_ac[t]
-                f[sym] = f.get(sym, 0) + 1
-    dc_tabs = [_build_huff_from_freq(freq_dc[t]) for t in range(n_tabs)]
-    ac_tabs = [_build_huff_from_freq(freq_ac[t]) for t in range(n_tabs)]
+    Reuses the baseline encoder's entire front-end via
+    ``_prepare_frame`` — with Al=0 a progressive DC scan is
+    bit-identical to baseline DC coding, and a baseline AC block
+    coding IS a valid progressive AC-first coding of band 1–63 (the
+    baseline EOB symbol equals progressive EOB0, an end-of-band run
+    of exactly one block; ZRL is shared). Exists so the decoder's
+    SOF2 path has a deterministic self-authored fixture beside the
+    externally-authored goldens: the shared front-end makes decoding
+    the progressive encoding of an image produce EXACTLY the same
+    pixels as decoding its baseline encoding (pinned).
 
-    out = bytearray(b"\xff\xd8")
-
-    def segment(marker: int, payload: bytes) -> None:
-        out.extend(b"\xff" + bytes([marker])
-                   + struct.pack(">H", len(payload) + 2) + payload)
-
-    for t, q in enumerate(qt):
-        segment(0xDB, bytes([t]) + bytes(int(x) for x in q))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for i in range(ncomp):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
-    segment(0xC2, sof)                       # SOF2: progressive
-    for t in range(n_tabs):
-        for cls, tab in ((0, dc_tabs[t]), (1, ac_tabs[t])):
-            segment(0xC4, bytes([cls << 4 | t]) + bytes(tab.bits)
-                    + bytes(tab.values))
-
-    if restart_interval:
-        segment(0xDD, struct.pack(">H", restart_interval))
+    ``restart_interval`` resets the DC predictor every that many MCUs
+    and emits RSTn between scan units — the progressive decoder
+    additionally discards any pending EOB run there, which this
+    encoding never carries across blocks (baseline tokens use EOB0
+    only)."""
+    h, w, ncomp, n_tabs, qt, per_comp, dc_tabs, ac_tabs = \
+        _prepare_frame(img, quality, reset_every=restart_interval)
+    out = _frame_headers(0xC2, h, w, ncomp, n_tabs, qt,
+                         dc_tabs, ac_tabs, restart_interval)
 
     def emit_scan(header: bytes, units: list) -> None:
         """``units``: one token list per scan unit (MCU for the
         interleaved DC scan, block for AC scans) — the granularity
         restart markers land between."""
-        segment(0xDA, header)
+        _segment(out, 0xDA, header)
         wtr = _BitWriter()
         rst = 0
         for ui, toks in enumerate(units):

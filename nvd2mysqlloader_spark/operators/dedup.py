@@ -463,9 +463,13 @@ def _mark_dirty(path: str, intent: dict) -> None:
     dirs and rebuilds from the filesystem instead of trusting it —
     without the marker that committed data would be silently
     invisible to every later probe (the manifest is the probe's SOLE
-    dir discovery on manifest-bearing tables). For UNKEYED tables
-    this rebuild is the ONLY safe repair: re-running the append is
-    not idempotent (mode=append duplicates the band/sig rows);
+    dir discovery on manifest-bearing tables). The rebuild repairs
+    the MANIFEST; the data state itself is kept probe-safe by the
+    sigs-before-bands write ordering (bands ⊆ sigs always holds, so
+    a torn commit leaves only unreferenced sidecar rows, never band
+    rows whose signatures are missing). For UNKEYED tables the
+    rebuild is the ONLY safe manifest repair: re-running the append
+    is not idempotent (mode=append duplicates the band/sig rows);
     keyed tables may alternatively re-run the batch (dynamic
     partition overwrite of its own partitions)."""
     import json
@@ -483,18 +487,89 @@ def _clear_dirty(path: str) -> None:
         os.remove(_dirty_file(path))
 
 
+def _writer_lockfile(path: str) -> str:
+    return path + "/writer.lock"
+
+
+def _acquire_writer_lock(path: str):
+    """Exclusive append lock, held by the writer for the whole
+    marker→data→manifest→clear window. Its one job is making the
+    dirty marker UNAMBIGUOUS to concurrent readers: flock is released
+    by the OS on any process death, so `marker present + lock free`
+    MEANS crashed writer, and `marker present + lock held` means an
+    append is simply in flight (the on-disk manifest is then the
+    consistent pre-batch snapshot — see _resolve_manifest). Blocking
+    acquire also serializes two accidental concurrent writers instead
+    of letting them interleave appends. POSIX-only (the signature
+    table is a local/posix-fs artifact — the manifest is the local
+    analog of an Iceberg manifest list; an object-store deployment
+    uses a real catalog); returns None where flock is unavailable,
+    degrading to the pre-lock behavior."""
+    import os
+    try:
+        import fcntl
+    except ImportError:                      # non-POSIX: degrade
+        return None
+    fd = os.open(_writer_lockfile(path), os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    return fd
+
+
+def _release_writer_lock(fd) -> None:
+    import os
+    if fd is None:
+        return
+    import fcntl
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
+
+
+def _writer_alive(path: str) -> bool:
+    """True iff some writer currently holds the append lock."""
+    import os
+    try:
+        import fcntl
+    except ImportError:
+        return False
+    try:
+        fd = os.open(_writer_lockfile(path), os.O_RDWR)
+    except FileNotFoundError:
+        return False     # marker predates the lock protocol: crashed
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(fd)
+        return True
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
+    return False
+
+
 def _resolve_manifest(path: str) -> dict | None:
     """Crash-aware manifest read — what every manifest CONSUMER
     (probe, maintenance, rebucket) goes through. A present dirty
-    marker means some writer died between its data commit and its
-    manifest replace, so the manifest on disk may silently miss
-    committed dirs: rebuild from the filesystem (covers both the
-    orphaned batch and everything before it), clear the marker, and
-    return the repaired manifest. Returns None only for a genuinely
-    pre-manifest table (no manifest, no marker, no data yet counted),
-    where callers fall back to recursive listing or a full rebuild."""
+    marker is disambiguated against the writer lock:
+
+    * marker + lock HELD ⇒ an append is in flight right now. The
+      on-disk manifest is the consistent PRE-batch snapshot (the
+      batch is not yet committed from this reader's point of view —
+      the gate's at-least-once semantics), so serve it as-is and
+      NEVER touch another writer's marker: clearing it here would
+      destroy the crash protection if that writer dies before its
+      manifest replace, and rebuilding would race its writes.
+    * marker + lock FREE ⇒ the writer died between its data commit
+      and its manifest replace; the manifest may silently miss
+      committed dirs. Rebuild from the filesystem (covers the
+      orphaned batch and everything before it), clear the marker,
+      return the repaired manifest.
+
+    Returns None only for a genuinely pre-manifest table (no
+    manifest, no marker), where callers fall back to recursive
+    listing or a full rebuild."""
     import os
     if os.path.isfile(_dirty_file(path)):
+        if _writer_alive(path):
+            return _read_manifest(path)
         man = rebuild_signature_manifest(path)
         _clear_dirty(path)
         return man
@@ -643,50 +718,70 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     # invisible to the incremental update path, so this append must
     # finish with a full rebuild (which walks the FS after our writes
     # and therefore covers the orphan and this batch together).
-    stale_marker = os.path.isfile(_dirty_file(path))
-    _mark_dirty(path, {"batch_id": batch_id, "keyed": keyed})
+    # the append lock brackets the whole marker→data→manifest→
+    # clear window (see _acquire_writer_lock): concurrent readers
+    # can then tell an in-flight append from a crashed one, and
+    # accidental concurrent writers serialize instead of
+    # interleaving
+    _lock_fd = _acquire_writer_lock(path)
+    try:
+        stale_marker = os.path.isfile(_dirty_file(path))
+        _mark_dirty(path, {"batch_id": batch_id, "keyed": keyed})
 
-    _write(banded, "/bands", ["bucket"])
-    _write(sidecar, "/sigs", ["doc_bucket"])
+        # SIGS FIRST, bands second: the probe's correctness invariant is
+        # bands ⊆ sigs (every admitted band row must find its signature
+        # in the sidecar join — a band row with no sig silently drops,
+        # and on a legacy capped table an orphan could even be the
+        # over-cap group's sole min-id anchor, unflagging real near-dups)
+        # — so a crash between the two writes must only ever leave the
+        # HARMLESS torn state: sig rows no band group references yet
+        # (never probed, slightly wider sidecar dirs until the batch is
+        # re-run or the table rebuilt). The dirty-marker heal repairs the
+        # MANIFEST over whatever committed; this ordering is what makes
+        # the torn data state itself safe to serve.
+        _write(sidecar, "/sigs", ["doc_bucket"])
+        _write(banded, "/bands", ["bucket"])
 
-    # incremental manifest update — touched dirs only. ONE bounded
-    # job collects both subtables' touched bucket values (≤
-    # batch·bands + batch ints, off the already-materialized sigs);
-    # the row recounts are driver-side parquet-footer reads of just
-    # those dirs. The update is part of the single-writer append
-    # protocol; the dirty marker above makes the
-    # data-committed/manifest-stale crash window self-healing (the
-    # next consumer rebuilds — for UNKEYED tables that rebuild is the
-    # only safe repair, since re-running a mode=append batch
-    # duplicates its band/sig rows; keyed tables may also just re-run
-    # the batch, whose dynamic partition overwrite is idempotent).
-    man = None if stale_marker else _read_manifest(path)
-    if man is None:
-        # LEGACY pre-manifest table (or crash-orphaned manifest): a
-        # targeted update seeded from an empty dict would cover only
-        # THIS batch's dirs, and the next probe — now manifest-driven
-        # — would silently skip the entire pre-existing corpus. Full
-        # rebuild instead: it walks the filesystem AFTER the writes,
-        # so old and new dirs are both covered (regression-pinned in
-        # tests/test_dedup.py::test_legacy_table_append_rebuilds_
-        # manifest).
-        rebuild_signature_manifest(path)
+        # incremental manifest update — touched dirs only. ONE bounded
+        # job collects both subtables' touched bucket values (≤
+        # batch·bands + batch ints, off the already-materialized sigs);
+        # the row recounts are driver-side parquet-footer reads of just
+        # those dirs. The update is part of the single-writer append
+        # protocol; the dirty marker above makes the
+        # data-committed/manifest-stale crash window self-healing (the
+        # next consumer rebuilds — for UNKEYED tables that rebuild is the
+        # only safe repair, since re-running a mode=append batch
+        # duplicates its band/sig rows; keyed tables may also just re-run
+        # the batch, whose dynamic partition overwrite is idempotent).
+        man = None if stale_marker else _read_manifest(path)
+        if man is None:
+            # LEGACY pre-manifest table (or crash-orphaned manifest): a
+            # targeted update seeded from an empty dict would cover only
+            # THIS batch's dirs, and the next probe — now manifest-driven
+            # — would silently skip the entire pre-existing corpus. Full
+            # rebuild instead: it walks the filesystem AFTER the writes,
+            # so old and new dirs are both covered (regression-pinned in
+            # tests/test_dedup.py::test_legacy_table_append_rebuilds_
+            # manifest).
+            rebuild_signature_manifest(path)
+            _clear_dirty(path)
+            return
+        touched = (banded.select(F.lit("bands").alias("t"),
+                                 F.col("bucket").alias("b"))
+                   .unionAll(sidecar.select(F.lit("sigs").alias("t"),
+                                            F.col("doc_bucket").alias("b")))
+                   .distinct().collect())
+        pref = f"batch_id={batch_id}/" if keyed else ""
+        for r in touched:
+            col = "bucket" if r["t"] == "bands" else "doc_bucket"
+            rel = f"{pref}{col}={r['b']}"
+            d = os.path.join(os.path.realpath(path + "/" + r["t"]), rel)
+            if os.path.isdir(d):
+                man[r["t"]][rel] = _dir_rows(d)
+        _write_manifest(path, man)
         _clear_dirty(path)
-        return
-    touched = (banded.select(F.lit("bands").alias("t"),
-                             F.col("bucket").alias("b"))
-               .unionAll(sidecar.select(F.lit("sigs").alias("t"),
-                                        F.col("doc_bucket").alias("b")))
-               .distinct().collect())
-    pref = f"batch_id={batch_id}/" if keyed else ""
-    for r in touched:
-        col = "bucket" if r["t"] == "bands" else "doc_bucket"
-        rel = f"{pref}{col}={r['b']}"
-        d = os.path.join(os.path.realpath(path + "/" + r["t"]), rel)
-        if os.path.isdir(d):
-            man[r["t"]][rel] = _dir_rows(d)
-    _write_manifest(path, man)
-    _clear_dirty(path)
+    finally:
+        _release_writer_lock(_lock_fd)
 
 
 def incremental_minhash_candidates_banded(

@@ -25,10 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-import atexit
-import shutil
-import tempfile
-
 from ..operators._lineage import cut_lineage as _cut
 from ..sources.tpch import load_table
 from .registry import query

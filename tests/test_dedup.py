@@ -1473,3 +1473,53 @@ def test_legacy_meta_table_appends_and_caps_without_sig_fp(
         spark, path, _sh3(probe), max_candidates_per_new=3).collect()
     assert [r["old_id"] for r in cap] == [0]   # min-id anchor only
     assert cap[0]["est_jaccard"] == 1.0
+
+
+def test_live_append_marker_not_cleared_by_reader(spark, tmp_path):
+    """A concurrent reader that finds the dirty marker while the
+    WRITER LOCK is held must treat the append as in flight: serve the
+    on-disk manifest (the consistent pre-batch snapshot) and leave
+    the marker alone — clearing it would destroy the crash protection
+    if the writer later dies before its manifest replace. Once the
+    lock is free, the marker means a crashed writer and the reader
+    heals (rebuild + clear)."""
+    import fcntl
+    import os
+
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _dirty_file, _mark_dirty, _read_manifest, _resolve_manifest,
+        _writer_lockfile, incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+
+    batch1 = spark.createDataFrame(
+        [(i, f"first batch doc {i} alpha beta gamma delta epsilon")
+         for i in range(6)], "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(900, "first batch doc 3 alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    path = str(tmp_path / "livelock")
+    write_banded_signature_table(_sh3(batch1), path, n_buckets=16)
+    man_before = _read_manifest(path)
+
+    # simulate an in-flight append: marker present, lock HELD
+    fd = os.open(_writer_lockfile(path), os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        _mark_dirty(path, {"batch_id": None, "keyed": False})
+        got = _resolve_manifest(path)
+        assert got == man_before            # pre-batch snapshot served
+        assert os.path.isfile(_dirty_file(path))   # marker untouched
+        # the probe keeps working against the snapshot
+        res = incremental_minhash_candidates_banded(
+            spark, path, _sh3(probe)).collect()
+        assert any(r["old_id"] == 3 for r in res)
+        assert os.path.isfile(_dirty_file(path))
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+    # lock released without a manifest replace = crashed writer:
+    # the next consumer heals
+    got = _resolve_manifest(path)
+    assert got == man_before                # nothing new committed
+    assert not os.path.isfile(_dirty_file(path))

@@ -404,6 +404,10 @@ def test_jpeg_roundtrip_and_subset_gates():
     blob[sof + 1] = 0xC1
     with pytest.raises(ValueError, match="extended"):
         decode_jpeg(bytes(blob))
+    # malformed-input rejection stays in THIS unconditional test (it
+    # must run even on hosts without the progressive golden files)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"NOPE" + b"\x00" * 32)
 
 
 PROGRESSIVE_GOLDENS = [
@@ -503,8 +507,6 @@ def test_jpeg_progressive_matches_imageio(spark):
                    axis=2)
     mine = decode_jpeg(open(color, "rb").read()).astype(np.int64)
     assert int(np.abs(mine - ref).max()) <= 2
-    with pytest.raises(ValueError, match="not a JPEG"):
-        decode_jpeg(b"NOPE" + b"\x00" * 32)
 
 
 def test_jpeg_idct_matches_naive_reference():
