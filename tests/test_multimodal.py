@@ -777,3 +777,82 @@ def test_jpeg_progressive_roundtrip_equals_baseline():
     assert (decode_jpeg(encode_jpeg_progressive(rgb,
                                                 restart_interval=4))
             == decode_jpeg(encode_jpeg(rgb))).all()
+
+
+def test_jpeg_progressive_420_differential_vs_imageio(spark):
+    """4:2:0 progressive coverage (the one sampling shape no on-disk
+    golden exercises): the JVM's ImageIO writer encodes a progressive
+    (SOF2, 4:2:0, full successive-approximation scan script) JPEG of
+    a deterministic image; this repo's decoder must agree with the
+    JVM's own read-back to within IDCT rounding. Grayscale pins the
+    entropy/coefficient path exactly (±1); the color image keeps its
+    chroma smooth so nearest-vs-fancy chroma upsampling (a policy
+    difference, not a defect) cannot dominate the comparison (±2)."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import decode_jpeg
+
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+
+    def prog_encode(img_np):
+        h, w = img_np.shape[:2]
+        gray = img_np.ndim == 2
+        img = jvm.java.awt.image.BufferedImage(w, h,
+                                               10 if gray else 1)
+        arr = gw.new_array(jvm.int, h * w)
+        i = 0
+        for y in range(h):
+            for x in range(w):
+                if gray:
+                    v = int(img_np[y, x])
+                    arr[i] = (v << 16) | (v << 8) | v
+                else:
+                    r, g, b = (int(c) for c in img_np[y, x])
+                    arr[i] = (r << 16) | (g << 8) | b
+                i += 1
+        img.setRGB(0, 0, w, h, arr, 0, w)
+        writer = jvm.javax.imageio.ImageIO \
+            .getImageWritersByFormatName("jpeg").next()
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        writer.write(None,
+                     jvm.javax.imageio.IIOImage(img, None, None),
+                     param)
+        ios.close()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    def jvm_decode(data, gray):
+        im = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(data))
+        w, h = im.getWidth(), im.getHeight()
+        if gray:
+            return np.array(
+                im.getRaster().getSamples(0, 0, w, h, 0, None),
+                dtype=np.int64).reshape(h, w)
+        a = np.array(im.getRGB(0, 0, w, h, None, 0, w),
+                     dtype=np.int64).reshape(h, w)
+        return np.stack([(a >> 16) & 0xFF, (a >> 8) & 0xFF,
+                         a & 0xFF], axis=2)
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    gray_img = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    blob = prog_encode(gray_img)
+    assert b"\xff\xc2" in blob               # really progressive
+    diff = np.abs(decode_jpeg(blob).astype(int)
+                  - jvm_decode(blob, True))
+    assert int(diff.max()) <= 1
+
+    smooth = np.stack([(yy * 4).astype(np.uint8),
+                       (yy * 4).astype(np.uint8),
+                       (yy * 4 + xx // 8).astype(np.uint8)], axis=2)
+    blob = prog_encode(smooth)
+    assert b"\xff\xc2" in blob
+    diff = np.abs(decode_jpeg(blob).astype(int)
+                  - jvm_decode(blob, False))
+    assert int(diff.max()) <= 2
