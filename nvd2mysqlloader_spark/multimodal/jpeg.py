@@ -24,13 +24,19 @@ The subset is explicit, like the PNG and GIF decoders':
   byte-identical; progressive files redefine DHT between scans and
   the parse loop honors that).
 
-The encoder writes baseline 4:4:4 (or single-component grayscale)
-with Annex-K-style quant tables scaled by ``quality`` and
-canonically-built Huffman tables serialized into the file, so
-encoder/decoder agreement is by construction, and the decoder is
-ALSO pinned against real-world externally-authored baseline JPEGs
-(tests embed the 331-byte IPython `2x2.jpg` test fixture and a
-CPython `python.jpg` crop as goldens).
+Two encoders share one front-end (``_prepare_frame``): baseline
+4:4:4 (or single-component grayscale) with Annex-K-style quant
+tables scaled by ``quality`` and canonically-built Huffman tables
+serialized into the file, and a progressive spectral-selection
+encoder (``encode_jpeg_progressive``) whose decode must equal the
+baseline decode EXACTLY (shared quantizer — pinned). The decoder is
+ALSO pinned against real-world externally-authored files: baseline
+goldens (the 331-byte IPython `2x2.jpg` fixture, a CPython
+`python.jpg` crop), four progressive goldens shipped in this
+container (incl. full successive approximation and 4:2:2 with an
+interleaved DC scan), and pixel-level differentials against the
+JVM's independent ``javax.imageio`` decoder (and its progressive
+4:2:0 WRITER).
 
 Executor-side workhorse for ``mapInPandas`` media ops: bytes in,
 numpy out, no I/O, no global state.
