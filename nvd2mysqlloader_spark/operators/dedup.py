@@ -517,32 +517,31 @@ def _acquire_writer_lock(path: str):
 
 def _release_writer_lock(fd) -> None:
     import os
-    if fd is None:
+    if fd is None or fd == -1:     # no lock taken / flock unavailable
         return
     import fcntl
     fcntl.flock(fd, fcntl.LOCK_UN)
     os.close(fd)
 
 
-def _writer_alive(path: str) -> bool:
-    """True iff some writer currently holds the append lock."""
+def _try_writer_lock(path: str):
+    """Non-blocking exclusive acquire of the append lock: an fd when
+    no writer is running (caller must _release_writer_lock), None
+    when a writer currently holds it — or when flock is unavailable,
+    where the caller degrades to the lock-free behavior by treating
+    the acquire as... successful-but-unprotected (sentinel -1)."""
     import os
     try:
         import fcntl
     except ImportError:
-        return False
-    try:
-        fd = os.open(_writer_lockfile(path), os.O_RDWR)
-    except FileNotFoundError:
-        return False     # marker predates the lock protocol: crashed
+        return -1
+    fd = os.open(_writer_lockfile(path), os.O_CREAT | os.O_RDWR, 0o644)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     except OSError:
         os.close(fd)
-        return True
-    fcntl.flock(fd, fcntl.LOCK_UN)
-    os.close(fd)
-    return False
+        return None
+    return fd
 
 
 def _resolve_manifest(path: str) -> dict | None:
@@ -557,22 +556,34 @@ def _resolve_manifest(path: str) -> dict | None:
       NEVER touch another writer's marker: clearing it here would
       destroy the crash protection if that writer dies before its
       manifest replace, and rebuilding would race its writes.
-    * marker + lock FREE ⇒ the writer died between its data commit
-      and its manifest replace; the manifest may silently miss
-      committed dirs. Rebuild from the filesystem (covers the
-      orphaned batch and everything before it), clear the marker,
-      return the repaired manifest.
+    * marker + lock ACQUIRABLE ⇒ the writer died between its data
+      commit and its manifest replace; the manifest may silently
+      miss committed dirs. The heal — rebuild from the filesystem
+      (covers the orphaned batch and everything before it) and clear
+      the marker — runs WHILE HOLDING the lock, with the marker
+      re-checked under it: deciding from a momentary liveness PROBE
+      instead would race a writer that starts between the probe and
+      the clear, deleting the new writer's marker (the
+      check-then-act hole this structure exists to close).
 
     Returns None only for a genuinely pre-manifest table (no
     manifest, no marker), where callers fall back to recursive
     listing or a full rebuild."""
     import os
     if os.path.isfile(_dirty_file(path)):
-        if _writer_alive(path):
+        fd = _try_writer_lock(path)
+        if fd is None:                   # live append in flight
             return _read_manifest(path)
-        man = rebuild_signature_manifest(path)
-        _clear_dirty(path)
-        return man
+        try:
+            if not os.path.isfile(_dirty_file(path)):
+                # the append finished (or another reader healed)
+                # between our marker sighting and the acquire
+                return _read_manifest(path)
+            man = rebuild_signature_manifest(path)
+            _clear_dirty(path)
+            return man
+        finally:
+            _release_writer_lock(fd)
     return _read_manifest(path)
 
 
