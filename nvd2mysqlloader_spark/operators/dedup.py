@@ -442,9 +442,39 @@ def _read_manifest(path: str) -> dict | None:
         return json.load(f)
 
 
-def _write_manifest(path: str, man: dict) -> None:
+class StaleManifestError(RuntimeError):
+    """A writer's manifest replace was based on a snapshot another
+    writer has since superseded (epoch CAS failure). Under the POSIX
+    flock protocol this cannot fire — the lock serializes writers —
+    so it detects the degraded modes: flock unavailable, or an
+    out-of-band mutator. The failed writer's DATA is committed
+    (parquet landed, dirty marker present), so the repair is a
+    manifest rebuild, not a re-run."""
+
+
+def _manifest_epoch(man: dict | None) -> int:
+    return 0 if man is None else int(man.get("epoch", 0))
+
+
+def _write_manifest(path: str, man: dict,
+                    expect_epoch: int | None = None) -> None:
+    """Atomic manifest replace. With ``expect_epoch`` the replace is
+    a compare-and-swap on the monotonic manifest epoch: the on-disk
+    epoch is re-read immediately before the replace and must equal
+    the epoch the writer's snapshot was read at, else
+    :class:`StaleManifestError` — a lost update becomes a loud error
+    instead of a silent last-write-wins clobber. Detection, not
+    prevention (re-read→replace is not itself atomic); prevention is
+    the flock writer lock, under which the CAS can never fail."""
     import json
     import os
+    if expect_epoch is not None:
+        if _manifest_epoch(_read_manifest(path)) != expect_epoch:
+            raise StaleManifestError(
+                f"manifest at {path} moved past epoch {expect_epoch} "
+                "under this writer; rebuild the manifest to repair")
+        man = dict(man)
+        man["epoch"] = expect_epoch + 1
     tmp = _manifest_file(path) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(man, f, sort_keys=True)
@@ -566,21 +596,46 @@ def _resolve_manifest(path: str) -> dict | None:
       the clear, deleting the new writer's marker (the
       check-then-act hole this structure exists to close).
 
+    Two degraded-consumer paths never mutate protocol state (ADVICE
+    r11 #1/#2): where flock is unavailable the lock cannot prove a
+    marked writer is dead, and on a read-only mount the heal cannot
+    write — both serve an IN-MEMORY filesystem rebuild (this reader
+    sees every committed dir) while leaving the marker and on-disk
+    manifest untouched, so a possibly-live writer's crash protection
+    is never destroyed and read-only probes still see committed data.
+    Marker-clearing stays reserved for the provably-dead-writer heal
+    (lock acquired under real flock) or explicit maintenance
+    (:func:`rebuild_signature_manifest`).
+
     Returns None only for a genuinely pre-manifest table (no
     manifest, no marker), where callers fall back to recursive
     listing or a full rebuild."""
     import os
     if os.path.isfile(_dirty_file(path)):
-        fd = _try_writer_lock(path)
+        try:
+            fd = _try_writer_lock(path)
+        except OSError:
+            # read-only mount: O_CREAT on writer.lock is refused, so
+            # neither the heal's write nor the clear could land anyway
+            return rebuild_signature_manifest(path, persist=False)
         if fd is None:                   # live append in flight
             return _read_manifest(path)
+        if fd == -1:
+            # flock unavailable: liveness is undecidable, so rebuild
+            # in memory (see committed dirs) but never clear what may
+            # be a LIVE writer's marker
+            return rebuild_signature_manifest(path, persist=False)
         try:
             if not os.path.isfile(_dirty_file(path)):
                 # the append finished (or another reader healed)
                 # between our marker sighting and the acquire
                 return _read_manifest(path)
-            man = rebuild_signature_manifest(path)
-            _clear_dirty(path)
+            try:
+                man = rebuild_signature_manifest(path)
+                _clear_dirty(path)
+            except OSError:
+                # data readable but protocol files are not writable
+                return rebuild_signature_manifest(path, persist=False)
             return man
         finally:
             _release_writer_lock(fd)
@@ -613,10 +668,14 @@ def _man_files(v) -> int:
     return v.get("files", 1) if isinstance(v, dict) else 1
 
 
-def rebuild_signature_manifest(path: str) -> dict:
+def rebuild_signature_manifest(path: str, persist: bool = True) -> dict:
     """Full filesystem rebuild of the banded table's dir manifest
     (VERDICT r9 ask #4): rel leaf partition dir → row count for both
     subtables, written atomically to ``{path}/manifest.json``.
+    ``persist=False`` computes the same manifest WITHOUT writing it —
+    the degraded-consumer path (read-only mount, or no flock to prove
+    a marked writer is dead) where this reader needs to see committed
+    dirs but must not mutate the table's crash-protocol state.
 
     The manifest is the probe's DIR DISCOVERY: resolving the touched
     buckets against it replaces the per-probe recursive partition
@@ -641,7 +700,11 @@ def rebuild_signature_manifest(path: str) -> dict:
             for d in table_io.leaf_partition_dirs(root):
                 dirs[d] = _dir_rows(os.path.join(root, d))
         man[sub] = dirs
-    _write_manifest(path, man)
+    if persist:
+        # a rebuild is authoritative (it IS the filesystem), so it
+        # advances the epoch unconditionally rather than CAS-checking
+        man["epoch"] = _manifest_epoch(_read_manifest(path)) + 1
+        _write_manifest(path, man)
     return man
 
 
@@ -655,7 +718,19 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     table at ``path`` (creating it on first write). See the layout
     comment above; ``batch_id`` keys the write for foreachBatch
     retry idempotence (dynamic partition overwrite of the batch's own
-    partitions)."""
+    partitions).
+
+    MULTI-WRITER CONTRACT: concurrent appends to one table are
+    serialized by the blocking writer flock — both batches land, each
+    incremental manifest update reads the other's committed state,
+    and the final manifest equals a filesystem rebuild (pinned by
+    tests/test_dedup.py::test_concurrent_appends_serialize). Where
+    flock is unavailable the manifest replace is still epoch-CAS'd:
+    a writer whose snapshot another writer superseded raises
+    :class:`StaleManifestError` instead of silently losing the other
+    writer's update (its own data IS committed; the repair is
+    :func:`rebuild_signature_manifest`). Multi-HOST writers need a
+    real catalog — flock does not span NFS/object stores."""
     import json
     import os
     spark = shingled.sparkSession
@@ -789,7 +864,12 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
             d = os.path.join(os.path.realpath(path + "/" + r["t"]), rel)
             if os.path.isdir(d):
                 man[r["t"]][rel] = _dir_rows(d)
-        _write_manifest(path, man)
+        # epoch CAS: under the flock this cannot fail (the lock
+        # serializes writers); where flock is unavailable it turns a
+        # stale writer's would-be lost update into StaleManifestError
+        # (data is committed + marker present, so the repair is a
+        # manifest rebuild, not a batch re-run)
+        _write_manifest(path, man, expect_epoch=_manifest_epoch(man))
         _clear_dirty(path)
     finally:
         _release_writer_lock(_lock_fd)
@@ -842,7 +922,12 @@ def incremental_minhash_candidates_banded(
     applied AFTER the ≥-threshold filter, so a genuine near-dup can
     never be evicted by a crowd of low-id sub-threshold band
     collisions. CALLER-FACING CONTRACT for the capped mode: the
-    collapse is exact at SIGNATURE granularity. Sig-identical
+    collapse is exact at SIGNATURE granularity — up to 64-bit
+    ``sig_fp`` (xxhash64) fingerprint collisions: two genuinely
+    different signatures colliding on the fingerprint inside one
+    over-cap group would share an anchor (probability ~n²·2⁻⁶⁵ per
+    group; the collapse granularity is the fingerprint, not the
+    signature bytes). Sig-identical
     cluster members are losslessly represented by their anchor (same
     est_jaccard against any probe), so the set of new docs flagged
     ≥ threshold and their cluster assignment (the anchor's connected
@@ -981,7 +1066,9 @@ def incremental_minhash_candidates_banded(
         # band_hash)), so the windows over the PRUNED rows see exact
         # group sizes; one extra shuffle over pruned rows, capped mode
         # only. RESIDUAL (caller-facing contract): the collapse is
-        # exact at signature granularity — a near-dup whose only
+        # exact at signature granularity (up to 64-bit sig_fp
+        # collisions between distinct signatures in one over-cap
+        # group, ~n²·2⁻⁶⁵) — a near-dup whose only
         # overlap with the batch is POSITION-level partial sig matches
         # inside bands it shares with a different-sig crowd can still
         # be missed; pre-fp legacy tables (meta lacks sig_fp) fall

@@ -974,7 +974,10 @@ def test_manifest_maintained_and_probe_fallback_identical(
     with_man = sorted(map(tuple, incremental_minhash_candidates_banded(
         spark, path, new).collect()))
     # rebuild must be a no-op on a consistently-maintained table
-    assert rebuild_signature_manifest(path) == man
+    # (data keys; the rebuild advances the monotonic epoch by design)
+    rb = rebuild_signature_manifest(path)
+    assert {k: rb[k] for k in ("bands", "sigs")} == \
+        {k: man[k] for k in ("bands", "sigs")}
     # pre-manifest table (fallback path): same relation
     os.rename(path + "/manifest.json", path + "/manifest.json.bak")
     try:
@@ -1519,7 +1522,243 @@ def test_live_append_marker_not_cleared_by_reader(spark, tmp_path):
         os.close(fd)
 
     # lock released without a manifest replace = crashed writer:
-    # the next consumer heals
+    # the next consumer heals (data keys unchanged, epoch advanced)
     got = _resolve_manifest(path)
-    assert got == man_before                # nothing new committed
+    assert {k: got[k] for k in ("bands", "sigs")} == \
+        {k: man_before[k] for k in ("bands", "sigs")}
     assert not os.path.isfile(_dirty_file(path))
+
+
+def _crash_append(spark, path, doc_id, text):
+    """Commit a batch's parquet but die before the manifest replace,
+    leaving the dirty marker + a stale manifest (shared fixture for
+    the degraded-consumer tests)."""
+    from nvd2mysqlloader_spark.operators import dedup
+    from nvd2mysqlloader_spark.operators.dedup import (
+        write_banded_signature_table)
+    df = spark.createDataFrame([(doc_id, text)],
+                               "doc_id long, text string")
+    real = dedup._write_manifest
+    dedup._write_manifest = lambda *a, **k: (_ for _ in ()).throw(
+        OSError("simulated crash"))
+    try:
+        import pytest as _pytest
+        with _pytest.raises(OSError):
+            write_banded_signature_table(_sh3(df), path, n_buckets=16)
+    finally:
+        dedup._write_manifest = real
+
+
+def test_resolve_manifest_no_fcntl_never_clears_marker(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r11 #1: where flock is unavailable (_try_writer_lock's
+    -1 sentinel) a marked writer's liveness is undecidable, so the
+    consumer must serve an IN-MEMORY rebuild — seeing every committed
+    dir — while leaving the marker and the on-disk manifest alone: a
+    heal here could destroy a LIVE writer's crash protection."""
+    import os
+
+    from nvd2mysqlloader_spark.operators import dedup
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _dirty_file, _read_manifest, _resolve_manifest,
+        write_banded_signature_table)
+
+    batch1 = spark.createDataFrame(
+        [(i, f"first batch doc {i} alpha beta gamma delta epsilon")
+         for i in range(4)], "doc_id long, text string")
+    path = str(tmp_path / "nofcntl")
+    write_banded_signature_table(_sh3(batch1), path, n_buckets=16)
+    man_stale = _read_manifest(path)
+    _crash_append(spark, path, 100,
+                  "orphan doc aaa bbb ccc ddd eee fff ggg")
+
+    monkeypatch.setattr(dedup, "_try_writer_lock", lambda p: -1)
+    got = _resolve_manifest(path)
+    # sees the orphaned batch's committed sig rows (5 = 4 + 1)...
+    assert sum(v["rows"] for v in got["sigs"].values()) == 5
+    # ...but mutates NO protocol state
+    assert os.path.isfile(_dirty_file(path))
+    assert _read_manifest(path) == man_stale
+
+
+def test_resolve_manifest_readonly_mount_serves_committed_data(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r11 #2: a probe against a read-only table mount (the
+    lock open with O_CREAT raises OSError) must degrade to an
+    in-memory rebuild instead of raising — read-only consumers still
+    see committed data, and nothing on disk changes."""
+    import os
+
+    from nvd2mysqlloader_spark.operators import dedup
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _dirty_file, _read_manifest, _resolve_manifest,
+        incremental_minhash_candidates_banded,
+        write_banded_signature_table)
+
+    batch1 = spark.createDataFrame(
+        [(i, f"first batch doc {i} alpha beta gamma delta epsilon")
+         for i in range(4)], "doc_id long, text string")
+    target = "read only target unique payload words here now ok yes"
+    path = str(tmp_path / "romount")
+    write_banded_signature_table(_sh3(batch1), path, n_buckets=16)
+    man_stale = _read_manifest(path)
+    _crash_append(spark, path, 100, target)
+
+    def ro_lock(p):
+        raise OSError(30, "Read-only file system")
+    monkeypatch.setattr(dedup, "_try_writer_lock", ro_lock)
+
+    got = _resolve_manifest(path)
+    assert sum(v["rows"] for v in got["sigs"].values()) == 5
+    assert os.path.isfile(_dirty_file(path))
+    assert _read_manifest(path) == man_stale
+
+    # the full probe path works end-to-end on the degraded consumer
+    probe = spark.createDataFrame([(900, target)],
+                                  "doc_id long, text string")
+    res = incremental_minhash_candidates_banded(
+        spark, path, _sh3(probe)).collect()
+    assert any(r["old_id"] == 100 and r["est_jaccard"] == 1.0
+               for r in res)
+    assert os.path.isfile(_dirty_file(path))
+
+
+def test_resolve_manifest_heal_write_failure_degrades(
+        spark, tmp_path, monkeypatch):
+    """If the provably-dead-writer heal acquires the real lock but the
+    manifest WRITE then fails (protocol files unwritable), the
+    consumer falls back to the in-memory rebuild instead of raising,
+    and the marker survives for a consumer that CAN write."""
+    import os
+
+    from nvd2mysqlloader_spark.operators import dedup
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _dirty_file, _resolve_manifest, write_banded_signature_table)
+
+    batch1 = spark.createDataFrame(
+        [(i, f"first batch doc {i} alpha beta gamma delta epsilon")
+         for i in range(4)], "doc_id long, text string")
+    path = str(tmp_path / "healfail")
+    write_banded_signature_table(_sh3(batch1), path, n_buckets=16)
+    _crash_append(spark, path, 100,
+                  "orphan doc aaa bbb ccc ddd eee fff ggg")
+
+    def no_write(*a, **k):
+        raise OSError(30, "Read-only file system")
+    monkeypatch.setattr(dedup, "_write_manifest", no_write)
+    got = _resolve_manifest(path)
+    assert sum(v["rows"] for v in got["sigs"].values()) == 5
+    assert os.path.isfile(_dirty_file(path))
+    monkeypatch.undo()
+
+    # a later writable consumer completes the heal
+    got2 = _resolve_manifest(path)
+    assert sum(v["rows"] for v in got2["sigs"].values()) == 5
+    assert not os.path.isfile(_dirty_file(path))
+
+
+def test_concurrent_appends_serialize(spark, tmp_path):
+    """VERDICT r11 ask #5: two LIVE writers racing the same table must
+    serialize on the blocking writer flock — both batches land, each
+    incremental manifest update reads the other's committed state,
+    and the final manifest equals a from-scratch filesystem rebuild.
+    Two threads, each with its own lock fd (flock conflicts are per
+    open-file-description, so same-process threads contend exactly
+    like two processes would)."""
+    import threading
+
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _read_manifest, incremental_minhash_candidates_banded,
+        rebuild_signature_manifest, write_banded_signature_table)
+
+    path = str(tmp_path / "race")
+    seed = spark.createDataFrame(
+        [(0, "seed doc alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string")
+    write_banded_signature_table(_sh3(seed), path, n_buckets=16)
+
+    texts = {1: "first racer unique payload aaa bbb ccc ddd eee",
+             2: "second racer unique payload vvv www xxx yyy zzz"}
+    errs = []
+
+    def appender(i):
+        try:
+            df = spark.createDataFrame([(i, texts[i])],
+                                       "doc_id long, text string")
+            write_banded_signature_table(_sh3(df), path, n_buckets=16)
+        except Exception as e:          # surfaced to the main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,))
+               for i in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert not any(t.is_alive() for t in threads), "writer deadlock"
+
+    man = _read_manifest(path)
+    assert sum(v["rows"] for v in man["sigs"].values()) == 3
+    # the maintained manifest equals a filesystem rebuild exactly
+    rb = rebuild_signature_manifest(path, persist=False)
+    assert {k: man[k] for k in ("bands", "sigs")} == rb
+    # both racers' docs are probe-visible
+    for i, text in texts.items():
+        probe = spark.createDataFrame([(900 + i, text)],
+                                      "doc_id long, text string")
+        res = incremental_minhash_candidates_banded(
+            spark, path, _sh3(probe)).collect()
+        assert any(r["old_id"] == i and r["est_jaccard"] == 1.0
+                   for r in res), f"racer {i}'s batch invisible"
+
+
+def test_manifest_epoch_cas_detects_stale_writer(
+        spark, tmp_path, monkeypatch):
+    """The stretch contract: where flock cannot serialize writers
+    (the -1 sentinel), a writer whose manifest snapshot another
+    writer superseded must raise StaleManifestError at replace time —
+    never silently last-write-wins away the other writer's update.
+    Its own DATA is committed, so a manifest rebuild repairs."""
+    import pytest
+
+    from nvd2mysqlloader_spark.operators import dedup
+    from nvd2mysqlloader_spark.operators.dedup import (
+        StaleManifestError, _manifest_epoch, _read_manifest,
+        rebuild_signature_manifest, write_banded_signature_table)
+
+    path = str(tmp_path / "cas")
+    seed = spark.createDataFrame(
+        [(0, "seed doc alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string")
+    write_banded_signature_table(_sh3(seed), path, n_buckets=16)
+    epoch0 = _manifest_epoch(_read_manifest(path))
+
+    # no flock: writers can interleave; simulate B committing between
+    # A's manifest read and A's replace by having A's CAS'd write hit
+    # a manifest whose epoch B already advanced
+    monkeypatch.setattr(dedup, "_try_writer_lock", lambda p: -1)
+    monkeypatch.setattr(dedup, "_acquire_writer_lock", lambda p: -1)
+    real_write = dedup._write_manifest
+    fired = {}
+
+    def interpose(p, man, expect_epoch=None):
+        if expect_epoch is not None and "bumped" not in fired:
+            fired["bumped"] = True
+            cur = dedup._read_manifest(p)
+            cur["epoch"] = cur.get("epoch", 0) + 1   # writer B wins
+            real_write(p, cur)
+        real_write(p, man, expect_epoch=expect_epoch)
+    monkeypatch.setattr(dedup, "_write_manifest", interpose)
+
+    df = spark.createDataFrame(
+        [(1, "stale writer unique payload aaa bbb ccc ddd eee")],
+        "doc_id long, text string")
+    with pytest.raises(StaleManifestError):
+        write_banded_signature_table(_sh3(df), path, n_buckets=16)
+    monkeypatch.undo()
+
+    # the loser's data IS committed; the prescribed repair covers it
+    man = rebuild_signature_manifest(path)
+    assert sum(v["rows"] for v in man["sigs"].values()) == 2
+    assert _manifest_epoch(man) > epoch0
