@@ -8,11 +8,13 @@ no shuffle, Arrow batches in and out, one Python worker per core.
 
 PIL/ffmpeg/librosa are NOT in this container, so the codecs are
 pure-Python/numpy (``codecs.py``, ``jpeg.py``, ``mp4.py``): PNG,
-BMP, GIF, baseline JPEG, and WAV-PCM decode for REAL, and MP4
-parses at the container level for real (track metadata + actual
-frame byte ranges from the sample tables). The ONE remaining gate
-is decoding a video sample's bitstream to pixels
-(H.264/HEVC — ``mp4.decode_frame_pixels`` raises
+BMP, GIF, baseline+progressive JPEG, and WAV-PCM decode for REAL,
+MP4 parses at the container level for real (track metadata + actual
+frame byte ranges from the sample tables), and MJPEG video samples
+decode to pixels for real (each sample is a bare JPEG →
+``mp4.decode_frame_pixels`` routes it through ``jpeg.decode_jpeg``).
+The ONE remaining gate is decoding an INTER-frame video bitstream to
+pixels (H.264/HEVC — ``mp4.decode_frame_pixels`` raises
 ``NotImplementedError``), which genuinely needs an external codec
 stack. A deterministic fake container format ("SGM1") remains the
 bulk-test format that keeps every piece of Spark plumbing — schema,
@@ -70,13 +72,16 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
     PNG (zlib + filters, ``codecs.decode_png``), BMP
     (``codecs.decode_bmp``), GIF (pure-Python LZW,
     ``codecs.decode_gif``), baseline JPEG (Huffman + dequant + IDCT,
-    ``jpeg.decode_jpeg`` — progressive/arithmetic raise with the
-    reason) and WAV-PCM (``codecs.decode_wav`` — width carries
-    sample-rate/1000, height channels, matching the SGM1
-    convention). The SGM1 fake container remains the bulk-test
-    format; the one decode that still genuinely requires an external
-    codec stack (MP4/video) keeps raising — swapping in ffmpeg there
-    changes no plan shape."""
+    ``jpeg.decode_jpeg``, baseline + progressive — arithmetic raises
+    with the reason) and WAV-PCM (``codecs.decode_wav`` — width
+    carries sample-rate/1000, height channels, matching the SGM1
+    convention). MP4 video whose track fourcc is MJPEG decodes its
+    frames to pixels through the same JPEG decoder; other video
+    codecs keep the raw sample bytes as payload. The SGM1 fake
+    container remains the bulk-test format; the one decode that
+    still genuinely requires an external codec stack (H.264/HEVC
+    inter-frame) keeps raising — swapping in ffmpeg there changes no
+    plan shape."""
     from . import codecs
 
     if content[:4] == MAGIC:
@@ -103,7 +108,7 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
         h, w = img.shape[:2]
         return "image", w, h, img.tobytes()
     if content[4:8] == b"ftyp":
-        from .mp4 import parse_mp4
+        from .mp4 import _MJPEG_FOURCCS, decode_video_frames, parse_mp4
         info = parse_mp4(content)
         tracks = info["tracks"]
         # kind from the media HANDLER, not assumed: an .m4a is an
@@ -120,8 +125,18 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
                 kind = "audio"
         if t is None:
             t = tracks[0] if tracks else {}
-        payload = b"".join(content[o:o + s]
-                           for o, s in t.get("samples", []))
+        if (kind == "video" and
+                t.get("codec", "").strip().lower() in _MJPEG_FOURCCS):
+            # MJPEG decodes to PIXELS for real (each sample is a bare
+            # intra-coded JPEG → the repo's own decoder), so the
+            # payload this feature op measures is the decoded raster,
+            # exactly like the still-image branches above
+            frames = decode_video_frames(content)
+            payload = b"".join(fr.astype(np.uint8).tobytes()
+                               for fr in frames)
+        else:
+            payload = b"".join(content[o:o + s]
+                               for o, s in t.get("samples", []))
         return (kind, t.get("width", 0), t.get("height", 0), payload)
     raise ValueError(f"unknown media container: {content[:4]!r}")
 
@@ -348,3 +363,63 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
     ])
     return media.select("media_id", "content").mapInPandas(
         frames, schema=out_schema)
+
+
+FRAME_PIXEL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+    T.StructField("matches_jpeg_decoder", T.BooleanType()),
+])
+
+
+def video_frame_pixels(media: DataFrame,
+                       max_frames: int = 8) -> DataFrame:
+    """Per-frame PIXEL decode of MJPEG MP4 rows — the decode leg the
+    frame-sampling op stops short of (``sample_frames`` emits sample
+    BYTES; this decodes them). One output row per decoded frame with
+    dims/channels/mean over the decoded raster, all computed
+    executor-side inside the Arrow batch (narrow map, no shuffle —
+    identical plan shape to ``decode_media_features``).
+
+    ``matches_jpeg_decoder`` re-decodes the extracted sample bytes
+    through ``jpeg.decode_jpeg`` directly and pins array equality
+    against the container-routed path
+    (``mp4.decode_frame_pixels`` with the track's fourcc) — the
+    routing must neither corrupt the sample bytes nor mis-read the
+    codec. Non-MJPEG or non-MP4 rows contribute no rows (the decode
+    for inter-frame codecs stays gated in
+    ``mp4.decode_frame_pixels``)."""
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+        from .mp4 import _MJPEG_FOURCCS, decode_frame_pixels, parse_mp4
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                if content[4:8] != b"ftyp":
+                    continue
+                info = parse_mp4(content)
+                vt = next((x for x in info["tracks"]
+                           if x.get("handler") == "vide"), None)
+                if vt is None:
+                    continue
+                codec = vt.get("codec", "")
+                if codec.strip().lower() not in _MJPEG_FOURCCS:
+                    continue
+                for i, (o, s) in enumerate(vt["samples"][:max_frames]):
+                    sample = content[o:o + s]
+                    px = decode_frame_pixels(sample, codec)
+                    direct = decode_jpeg(sample)
+                    h, w = px.shape[:2]
+                    ch = 1 if px.ndim == 2 else px.shape[2]
+                    rows.append((mid, i, w, h, ch, float(px.mean()),
+                                 bool(np.array_equal(px, direct))))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in FRAME_PIXEL_SCHEMA])
+
+    return media.select("media_id", "content").mapInPandas(
+        frames, schema=FRAME_PIXEL_SCHEMA)

@@ -178,15 +178,59 @@ def extract_samples(data: bytes, track: int = 0) -> list[bytes]:
     return [data[o:o + s] for o, s in info["tracks"][track]["samples"]]
 
 
-def decode_frame_pixels(sample: bytes, codec: str) -> None:
-    """Sample bitstream → pixels. H.264/HEVC entropy decode +
-    prediction genuinely needs a codec stack (ffmpeg/openh264) that
-    is not in this container — the container/sample layer above is
-    fully real; swap this one function in production."""
+# MJPEG sample-entry fourccs whose samples are bare JPEG images
+# (ISO/IEC 14496 'jpeg'; AVI-lineage 'mjpg'; QuickTime Motion-JPEG A
+# 'mjpa', whose per-frame app marker decode_jpeg skips like any APPn).
+# QuickTime 'mjpb' is deliberately EXCLUDED: its frames omit the
+# JPEG markers and are not a standalone JPEG bitstream.
+_MJPEG_FOURCCS = {"jpeg", "mjpg", "mjpa"}
+
+
+def decode_frame_pixels(sample: bytes, codec: str):
+    """Sample bitstream → pixel ndarray (uint8, HxW gray or HxWx3).
+
+    MJPEG (fourccs in ``_MJPEG_FOURCCS``) decodes for real: each
+    video sample is a complete intra-coded JPEG image, so it routes
+    through the repo's own baseline+progressive decoder
+    (``multimodal.jpeg.decode_jpeg`` — VERDICT r11 ask #1). The
+    remaining gate is INTER-frame codecs only: H.264/HEVC entropy
+    decode + motion-compensated prediction genuinely needs a codec
+    stack (ffmpeg/openh264) that is not in this container — the
+    container/sample layer above is fully real; swap this one
+    function in production."""
+    if codec.strip().lower() in _MJPEG_FOURCCS:
+        from .jpeg import decode_jpeg
+        return decode_jpeg(sample)
     raise NotImplementedError(
-        f"{codec} bitstream decode requires a real codec stack "
-        "(ffmpeg) — container parsing and sample extraction are real; "
-        "swap decode_frame_pixels in production")
+        f"{codec} inter-frame bitstream decode requires a real codec "
+        "stack (ffmpeg) — container parsing, sample extraction, and "
+        "MJPEG intra-frame decode are real; swap decode_frame_pixels "
+        "in production for H.264/HEVC")
+
+
+def decode_video_frames(data: bytes, track: int | None = None,
+                        max_frames: int | None = None) -> list:
+    """MP4 bytes → decoded pixel arrays of one video track's frames,
+    routing each sample through :func:`decode_frame_pixels` with the
+    track's OWN sample-entry fourcc (no caller-supplied codec to
+    drift from the container's). ``track=None`` picks the first
+    video-handler track."""
+    info = parse_mp4(data)
+    if track is None:
+        t = next((x for x in info["tracks"]
+                  if x.get("handler") == "vide"), None)
+        if t is None:
+            raise ValueError("MP4 has no video track")
+    else:
+        if track >= len(info["tracks"]):
+            raise ValueError(f"MP4 has {len(info['tracks'])} tracks")
+        t = info["tracks"][track]
+    codec = t.get("codec", "")
+    ranges = t["samples"]
+    if max_frames is not None:
+        ranges = ranges[:max_frames]
+    return [decode_frame_pixels(data[o:o + s], codec)
+            for o, s in ranges]
 
 
 # ---------------------------------------------------------------------------

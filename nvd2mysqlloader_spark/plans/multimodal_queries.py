@@ -157,7 +157,9 @@ def image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
       (CAST(5 AS BIGINT), 'image', CAST(8 AS INT), CAST(6 AS INT),
        CAST(48 AS BIGINT), CAST(128.0 AS DOUBLE)),
       (CAST(6 AS BIGINT), 'image', CAST(12 AS INT), CAST(10 AS INT),
-       CAST(120 AS BIGINT), CAST(128.0 AS DOUBLE))
+       CAST(120 AS BIGINT), CAST(128.0 AS DOUBLE)),
+      (CAST(7 AS BIGINT), 'video', CAST(16 AS INT), CAST(16 AS INT),
+       CAST(768 AS BIGINT), CAST(128.0 AS DOUBLE))
     ) AS t(media_id, kind, width, height, n_payload_bytes, mean_byte)
     """,
     doc=(
@@ -181,11 +183,16 @@ def image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "externally-authored real-world files — baseline AND four "
         "progressive goldens incl. full successive approximation, "
         "cross-checked pixel-level against the JVM's javax.imageio "
-        "decoder — in pytest (tests/test_multimodal.py); MP4 parses "
-        "at the container level (multimodal/mp4.py) and only "
-        "sample-bitstream pixel decode remains gated — this pins "
-        "that every format we CLAIM to decode really decodes, "
-        "byte-exactly, executor-side."
+        "decoder — in pytest (tests/test_multimodal.py); the 7th row "
+        "is an MJPEG MP4 (three 16x16 constant-gray JPEG frames at "
+        "96/128/160 in a real container): the feature op decodes the "
+        "video track's samples to PIXELS through the same JPEG "
+        "decoder, so n_payload_bytes = 3*256 decoded pixels and "
+        "mean_byte = (96+128+160)/3 = 128.0 exactly (constant DC-only "
+        "blocks roundtrip exactly). Only INTER-frame sample-bitstream "
+        "decode (H.264/HEVC) remains gated — this pins that every "
+        "format we CLAIM to decode really decodes, byte-exactly, "
+        "executor-side."
     ),
 )
 def codec_formats_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,6 +202,7 @@ def codec_formats_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.codecs import encode_bmp, encode_gif, encode_png, \
         encode_wav
     from ..multimodal.jpeg import encode_jpeg, encode_jpeg_progressive
+    from ..multimodal.mp4 import encode_mp4
 
     png = encode_png(np.arange(120, dtype=np.uint8).reshape(5, 8, 3))
     bmp = encode_bmp(np.arange(162, dtype=np.uint8).reshape(9, 6, 3))
@@ -204,10 +212,15 @@ def codec_formats_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpg = encode_jpeg(np.full((6, 8), 128, dtype=np.uint8))
     jpgp = encode_jpeg_progressive(
         np.full((10, 12), 128, dtype=np.uint8))
+    mjpeg = encode_mp4(
+        [bytes(encode_jpeg(np.full((16, 16), v, dtype=np.uint8)))
+         for v in (96, 128, 160)], width=16, height=16,
+        codec=b"jpeg")
     media = spark.createDataFrame(
         [(1, bytearray(png)), (2, bytearray(bmp)),
          (3, bytearray(gif)), (4, bytearray(wav)),
-         (5, bytearray(jpg)), (6, bytearray(jpgp))],
+         (5, bytearray(jpg)), (6, bytearray(jpgp)),
+         (7, bytearray(mjpeg))],
         "media_id long, content binary")
     return decode_media_features(media).orderBy("media_id")
 
@@ -255,3 +268,60 @@ def audio_features_verdict(spark: SparkSession,
         [(1, bytearray(square)), (2, bytearray(silence))],
         "media_id long, content binary")
     return audio_features(media).orderBy("media_id")
+
+
+@query(
+    "video_frame_decode",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(0 AS INT), CAST(16 AS INT),
+       CAST(16 AS INT), CAST(1 AS INT), CAST(96.0 AS DOUBLE), TRUE),
+      (CAST(1 AS BIGINT), CAST(1 AS INT), CAST(16 AS INT),
+       CAST(16 AS INT), CAST(1 AS INT), CAST(128.0 AS DOUBLE), TRUE),
+      (CAST(1 AS BIGINT), CAST(2 AS INT), CAST(16 AS INT),
+       CAST(16 AS INT), CAST(1 AS INT), CAST(160.0 AS DOUBLE), TRUE),
+      (CAST(2 AS BIGINT), CAST(0 AS INT), CAST(24 AS INT),
+       CAST(8 AS INT), CAST(1 AS INT), CAST(131.0 AS DOUBLE), TRUE),
+      (CAST(2 AS BIGINT), CAST(1 AS INT), CAST(24 AS INT),
+       CAST(8 AS INT), CAST(1 AS INT), CAST(134.0 AS DOUBLE), TRUE)
+    ) AS t(media_id, frame_idx, width, height, n_channels, mean_px,
+           matches_jpeg_decoder)
+    """,
+    doc=(
+        "MJPEG-in-MP4 pixel decode (VERDICT r11 ask #1): real MP4 "
+        "containers whose video track fourcc is an MJPEG variant "
+        "('jpeg' and 'mjpg' here) have every sample decoded to "
+        "PIXELS executor-side — mp4.decode_frame_pixels routes the "
+        "track's own sample-entry fourcc through the repo's "
+        "baseline+progressive JPEG decoder, closing the "
+        "decode_frame_pixels gate for intra-frame video; only "
+        "H.264/HEVC inter-frame decode stays NotImplementedError. "
+        "Fixture: container 1 = three 16x16 constant-gray frames "
+        "(96/128/160), container 2 = two 24x8 frames (131/134); "
+        "constant planes quantize to DC-only blocks whose roundtrip "
+        "is EXACT, so frame dims/channels/means are closed-form "
+        "DuckDB literals. matches_jpeg_decoder pins, per frame, that "
+        "the container-routed decode array-equals decode_jpeg run "
+        "directly on the extracted sample bytes (the routing neither "
+        "corrupts samples nor mis-reads the codec). The op is an "
+        "Arrow mapInPandas narrow map — same no-shuffle plan shape "
+        "as every other multimodal decode."
+    ),
+)
+def video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..multimodal.binary import video_frame_pixels
+    from ..multimodal.jpeg import encode_jpeg
+    from ..multimodal.mp4 import encode_mp4
+
+    m1 = encode_mp4(
+        [bytes(encode_jpeg(np.full((16, 16), v, dtype=np.uint8)))
+         for v in (96, 128, 160)], width=16, height=16, codec=b"jpeg")
+    m2 = encode_mp4(
+        [bytes(encode_jpeg(np.full((8, 24), v, dtype=np.uint8)))
+         for v in (131, 134)], width=24, height=8, codec=b"mjpg")
+    media = spark.createDataFrame(
+        [(1, bytearray(m1)), (2, bytearray(m2))],
+        "media_id long, content binary")
+    return video_frame_pixels(media).orderBy("media_id", "frame_idx")
