@@ -44,8 +44,10 @@ from tests.oracle_harness import (_hash_lines, _lines,      # noqa: E402
 ROWS_ONLY_PINS: dict[str, str] = {
     "minhash_near_dup":
         "tests/test_dedup.py::test_minhash_estimates_track_exact",
-    "minhash_near_dup_exact":
-        "tests/test_dedup.py::test_minhash_exact_verify_matches_allpairs",
+    # minhash_near_dup_exact graduated to a full DuckDB oracle in
+    # round 12 (prefix-filter completeness channel makes the verified
+    # cut equal the all-pairs truth); its exact-twin pytest
+    # (test_minhash_exact_verify_matches_allpairs) still runs.
     "simhash_near_dup":
         "tests/test_dedup.py::test_simhash_identical_zero_hamming",
     "ann_topk_lsh": "tests/test_dedup.py::test_ann_recall_vs_bruteforce",

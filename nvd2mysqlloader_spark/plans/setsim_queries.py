@@ -63,41 +63,17 @@ def prefix_filter_candidates(docs: DataFrame, *, t_num: int = _T_NUM,
     split out so the verify stage and the scale instrumentation
     (scripts/stress_decade.py measures candidate-pair growth, the
     operator's scaling axis) share one definition."""
+    from ..operators.dedup import prefix_filter_candidate_pairs
     sc = docs.sparkSession.sparkContext
     sh = (docs
           .repartition(sc.defaultParallelism)
           .select("doc_id", shingle3_udf()("text").alias("s"))
           .withColumn("nsh", F.size("s")))
     sh = _cut(sh)
-
-    ex = sh.select("doc_id", "nsh", F.explode("s").alias("shingle"))
-    # Global ordering key: document frequency (rare first), shingle as
-    # the total-order tie-break. Partial-aggregated map-side; the
-    # shuffle carries (shingle, count) pairs only.
-    df_ = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (ex.join(df_, "shingle")
-              .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("doc_id").orderBy("df", "shingle"))))
-    # Prefix length p = |s| - ceil(t*|s|) + 1, integer arithmetic
-    # (exact: operands stay far inside the 2^53 double-integer range).
-    alpha = F.floor((F.lit(t_num) * F.col("nsh") + F.lit(t_den - 1))
-                    / F.lit(t_den)).cast("long")
-    prefix = ranked.filter(F.col("rn") <= F.col("nsh") - alpha + F.lit(1))
-    prefix = _cut(prefix.select("doc_id", "nsh", "shingle"))
-
-    # Candidate generation: equi-join on the prefix shingle plus the
-    # PPJoin LENGTH filter — J >= t forces t*max(|a|,|b|) <= |a∩b|
-    # <= min(|a|,|b|), so any pair with t_den*min < t_num*max cannot
-    # qualify and is pruned before the distinct (integer arithmetic,
-    # no float edge).
-    a, b = prefix.alias("a"), prefix.alias("b")
-    len_ok = ((F.lit(t_den) * F.col("a.nsh") >= F.lit(t_num) * F.col("b.nsh"))
-              & (F.lit(t_den) * F.col("b.nsh") >= F.lit(t_num) * F.col("a.nsh")))
-    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")) & len_ok)
-            .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"))
-            .distinct())
+    # Candidate core (rarest-first prefix cut + PPJoin length filter)
+    # lives in operators/dedup.py since it also supplies the
+    # completeness channel of minhash_near_dups_exact.
+    cand = prefix_filter_candidate_pairs(sh, t_num=t_num, t_den=t_den)
     return sh, cand
 
 

@@ -88,12 +88,50 @@ def approx_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_near_dup_exact",
-    oracle=None,
-    doc="production near-dup shape: LSH candidates + exact Jaccard verify on candidates only (O(candidates), matches the all-pairs oracle query on every surviving pair)",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.s) > 0 AND len(b.s) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= 0.5
+    """,
+    doc=(
+        "production near-dup shape with a completeness guarantee "
+        "(VERDICT r11 ask #3): MinHash-LSH candidates + exact "
+        "array_intersect Jaccard verify, candidates-only — UNIONED "
+        "with the prefix-filter channel "
+        "(operators/dedup.prefix_filter_candidate_pairs), which is "
+        "provably complete for J >= 1/2 by the prefix-filter "
+        "theorem. The verified output therefore EQUALS the naive "
+        "all-pairs >=0.5 truth by construction, independent of "
+        "banding recall — which is what lets this query carry a full "
+        "DuckDB oracle (the naive all-pairs join) instead of the "
+        "rows-only check the pure-LSH estimate queries get. Exact "
+        "float agreement: jaccard is one double division of exact "
+        "integers in both engines."
+    ),
 )
 def minhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_near_dups_exact
-    return minhash_near_dups_exact(_shingled(spark, sf_dir), threshold=0.5)
+    return minhash_near_dups_exact(_shingled(spark, sf_dir),
+                                   threshold=0.5,
+                                   complete_ratio=(1, 2))
 
 
 @query(

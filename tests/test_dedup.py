@@ -113,6 +113,32 @@ def test_minhash_exact_verify_matches_allpairs(spark, shingled, exact_pairs):
     assert len(high & set(got)) / len(high) >= 0.8
 
 
+def test_minhash_exact_complete_ratio_equals_allpairs_truth(
+        spark, shingled, exact_pairs):
+    """The completeness guarantee behind the round-12 oracle
+    graduation: with complete_ratio set, the verified output must
+    EQUAL the all-pairs >=threshold truth exactly — even when banding
+    is deliberately crippled (bands=1 -> one 64-row band, near-zero
+    LSH recall), because the prefix-filter channel supplies every
+    qualifying pair by theorem, not by measured recall."""
+    from nvd2mysqlloader_spark.operators.dedup import minhash_near_dups_exact
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_near_dups_exact(
+               shingled, bands=1, threshold=0.5,
+               complete_ratio=(1, 2)).collect()}
+    truth = {p: j for p, j in exact_pairs.items() if j >= 0.5}
+    assert set(got) == set(truth)
+    for p in truth:
+        assert abs(got[p] - truth[p]) < 1e-12
+
+
+def test_minhash_exact_complete_ratio_must_match_threshold(spark, shingled):
+    from nvd2mysqlloader_spark.operators.dedup import minhash_near_dups_exact
+    with pytest.raises(ValueError, match="complete_ratio"):
+        minhash_near_dups_exact(shingled, threshold=0.5,
+                                complete_ratio=(4, 5))
+
+
 def test_ivf_recall_beats_scan_fraction(spark):
     from nvd2mysqlloader_spark.operators.similarity import ivf_topk
     exact = QUERIES["cosine_topk"].fn(spark, SF_ORACLE).collect()
