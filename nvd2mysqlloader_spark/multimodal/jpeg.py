@@ -24,12 +24,16 @@ The subset is explicit, like the PNG and GIF decoders':
   byte-identical; progressive files redefine DHT between scans and
   the parse loop honors that).
 
-Two encoders share one front-end (``_prepare_frame``): baseline
-4:4:4 (or single-component grayscale) with Annex-K-style quant
-tables scaled by ``quality`` and canonically-built Huffman tables
-serialized into the file, and a progressive spectral-selection
-encoder (``encode_jpeg_progressive``) whose decode must equal the
-baseline decode EXACTLY (shared quantizer — pinned). The decoder is
+Three encoders share one quantizer front-end
+(``_quantized_components``): baseline 4:4:4 (or single-component
+grayscale) with Annex-K-style quant tables scaled by ``quality`` and
+canonically-built Huffman tables serialized into the file; a
+progressive spectral-selection encoder (``encode_jpeg_progressive``);
+and a progressive successive-approximation encoder
+(``encode_jpeg_progressive_sa``: DC/AC first scans at Al≥1 plus full
+refinement scan scripts, per-scan DHT redefinition) — both
+progressive decodes must equal the baseline decode EXACTLY (shared
+quantizer, refinement completing to Al=0 — pinned). The decoder is
 ALSO pinned against real-world externally-authored files: baseline
 goldens (the 331-byte IPython `2x2.jpg` fixture, a CPython
 `python.jpg` crop), four progressive goldens shipped in this
@@ -671,14 +675,13 @@ def _encode_blocks(qz: np.ndarray,
     return tokens
 
 
-def _prepare_frame(img: np.ndarray, quality: int,
-                   reset_every: int = 0):
-    """Shared encoder front-end (baseline AND progressive — the two
-    must stay bit-compatible, since progressive-decode ==
-    baseline-decode is a pinned invariant): level-shift / RGB→YCbCr,
-    quality-scaled quant tables, pad + FDCT + quantize + tokenize per
-    component, symbol frequencies → canonical Huffman tables.
-    Returns (h, w, ncomp, n_tabs, qt, per_comp, dc_tabs, ac_tabs)."""
+def _quantized_components(img: np.ndarray, quality: int):
+    """Pixels → quantized zigzag coefficient blocks per component
+    (level-shift / RGB→YCbCr, quality-scaled quant tables, pad +
+    FDCT + quantize). The stage every encoder shares — baseline and
+    both progressive variants must stay bit-compatible downstream of
+    it, since progressive-decode == baseline-decode is a pinned
+    invariant. Returns (h, w, ncomp, n_tabs, qt, qz_list)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -694,13 +697,24 @@ def _prepare_frame(img: np.ndarray, quality: int,
     qt = [_scaled_quant(QUANT_LUMA, quality)]
     if not gray:
         qt.append(_scaled_quant(QUANT_CHROMA, quality))
-    per_comp = [
-        _encode_blocks(_fdct_quant(
-            np.pad(p_, ((0, ph - h), (0, pw - w)), mode="edge"),
-            qt[0 if i == 0 else 1]), reset_every=reset_every)
+    qz_list = [
+        _fdct_quant(np.pad(p_, ((0, ph - h), (0, pw - w)), mode="edge"),
+                    qt[0 if i == 0 else 1])
         for i, p_ in enumerate(comps_px)]
     ncomp = 1 if gray else 3
     n_tabs = 1 if gray else 2
+    return h, w, ncomp, n_tabs, qt, qz_list
+
+
+def _prepare_frame(img: np.ndarray, quality: int,
+                   reset_every: int = 0):
+    """Shared encoder front-end (baseline AND spectral-selection
+    progressive): ``_quantized_components`` + tokenize per component,
+    symbol frequencies → canonical Huffman tables.
+    Returns (h, w, ncomp, n_tabs, qt, per_comp, dc_tabs, ac_tabs)."""
+    h, w, ncomp, n_tabs, qt, qz_list = _quantized_components(img, quality)
+    per_comp = [_encode_blocks(qz, reset_every=reset_every)
+                for qz in qz_list]
     freq_dc = [dict(), dict()]
     freq_ac = [dict(), dict()]
     for i, blocks in enumerate(per_comp):
@@ -856,6 +870,303 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
             [(ac_tabs[t], sym, val)
              for kind, sym, val in toks if kind == "ac"]
             for toks in per_comp[i]])
+
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: division by 2^Al truncating toward ZERO
+    (T.81 §G.1.2.2) — NOT an arithmetic shift; the decoder rebuilds
+    magnitude sign-directionally, so -3 at Al=1 must code as -1."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _eob_sym(m: int) -> tuple[int, int, int]:
+    """EOB-run symbol covering the current block plus ``m`` following
+    blocks: (huffman symbol r<<4, ext-bit count r, ext value).
+    Decoder inverse: run = (1<<r) - 1 + receive(r) == m."""
+    if not 0 <= m <= 32766:                 # r <= 14 per T.81
+        raise ValueError(f"EOB run out of range: {m}")
+    r = (m + 1).bit_length() - 1
+    return (r << 4), r, m + 1 - (1 << r)
+
+
+def _ac_refine_block_body(band: list[int], b: int) -> tuple[list, int]:
+    """Bit-exact inverse of the decoder's ``_ac_refine`` symbol loop
+    for one block at refinement bit ``b`` (scan Ah=b+1, Al=b): returns
+    (ops, j_end) where ops is [('huff', sym) | ('bit', v)] in STREAM
+    order — each Huffman symbol followed by its sign bit (new
+    coefficients), then the correction bits of nonzero-history
+    coefficients the decoder passes while skipping the symbol's run
+    (T.81 §G.1.2.3 ordering) — and j_end is the band position after
+    the last placement. The caller appends the EOB symbol (possibly
+    spanning following blocks) and the tail correction bits.
+
+    ``band`` is the FULL-precision AC band (zigzag 1..63, 63 ints).
+    History at this scan = |v| >> (b+1): nonzero-history coefficients
+    consume one correction bit ((|v| >> b) & 1) as they are passed;
+    zero-history ones are either run zeros (|v| >> b == 0) or newly
+    significant (|v| >> b == 1, coded as a run + sign)."""
+    hist_nz = [(abs(v) >> (b + 1)) != 0 for v in band]
+    corr = [(abs(v) >> b) & 1 for v in band]
+    new_pos = [j for j, v in enumerate(band)
+               if not hist_nz[j] and (abs(v) >> b) == 1]
+    ops: list[tuple] = []
+    j = 0
+    for np_ in new_pos:
+        while True:
+            zeros_between = sum(1 for x in range(j, np_)
+                                if not hist_nz[x])
+            if zeros_between <= 15:
+                ops.append(("huff", (zeros_between << 4) | 1))
+                ops.append(("bit", 1 if band[np_] > 0 else 0))
+                for x in range(j, np_):
+                    if hist_nz[x]:
+                        ops.append(("bit", corr[x]))
+                j = np_ + 1
+                break
+            # ZRL: the decoder consumes exactly 16 zero-history
+            # positions (correcting nonzero-history ones passed
+            # before the 16th) then resumes at the next symbol
+            ops.append(("huff", 0xF0))
+            consumed = 0
+            x = j
+            while consumed < 16:
+                if hist_nz[x]:
+                    ops.append(("bit", corr[x]))
+                else:
+                    consumed += 1
+                x += 1
+            j = x
+    return ops, j
+
+
+def _refine_corr_bits(band: list[int], b: int, lo: int) -> list[tuple]:
+    """Correction bits for every nonzero-history coefficient of the
+    band from position ``lo`` on — what the decoder consumes for a
+    block covered by a pending EOB run (and for the tail of the block
+    that opened it)."""
+    return [("bit", (abs(v) >> b) & 1)
+            for x, v in enumerate(band)
+            if x >= lo and (abs(v) >> (b + 1)) != 0]
+
+
+def encode_jpeg_progressive_sa(img: np.ndarray, quality: int = 90,
+                               al: int = 1,
+                               _stats: dict | None = None) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 → progressive (SOF2)
+    JPEG with a FULL successive-approximation scan script — the
+    write-side twin of the decoder's refinement paths (VERDICT r11
+    ask #6: ``encode_jpeg_progressive`` is spectral-selection-only,
+    so DC refinement bits and AC correction-bit decoding had no
+    self-authored deterministic fixture; externally-authored goldens
+    were their only coverage).
+
+    Scan script: interleaved DC first at Al=``al``; one full-band AC
+    first scan per component at Al=``al``; then per refinement bit
+    b = al-1 .. 0: one AC refinement scan per component (Ah=b+1,
+    Al=b) and one DC refinement scan (raw bits). Every scan's
+    Huffman table is rebuilt from that scan's own symbol stats and
+    redefined via DHT right before its SOS (exercising the decoder's
+    mid-file DHT handling). Because the quantizer front-end
+    (``_quantized_components``) is shared with the baseline encoder
+    and refinement completes to Al=0, decoding this stream must equal
+    decoding ``encode_jpeg(img, quality)`` EXACTLY (pinned).
+
+    DC uses the arithmetic-shift point transform (two's-complement:
+    (dc >> al) << al then OR-ing each lower bit reconstructs dc
+    exactly); AC uses truncation toward zero with sign-directional
+    refinement, matching ``_ac_refine``. EOB runs SPAN blocks in both
+    the first and the refinement scans (EOBn with extension bits,
+    refinement runs followed by each covered block's correction bits
+    per §G.1.2.2) — so the decoder's cross-block ``eobrun`` paths
+    have a deterministic self-authored fixture too. ``_stats``, if
+    given a dict, records the max EOB run per scan kind so tests can
+    assert the spanning paths were actually exercised."""
+    if al < 1:
+        raise ValueError("al must be >= 1 (al=0 would be pure "
+                         "spectral selection — use "
+                         "encode_jpeg_progressive)")
+    h, w, ncomp, n_tabs, qt, qz_list = _quantized_components(
+        img, quality)
+    out = bytearray(b"\xff\xd8")
+    for t, q in enumerate(qt):
+        _segment(out, 0xDB, bytes([t]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    _segment(out, 0xC2, sof)
+    nblocks = len(qz_list[0])
+
+    def build_tab(freq: dict[int, int]) -> _HuffTable:
+        return _build_huff_from_freq(freq or {0x00: 1})
+
+    def emit_dht(cls: int, slot: int, tab: _HuffTable) -> None:
+        _segment(out, 0xC4, bytes([cls << 4 | slot]) + bytes(tab.bits)
+                 + bytes(tab.values))
+
+    # ---- scan 1: DC first (interleaved), Ah=0, Al=al -------------
+    dc_syms: list[list[tuple[int, int]]] = []
+    for qz in qz_list:
+        pred, syms = 0, []
+        for row in qz:
+            v = int(row[0]) >> al
+            diff = v - pred
+            pred = v
+            size = abs(diff).bit_length()
+            ev = diff if diff >= 0 else diff + (1 << size) - 1
+            syms.append((size, ev))
+        dc_syms.append(syms)
+    freq_dc: list[dict[int, int]] = [dict() for _ in range(n_tabs)]
+    for i in range(ncomp):
+        t = 0 if i == 0 else 1
+        for size, _ in dc_syms[i]:
+            freq_dc[t][size] = freq_dc[t].get(size, 0) + 1
+    dc_tabs = [build_tab(f) for f in freq_dc]
+    for t in range(n_tabs):
+        emit_dht(0, t, dc_tabs[t])
+    hdr = bytes([ncomp])
+    for i in range(ncomp):
+        hdr += bytes([i + 1, (0 if i == 0 else 1) << 4])
+    hdr += bytes([0, 0, al])                # Ss=0 Se=0 Ah=0 Al=al
+    _segment(out, 0xDA, hdr)
+    wtr = _BitWriter()
+    for bi in range(nblocks):
+        for i in range(ncomp):
+            t = 0 if i == 0 else 1
+            size, ev = dc_syms[i][bi]
+            code, ln = dc_tabs[t].encode_map[size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(ev & ((1 << size) - 1), size)
+    wtr.flush()
+    out.extend(wtr.out)
+
+    bands = [[[int(v) for v in row[1:]] for row in qz]
+             for qz in qz_list]
+
+    def emit_ops(slot: int, sos_tail: bytes, ops: list[tuple]) -> None:
+        """Build this scan's Huffman table from its own ('huff', sym)
+        stats, emit DHT + SOS, then the op stream. ('ext', val, n)
+        ops are raw appended-bit fields (EOB-run extensions)."""
+        freq: dict[int, int] = {}
+        for op in ops:
+            if op[0] == "huff":
+                freq[op[1]] = freq.get(op[1], 0) + 1
+        tab = build_tab(freq)
+        emit_dht(1, slot, tab)
+        _segment(out, 0xDA, sos_tail)
+        wtr = _BitWriter()
+        for op in ops:
+            if op[0] == "huff":
+                code, ln = tab.encode_map[op[1]]
+                wtr.write(code, ln)
+            elif op[0] == "ext":
+                _k, val, n = op
+                if n:
+                    wtr.write(val, n)
+            else:
+                wtr.write(op[1], 1)
+        wtr.flush()
+        out.extend(wtr.out)
+
+    def note_run(kind: str, m: int) -> None:
+        if _stats is not None:
+            _stats[kind] = max(_stats.get(kind, 0), m)
+
+    # ---- AC first scans (one per component), Ah=0, Al=al ---------
+    for i in range(ncomp):
+        t = 0 if i == 0 else 1
+        per_block = []                      # (body_ops, needs_eob)
+        for band in bands[i]:
+            pt = [_pt_ac(v, al) for v in band]
+            last_nz = max((j for j, v in enumerate(pt) if v),
+                          default=-1)
+            toks: list[tuple] = []
+            run = 0
+            for j in range(last_nz + 1):
+                v = pt[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    toks.append(("huff", 0xF0))
+                    run -= 16
+                size = abs(v).bit_length()
+                ev = v if v >= 0 else v + (1 << size) - 1
+                toks.append(("huff", (run << 4) | size))
+                toks.append(("ext", ev & ((1 << size) - 1), size))
+                run = 0
+            per_block.append((toks, last_nz < 62))
+        ops: list[tuple] = []
+        bi = 0
+        nb = len(per_block)
+        while bi < nb:
+            body, needs_eob = per_block[bi]
+            ops += body
+            if needs_eob:
+                # the EOB terminating this block absorbs following
+                # fully-empty blocks into one cross-block run
+                m = 0
+                while (bi + 1 < nb and m < 32766
+                       and not per_block[bi + 1][0]
+                       and per_block[bi + 1][1]):
+                    m += 1
+                    bi += 1
+                sym, r, ext = _eob_sym(m)
+                ops.append(("huff", sym))
+                ops.append(("ext", ext, r))
+                note_run("ac_first", m)
+            bi += 1
+        emit_ops(t, bytes([1, i + 1, t << 4 | t, 1, 63, al]), ops)
+
+    # ---- refinement bits al-1 .. 0 -------------------------------
+    for b in range(al - 1, -1, -1):
+        for i in range(ncomp):              # AC refinement per comp
+            t = 0 if i == 0 else 1
+            parts = [_ac_refine_block_body(band, b)
+                     for band in bands[i]]
+            ops = []
+            bi = 0
+            nb = len(parts)
+            while bi < nb:
+                body, j_end = parts[bi]
+                ops += body
+                if j_end <= 62:
+                    # EOB run: absorb following blocks with no newly-
+                    # significant coefficients; the opener's tail
+                    # corrections come first, then each covered
+                    # block's full-band corrections (§G.1.2.2)
+                    tail = _refine_corr_bits(bands[i][bi], b, j_end)
+                    covered: list[list[tuple]] = []
+                    while (bi + 1 < nb and len(covered) < 32766
+                           and not parts[bi + 1][0]):
+                        bi += 1
+                        covered.append(
+                            _refine_corr_bits(bands[i][bi], b, 0))
+                    sym, r, ext = _eob_sym(len(covered))
+                    ops.append(("huff", sym))
+                    ops.append(("ext", ext, r))
+                    ops += tail
+                    for cb in covered:
+                        ops += cb
+                    note_run("ac_refine", len(covered))
+                bi += 1
+            emit_ops(t, bytes([1, i + 1, t << 4 | t, 1, 63,
+                               (b + 1) << 4 | b]), ops)
+        # DC refinement (interleaved raw bits, no Huffman)
+        hdr = bytes([ncomp])
+        for i in range(ncomp):
+            hdr += bytes([i + 1, (0 if i == 0 else 1) << 4])
+        hdr += bytes([0, 0, (b + 1) << 4 | b])
+        _segment(out, 0xDA, hdr)
+        wtr = _BitWriter()
+        for bi in range(nblocks):
+            for i in range(ncomp):
+                wtr.write((int(qz_list[i][bi][0]) >> b) & 1, 1)
+        wtr.flush()
+        out.extend(wtr.out)
 
     out.extend(b"\xff\xd9")
     return bytes(out)

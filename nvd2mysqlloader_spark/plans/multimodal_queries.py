@@ -159,7 +159,9 @@ def image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
       (CAST(6 AS BIGINT), 'image', CAST(12 AS INT), CAST(10 AS INT),
        CAST(120 AS BIGINT), CAST(128.0 AS DOUBLE)),
       (CAST(7 AS BIGINT), 'video', CAST(16 AS INT), CAST(16 AS INT),
-       CAST(768 AS BIGINT), CAST(128.0 AS DOUBLE))
+       CAST(768 AS BIGINT), CAST(128.0 AS DOUBLE)),
+      (CAST(8 AS BIGINT), 'image', CAST(24 AS INT), CAST(16 AS INT),
+       CAST(384 AS BIGINT), CAST(133.5 AS DOUBLE))
     ) AS t(media_id, kind, width, height, n_payload_bytes, mean_byte)
     """,
     doc=(
@@ -189,7 +191,16 @@ def image_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video track's samples to PIXELS through the same JPEG "
         "decoder, so n_payload_bytes = 3*256 decoded pixels and "
         "mean_byte = (96+128+160)/3 = 128.0 exactly (constant DC-only "
-        "blocks roundtrip exactly). Only INTER-frame sample-bitstream "
+        "blocks roundtrip exactly). The 8th row is a "
+        "successive-approximation progressive JPEG "
+        "(encode_jpeg_progressive_sa, al=2: DC/AC first scans at "
+        "Al=2 plus two full refinement passes with cross-block EOB "
+        "runs): a 2x3 grid of constant 8x8 blocks whose values are "
+        "128 + multiples of 3, so each block's lone DC coefficient "
+        "dequantizes EXACTLY at quality 90 (quant[0]=3, DC=(v-128)*8 "
+        "divisible by 3) and the decode reproduces the block values "
+        "bit-exactly: mean_byte = (128+131+137+146+158+101)/6 = "
+        "133.5. Only INTER-frame sample-bitstream "
         "decode (H.264/HEVC) remains gated — this pins that every "
         "format we CLAIM to decode really decodes, byte-exactly, "
         "executor-side."
@@ -201,7 +212,8 @@ def codec_formats_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import decode_media_features
     from ..multimodal.codecs import encode_bmp, encode_gif, encode_png, \
         encode_wav
-    from ..multimodal.jpeg import encode_jpeg, encode_jpeg_progressive
+    from ..multimodal.jpeg import (encode_jpeg, encode_jpeg_progressive,
+                                   encode_jpeg_progressive_sa)
     from ..multimodal.mp4 import encode_mp4
 
     png = encode_png(np.arange(120, dtype=np.uint8).reshape(5, 8, 3))
@@ -216,11 +228,15 @@ def codec_formats_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         [bytes(encode_jpeg(np.full((16, 16), v, dtype=np.uint8)))
          for v in (96, 128, 160)], width=16, height=16,
         codec=b"jpeg")
+    sa_img = np.repeat(np.repeat(
+        np.array([[128, 131, 137], [146, 158, 101]], dtype=np.uint8),
+        8, axis=0), 8, axis=1)
+    jpgsa = encode_jpeg_progressive_sa(sa_img, al=2)
     media = spark.createDataFrame(
         [(1, bytearray(png)), (2, bytearray(bmp)),
          (3, bytearray(gif)), (4, bytearray(wav)),
          (5, bytearray(jpg)), (6, bytearray(jpgp)),
-         (7, bytearray(mjpeg))],
+         (7, bytearray(mjpeg)), (8, bytearray(jpgsa))],
         "media_id long, content binary")
     return decode_media_features(media).orderBy("media_id")
 

@@ -779,6 +779,96 @@ def test_jpeg_progressive_roundtrip_equals_baseline():
             == decode_jpeg(encode_jpeg(rgb))).all()
 
 
+def test_jpeg_progressive_sa_roundtrip_equals_baseline():
+    """encode_jpeg_progressive_sa emits a FULL successive-approximation
+    scan script (DC/AC first scans at Al>=1, then per-bit AC refinement
+    + DC refinement scans) — the write-side twin of the decoder's
+    refinement paths, which previously only external goldens exercised
+    (VERDICT r11 ask #6). Refinement completes to Al=0 over the shared
+    quantizer, so the decode must equal the baseline decode EXACTLY;
+    al=2 additionally pins REPEATED refinement (two successive
+    correction passes per coefficient)."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive_sa)
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (41, 53), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    # sparse impulses on flat gray force >15-long zero-history runs
+    # inside refinement scans — the ZRL correction-bit path
+    sparse = np.full((64, 64), 128, np.uint8)
+    sparse[rng.integers(0, 64, 40), rng.integers(0, 64, 40)] = 255
+    for img in (gray, rgb, sparse):
+        base = decode_jpeg(encode_jpeg(img))
+        for al in (1, 2):
+            stats = {}
+            blob = encode_jpeg_progressive_sa(img, al=al,
+                                              _stats=stats)
+            assert b"\xff\xc2" in blob                     # SOF2
+            ncomp = 1 if img.ndim == 2 else 3
+            # 1 DC-first + ncomp AC-first + al*(ncomp AC-refine
+            # + 1 DC-refine) scans
+            assert blob.count(b"\xff\xda") == \
+                1 + ncomp + al * (ncomp + 1)
+            assert (decode_jpeg(blob) == base).all()
+            if img is sparse:
+                # the flat background makes EOB runs actually SPAN
+                # blocks in both scan kinds — the decoder's
+                # cross-block eobrun paths are genuinely exercised
+                assert stats["ac_first"] > 1
+                assert stats["ac_refine"] > 1
+
+    import pytest
+    with pytest.raises(ValueError, match="spectral selection"):
+        encode_jpeg_progressive_sa(gray, al=0)
+
+
+def test_jpeg_progressive_sa_decoded_by_imageio(spark):
+    """Conformance of the successive-approximation WRITER against an
+    independent implementation: the JVM's javax.imageio decoder reads
+    this repo's SA-encoded stream and must agree with this repo's own
+    decode to within IDCT rounding (gray raster exact path ±1; 4:4:4
+    color via getRGB ±2). Catches self-consistent-but-nonstandard
+    encodings the roundtrip pin above cannot see."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import (
+        decode_jpeg, encode_jpeg_progressive_sa)
+
+    jvm = spark.sparkContext._jvm
+
+    def jvm_decode(data, gray):
+        im = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(data))
+        w, h = im.getWidth(), im.getHeight()
+        if gray:
+            return np.array(
+                im.getRaster().getSamples(0, 0, w, h, 0, None),
+                dtype=np.int64).reshape(h, w)
+        a = np.array(im.getRGB(0, 0, w, h, None, 0, w),
+                     dtype=np.int64).reshape(h, w)
+        return np.stack([(a >> 16) & 0xFF, (a >> 8) & 0xFF,
+                         a & 0xFF], axis=2)
+
+    yy, xx = np.mgrid[0:25, 0:42]
+    gray_img = ((yy * 7 + xx * 3) % 251).astype(np.uint8)
+    for al in (1, 2):
+        blob = encode_jpeg_progressive_sa(gray_img, al=al)
+        diff = np.abs(decode_jpeg(blob).astype(np.int64)
+                      - jvm_decode(blob, True))
+        assert int(diff.max()) <= 1, f"al={al}"
+
+    rgb = np.stack([(yy * 9 % 255).astype(np.uint8),
+                    (xx * 5 % 255).astype(np.uint8),
+                    ((yy + xx) * 3 % 255).astype(np.uint8)], axis=2)
+    blob = encode_jpeg_progressive_sa(rgb, al=1)
+    diff = np.abs(decode_jpeg(blob).astype(np.int64)
+                  - jvm_decode(blob, False))
+    assert int(diff.max()) <= 2
+
+
 def test_jpeg_progressive_420_differential_vs_imageio(spark):
     """4:2:0 progressive coverage (the one sampling shape no on-disk
     golden exercises): the JVM's ImageIO writer encodes a progressive
