@@ -590,17 +590,10 @@ def main() -> None:
     }
     window = ("quiet" if light and light_median <= QUIET_PROBE_SEC
               and len(light_hot) <= len(light) // 4 else "contended")
-    # transition-round dual stamp (ADVICE r10 #4): the classifier was
-    # re-based in r10 (light-entry median) in the same round as the
-    # record it certified, so r10's "quiet" stamp was not comparable
-    # to earlier rounds'. Record the r9 rule's verdict (>2 of the
-    # top-10 entries under a hot probe = contended) ALONGSIDE the
-    # current one so round-over-round quiet claims stay auditable
-    # across the re-base. Note the five build-per-call entries now
-    # probe session-cached artifacts, which also shrinks the
-    # self-aftermath that motivated the re-base.
-    window_r9 = ("quiet" if len(window_detail["heavy_hot"]) <= 2
-                 else "contended")
+    # The r9-rule dual stamp (window_r9) served its one auditable
+    # transition round (r11, per ADVICE r10 #4) and is retired; the
+    # light-entry-median rule above is the sole window classifier
+    # from r12 on. heavy_hot stays in window_detail for forensics.
     if window == "contended":
         print(f"# WINDOW CONTENDED: light-entry ambient probes "
               f"(median {light_median:.3f}s, "
@@ -614,7 +607,7 @@ def main() -> None:
                    "build_in_wall": build_in_wall,
                    "unit": "sec", "queries": timings, "sf": sf,
                    "calibration": calib, "hygiene": hygiene_summary,
-                   "window": window, "window_r9": window_r9,
+                   "window": window,
                    "window_detail": window_detail,
                    "phase_split": phase_split,
                    "hygiene_per_entry": hygiene}, f)
@@ -642,12 +635,10 @@ def main() -> None:
             # ok=false means some entry's storage could not be
             # reclaimed or block-manager memory grew past baseline
             "hygiene": hygiene_summary,
-            # quiet-record policy (r10 rule: light-entry probe
-            # median); window_r9 = the pre-re-base rule's verdict,
-            # recorded alongside for one transition round so
-            # round-over-round quiet claims stay auditable
+            # quiet-record policy (light-entry probe median; the
+            # r9-rule dual stamp retired after its r11 transition
+            # round — heavy_hot detail survives in bench_detail.json)
             "window": window,
-            "window_r9": window_r9,
         }, separators=(",", ":"))
 
     # Shrink ADAPTIVELY to the driver's ~2000 B stdout-tail budget:
