@@ -108,7 +108,7 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
         h, w = img.shape[:2]
         return "image", w, h, img.tobytes()
     if content[4:8] == b"ftyp":
-        from .mp4 import _MJPEG_FOURCCS, decode_video_frames, parse_mp4
+        from .mp4 import _MJPEG_FOURCCS, decode_frame_pixels, parse_mp4
         info = parse_mp4(content)
         tracks = info["tracks"]
         # kind from the media HANDLER, not assumed: an .m4a is an
@@ -130,10 +130,16 @@ def _decode_payload(content: bytes) -> tuple[str, int, int, bytes]:
             # MJPEG decodes to PIXELS for real (each sample is a bare
             # intra-coded JPEG → the repo's own decoder), so the
             # payload this feature op measures is the decoded raster,
-            # exactly like the still-image branches above
-            frames = decode_video_frames(content)
-            payload = b"".join(fr.astype(np.uint8).tobytes()
-                               for fr in frames)
+            # exactly like the still-image branches above. Decode the
+            # track ALREADY SELECTED above (the handler-preference
+            # fallback can pick tracks[0] when no 'vide' handler
+            # exists — re-selecting by handler inside a helper would
+            # turn that decodable row into a ValueError, and would
+            # re-parse the container besides)
+            payload = b"".join(
+                decode_frame_pixels(content[o:o + s], t["codec"])
+                .astype(np.uint8).tobytes()
+                for o, s in t.get("samples", []))
         else:
             payload = b"".join(content[o:o + s]
                                for o, s in t.get("samples", []))

@@ -222,7 +222,7 @@ def decode_video_frames(data: bytes, track: int | None = None,
         if t is None:
             raise ValueError("MP4 has no video track")
     else:
-        if track >= len(info["tracks"]):
+        if not 0 <= track < len(info["tracks"]):
             raise ValueError(f"MP4 has {len(info['tracks'])} tracks")
         t = info["tracks"][track]
     codec = t.get("codec", "")

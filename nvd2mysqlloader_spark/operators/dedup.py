@@ -564,18 +564,47 @@ def _mark_dirty(path: str, intent: dict) -> None:
     rebuild is the ONLY safe manifest repair: re-running the append
     is not idempotent (mode=append duplicates the band/sig rows);
     keyed tables may alternatively re-run the batch (dynamic
-    partition overwrite of its own partitions)."""
+    partition overwrite of its own partitions).
+
+    Returns a unique writer token recorded in the marker, so the
+    writer's own clear can be OWNER-CHECKED (see :func:`_clear_dirty`)
+    — where flock is unavailable, two racing writers share one marker
+    file (last mark wins via the atomic replace), and an
+    unconditional clear by the first finisher would delete the
+    survivor's only crash protection."""
     import json
     import os
+    import uuid
+    token = uuid.uuid4().hex
     tmp = _dirty_file(path) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(intent, f)
+        json.dump({**intent, "writer_token": token}, f)
     os.replace(tmp, _dirty_file(path))
+    return token
 
 
-def _clear_dirty(path: str) -> None:
+def _clear_dirty(path: str, owner_token: str | None = None) -> None:
+    """Remove the dirty marker. With ``owner_token`` the clear is
+    owner-checked: the marker is deleted only if it still carries
+    this writer's token — if another (possibly still LIVE) writer's
+    mark replaced ours, it is left alone and that writer clears its
+    own marker when it finishes (or a consumer heals if it crashed).
+    Unconditional (``None``) clearing is reserved for the
+    provably-dead-writer heal (lock acquired under real flock,
+    :func:`_resolve_manifest`) and explicit maintenance. Under the
+    blocking flock the owner check never fires (writers serialize,
+    each clears the marker it wrote) — it exists for the degraded
+    no-flock mode."""
     import contextlib
+    import json
     import os
+    if owner_token is not None:
+        try:
+            with open(_dirty_file(path)) as f:
+                if json.load(f).get("writer_token") != owner_token:
+                    return                  # someone else's marker
+        except (FileNotFoundError, ValueError):
+            return
     with contextlib.suppress(FileNotFoundError):
         os.remove(_dirty_file(path))
 
@@ -693,13 +722,21 @@ def _resolve_manifest(path: str) -> dict | None:
                 # the append finished (or another reader healed)
                 # between our marker sighting and the acquire
                 return _read_manifest(path)
+            # compute the rebuild ONCE (the leaf-dir walk is the
+            # expensive part — ~18 s at 5,120 dirs), then try to
+            # persist it; if the protocol files turn out unwritable
+            # (data readable, dir not), serve the already-computed
+            # manifest instead of repeating the identical walk
+            man = rebuild_signature_manifest(path, persist=False)
             try:
-                man = rebuild_signature_manifest(path)
+                man_p = dict(man)
+                man_p["epoch"] = _manifest_epoch(
+                    _read_manifest(path)) + 1
+                _write_manifest(path, man_p)
                 _clear_dirty(path)
+                return man_p
             except OSError:
-                # data readable but protocol files are not writable
-                return rebuild_signature_manifest(path, persist=False)
-            return man
+                return man
         finally:
             _release_writer_lock(fd)
     return _read_manifest(path)
@@ -875,7 +912,8 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
     _lock_fd = _acquire_writer_lock(path)
     try:
         stale_marker = os.path.isfile(_dirty_file(path))
-        _mark_dirty(path, {"batch_id": batch_id, "keyed": keyed})
+        token = _mark_dirty(path, {"batch_id": batch_id,
+                                   "keyed": keyed})
 
         # SIGS FIRST, bands second: the probe's correctness invariant is
         # bands ⊆ sigs (every admitted band row must find its signature
@@ -913,7 +951,7 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
             # tests/test_dedup.py::test_legacy_table_append_rebuilds_
             # manifest).
             rebuild_signature_manifest(path)
-            _clear_dirty(path)
+            _clear_dirty(path, owner_token=token)
             return
         touched = (banded.select(F.lit("bands").alias("t"),
                                  F.col("bucket").alias("b"))
@@ -931,9 +969,12 @@ def write_banded_signature_table(shingled: DataFrame, path: str,
         # serializes writers); where flock is unavailable it turns a
         # stale writer's would-be lost update into StaleManifestError
         # (data is committed + marker present, so the repair is a
-        # manifest rebuild, not a batch re-run)
+        # manifest rebuild, not a batch re-run). The clear is
+        # owner-checked for the same no-flock mode: if the CAS loser's
+        # mark replaced ours, the marker is ITS crash protection now
+        # and the winner must not delete it
         _write_manifest(path, man, expect_epoch=_manifest_epoch(man))
-        _clear_dirty(path)
+        _clear_dirty(path, owner_token=token)
     finally:
         _release_writer_lock(_lock_fd)
 

@@ -1788,3 +1788,94 @@ def test_manifest_epoch_cas_detects_stale_writer(
     man = rebuild_signature_manifest(path)
     assert sum(v["rows"] for v in man["sigs"].values()) == 2
     assert _manifest_epoch(man) > epoch0
+
+
+def test_degraded_writer_clear_is_owner_checked(
+        spark, tmp_path, monkeypatch):
+    """Round-12 review finding: where flock is unavailable, two
+    racing writers share ONE dirty-marker file (last mark wins), so
+    the first finisher's clear must be OWNER-CHECKED — an
+    unconditional clear would delete the still-running writer's only
+    crash protection, making its committed data silently invisible
+    if it then crashes before its manifest replace. Simulated by
+    planting a second writer's mark right after the first writer's
+    manifest replace (inside its commit window): the marker must
+    SURVIVE the first writer's clear."""
+    import os
+
+    from nvd2mysqlloader_spark.operators import dedup
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _dirty_file, write_banded_signature_table)
+
+    path = str(tmp_path / "ownerclear")
+    seed = spark.createDataFrame(
+        [(0, "seed doc alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    write_banded_signature_table(_sh3(seed), path, n_buckets=16)
+
+    monkeypatch.setattr(dedup, "_acquire_writer_lock", lambda p: None)
+    real_write_manifest = dedup._write_manifest
+
+    def write_then_foreign_mark(p, man, expect_epoch=None):
+        real_write_manifest(p, man, expect_epoch=expect_epoch)
+        # a second degraded writer marks while writer 1 is between
+        # its manifest replace and its clear
+        dedup._mark_dirty(path, {"batch_id": None, "keyed": False})
+
+    monkeypatch.setattr(dedup, "_write_manifest",
+                        write_then_foreign_mark)
+    batch2 = spark.createDataFrame(
+        [(1, "second writer doc aaa bbb ccc ddd eee fff")],
+        "doc_id long, text string")
+    write_banded_signature_table(_sh3(batch2), path, n_buckets=16)
+    # the foreign (possibly-live) writer's marker survived the clear
+    assert os.path.isfile(_dirty_file(path))
+    monkeypatch.undo()
+
+    # ...and under the REAL lock the owner check never fires: a
+    # normal append still clears its own marker
+    batch3 = spark.createDataFrame(
+        [(2, "third writer doc ggg hhh iii jjj kkk lll")],
+        "doc_id long, text string")
+    write_banded_signature_table(_sh3(batch3), path, n_buckets=16)
+    assert not os.path.isfile(_dirty_file(path))
+
+
+def test_heal_write_failure_walks_filesystem_once(
+        spark, tmp_path, monkeypatch):
+    """Round-12 review finding: the heal's unwritable-protocol-files
+    fallback must not repeat the full leaf-dir walk (the expensive
+    part — ~18 s at 5,120 dirs): the rebuild is computed ONCE and
+    served whether or not the persist lands."""
+    import os
+
+    from nvd2mysqlloader_spark.operators import dedup
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _dirty_file, _resolve_manifest, write_banded_signature_table)
+
+    batch1 = spark.createDataFrame(
+        [(i, f"first batch doc {i} alpha beta gamma delta epsilon")
+         for i in range(4)], "doc_id long, text string")
+    path = str(tmp_path / "healonce")
+    write_banded_signature_table(_sh3(batch1), path, n_buckets=16)
+    _crash_append(spark, path, 100,
+                  "orphan doc aaa bbb ccc ddd eee fff ggg")
+
+    calls = {"n": 0}
+    real_rebuild = dedup.rebuild_signature_manifest
+
+    def counting_rebuild(p, persist=True):
+        calls["n"] += 1
+        return real_rebuild(p, persist=persist)
+
+    monkeypatch.setattr(dedup, "rebuild_signature_manifest",
+                        counting_rebuild)
+
+    def no_write(*a, **k):
+        raise OSError(30, "Read-only file system")
+    monkeypatch.setattr(dedup, "_write_manifest", no_write)
+
+    got = _resolve_manifest(path)
+    assert sum(v["rows"] for v in got["sigs"].values()) == 5
+    assert os.path.isfile(_dirty_file(path))    # marker survives
+    assert calls["n"] == 1, f"walked {calls['n']} times"

@@ -1015,3 +1015,42 @@ def test_mjpeg_mp4_through_feature_op(spark):
     assert rows[1]["n_payload_bytes"] == 2 * 8 * 8   # decoded pixels
     assert rows[1]["mean_byte"] == 128.0             # (112+144)/2
     assert rows[2]["n_payload_bytes"] == 20          # raw samples
+
+
+def test_mjpeg_payload_decodes_without_vide_handler():
+    """Round-12 review finding: the MJPEG pixel-decode branch of
+    _decode_payload must decode the track it SELECTED (which can be
+    tracks[0] via the handler-preference fallback when no 'vide'
+    handler exists), not re-select by handler — a handler/codec
+    mismatch used to turn a decodable row into ValueError."""
+    import numpy as np
+
+    from nvd2mysqlloader_spark.multimodal.binary import _decode_payload
+    from nvd2mysqlloader_spark.multimodal.jpeg import encode_jpeg
+    from nvd2mysqlloader_spark.multimodal.mp4 import encode_mp4
+
+    frames = [bytes(encode_jpeg(np.full((8, 8), v, dtype=np.uint8)))
+              for v in (64, 128)]
+    blob = encode_mp4(frames, width=8, height=8, codec=b"jpeg",
+                      handler=b"meta")       # neither vide nor soun
+    kind, w, h, payload = _decode_payload(bytes(blob))
+    assert (kind, w, h) == ("video", 8, 8)
+    # decoded rasters, not raw sample bytes: 2 frames x 64 px, and
+    # constant mid/quarter-gray JPEG blocks roundtrip exactly
+    assert len(payload) == 128
+    assert payload == bytes([64] * 64 + [128] * 64)
+
+
+def test_decode_video_frames_rejects_negative_track():
+    import numpy as np
+    import pytest
+
+    from nvd2mysqlloader_spark.multimodal.jpeg import encode_jpeg
+    from nvd2mysqlloader_spark.multimodal.mp4 import (decode_video_frames,
+                                                      encode_mp4)
+
+    blob = encode_mp4(
+        [bytes(encode_jpeg(np.full((8, 8), 128, dtype=np.uint8)))],
+        width=8, height=8, codec=b"jpeg")
+    with pytest.raises(ValueError, match="tracks"):
+        decode_video_frames(bytes(blob), track=-1)
