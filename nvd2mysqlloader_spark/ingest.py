@@ -110,8 +110,21 @@ def run_ingest(spark: SparkSession, landing: str, warehouse: str,
 
         paths = [f"{landing}/{n}.json" for n in names]
         # cache the exploded items: silver and bronze both consume
-        # them, and multiLine JSON parsing is the most expensive stage
-        items = explode_items(read_feed(spark, paths)).cache()
+        # them, and multiLine JSON parsing is the most expensive stage.
+        # Repartition BY CVE ID first: a multiLine feed is one
+        # unsplittable file = one scan partition, so without this the
+        # largest feed's entire downstream (flatten, to_json, both
+        # dedup shuffles' map sides) runs in a single straggler task —
+        # bisected in scripts/stress_ingest_parallelism.py (ramped-25
+        # 58.2 s vs equal-25 10.0 s on identical bytes). Hashing on
+        # cve_id (not round-robin) makes the one exchange do double
+        # duty: it balances the skew AND already satisfies both
+        # last_writer_wins windows' partitionBy(cve_id) distribution,
+        # so Catalyst inserts no further exchange for the dedups.
+        items = (explode_items(read_feed(spark, paths))
+                 .repartition(spark.sparkContext.defaultParallelism,
+                              F.col("cve.cve.CVE_data_meta.ID"))
+                 .cache())
         return _ingest_batch(spark, warehouse, fresh, items, names,
                              silver_path, bronze_path, before, tally,
                              maintain, include_children_cpes)

@@ -358,3 +358,46 @@ def test_purge_on_legacy_warehouse_migrates_bronze(spark, tmp_path):
     bronze = spark.read.parquet(bronze_path)
     assert "feed_year" in bronze.columns
     assert {r.cve_id for r in bronze.collect()} == {"CVE-2020-0001"}
+
+
+def test_ingest_repartition_feeds_both_dedups_without_reshuffle(
+        spark, tmp_path):
+    """Round-12 ingest skew fix: a multiLine feed is one unsplittable
+    file = one scan partition, so exploded items are repartitioned BY
+    CVE ID before the shared cache (bisected 1.79x on the ramped
+    corpus shape, scripts/stress_ingest_parallelism.py + A/B in
+    PLANS.md). Hashing on the id (not round-robin) makes the single
+    exchange also satisfy both last_writer_wins windows'
+    partitionBy(cve_id) requirement THROUGH the flatten projection's
+    alias — this pins that no further Exchange appears above the
+    cached scan in either consumer's physical plan."""
+    from bench import synth_cve_feed
+    from pyspark.sql import functions as F
+
+    from nvd2mysqlloader_spark.operators.flatten import flatten_cve
+    from nvd2mysqlloader_spark.operators.upsert import last_writer_wins
+    from nvd2mysqlloader_spark.sources.cve_feed import (explode_items,
+                                                        read_feed)
+
+    landing = str(tmp_path / "landing")
+    synth_cve_feed(landing, 400, year=2031)
+    items = (explode_items(read_feed(spark,
+                                     f"{landing}/nvdcve-1.1-2031.json"))
+             .repartition(8, F.col("cve.cve.CVE_data_meta.ID"))
+             .cache())
+    try:
+        items.count()
+        silver = last_writer_wins(flatten_cve(items), ["cve_id"],
+                                  ["last_modified_datetime"])
+        bronze = last_writer_wins(
+            items.select(F.col("cve.cve.CVE_data_meta.ID")
+                         .alias("cve_id"),
+                         F.col("cve.lastModifiedDate").alias("__lmd")),
+            ["cve_id"], ["__lmd"])
+        for df in (silver, bronze):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            above_cache = plan.split("InMemoryTableScan")[0]
+            assert "Window" in plan
+            assert "Exchange" not in above_cache, above_cache
+    finally:
+        items.unpersist()
