@@ -985,7 +985,8 @@ def incremental_minhash_candidates_banded(
         threshold: float = 0.5,
         max_batch_id_exclusive: int | None = None,
         materialize: bool = True,
-        max_candidates_per_new: int | None = None) -> DataFrame:
+        max_candidates_per_new: int | None = None,
+        new_sigs: DataFrame | None = None) -> DataFrame:
     """Pruned probe of the band-partitioned signature table: near-dup
     candidates (new_id, old_id, est_jaccard) of a NEW batch against
     the persisted corpus, reading ONLY
@@ -1049,6 +1050,18 @@ def incremental_minhash_candidates_banded(
     clusters. Use the capped mode to feed the gate; leave it None
     when every pairwise estimate matters.
 
+    ``new_sigs``: optional PRE-COMPUTED batch signatures — a
+    materialized (``id_col``, sig) relation exactly as
+    :func:`minhash_signatures` produces for this batch at the table's
+    ``num_perm``. Signatures depend only on the shingles and
+    ``num_perm`` (never on banding or bucket geometry), so a caller
+    probing the SAME batch several times — the maintenance/rebucket
+    verdicts probe before and after each mutation, the admission-cap
+    verdict probes capped and uncapped — computes them once and
+    passes them here instead of paying the explode + 64-min-aggregate
+    job per probe (r12 optimization; results are bit-identical
+    because the signature relation is deterministic).
+
     Snapshot semantics: against a VERSIONED table (any table that has
     been rebucketed/compacted) the scans are version-pinned — dir
     paths resolve through ``os.path.realpath`` into the current
@@ -1074,7 +1087,8 @@ def incremental_minhash_candidates_banded(
         # id-typed, not hard-coded long: string-keyed tables must get
         # string-typed empty frames or unions against a nonempty
         # probe result become schema-dependent on corpus emptiness
-        idt = new_shingled.schema[id_col].dataType
+        idt = (new_shingled if new_shingled is not None
+               else new_sigs).schema[id_col].dataType
         return spark.createDataFrame([], T.StructType([
             T.StructField("new_id", idt),
             T.StructField("old_id", idt),
@@ -1130,8 +1144,10 @@ def incremental_minhash_candidates_banded(
         df = spark.read.option("basePath", root).parquet(*sorted(sel))
         return _epoch(df).filter(F.col(col).isin(bucket_vals))
 
-    new_sigs = _materialize(
-        minhash_signatures(new_shingled, id_col, shingles_col, num_perm))
+    if new_sigs is None:
+        new_sigs = _materialize(
+            minhash_signatures(new_shingled, id_col, shingles_col,
+                               num_perm))
     # NOT separately materialized: the band explode is a cheap narrow
     # map over the already-checkpointed signatures, so its two
     # consumers (the bucket collect and the probe join's build side)

@@ -60,11 +60,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     Returns DataFrame[id_col, component] where ``component`` is the
     component-wide min id — the canonical "keeper" in dedup terms.
     """
+    # persisted PRE-PARTITIONED on src (the round join's key): the
+    # distinct's natural (src, dst) partitioning would force an |E|
+    # exchange EVERY round (the label side is a checkpointed RDD with
+    # unknown stats, so Catalyst plans a sort-merge join and re-sorts
+    # the edge cache each iteration); partitioned on src the rounds
+    # exchange only the |V|-row label relation — the same exchange
+    # discipline as pagerank/hits (r12 optimization, guide §2.4)
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
            .filter(F.col("src") != F.col("dst"))
            .distinct()
+           .repartition("src")
            .persist())
     sym.count()
 
@@ -74,7 +82,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 
     label_type = labels.schema["label"].dataType.simpleString()
     for _ in range(max_iter):
-        prop = (sym.join(labels, sym["src"] == labels["node"])
+        # shuffle_hash build on the |V|-row label side: the cached
+        # edge relation streams through a per-partition hash of the
+        # labels — no sort of either side, no re-exchange of sym
+        prop = (sym.join(labels.hint("shuffle_hash"),
+                         sym["src"] == labels["node"])
                 .select(F.col("dst").alias("node"), F.col("label"),
                         F.lit(None).cast(label_type).alias("old")))
         # carry each node's previous label through the same aggregate
@@ -272,7 +284,7 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
     Returns DataFrame[id_col, rank_fp] (BIGINT fixed-point rank).
     """
     if weight_col is None:
-        edges_p = edges.select("src", "dst").persist()
+        base_edges = edges.select("src", "dst")
         wsum_win = F.count(F.lit(1))
         contrib_expr = "rank_fp div wsum"
     else:
@@ -281,31 +293,10 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
         # making its source non-dangling with wsum=0 — the div-by-zero
         # NULL would silently drop that node's rank mass every round
         w_long = F.col(weight_col).cast("long")
-        edges_p = (edges.select("src", "dst", w_long.alias("w"))
-                   .filter(F.col("w") > 0)
-                   .persist())
+        base_edges = (edges.select("src", "dst", w_long.alias("w"))
+                      .filter(F.col("w") > 0))
         wsum_win = F.sum("w")
         contrib_expr = "(rank_fp * w) div wsum"
-    # Node set + danglingness in one shuffle: a node has out-edges iff
-    # it ever appears in the src role, so max(role) over the endpoint
-    # union IS the has_out flag and its group keys ARE the vertex set.
-    roles = (edges_p.select(F.col("src").alias("node"),
-                            F.lit(1).alias("o"))
-             .union(edges_p.select(F.col("dst").alias("node"),
-                                   F.lit(0).alias("o"))))
-    if nodes is not None:
-        roles = roles.union(nodes.select(F.col(id_col).alias("node"),
-                                         F.lit(0).alias("o")))
-    state = cut_lineage(
-        roles.groupBy("node").agg((F.max("o") == 1).alias("has_out")))
-    n = state.count()          # bounded one-time scalar (checkpointed)
-    if n == 0:
-        edges_p.unpersist()
-        return state.select(F.col("node").alias(id_col),
-                            F.lit(0).cast("long").alias("rank_fp"))
-    base = total // n
-    teleport = (100 - damping_pct) * base // 100
-
     # edeg is persisted PRE-PARTITIONED on src: the contrib join then
     # exchanges only the (node, rank) side — |V| rows — while the |E|
     # cache never moves again (without this, Catalyst sees an exact
@@ -315,11 +306,33 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
     # out-degree is an unordered COUNT window over src — ONE exchange
     # produces the annotated edges already hash-partitioned on src
     # (no ORDER BY, so no sort; the groupBy+join+repartition
-    # alternative costs three exchanges for the same result).
-    edeg = (edges_p.withColumn(
+    # alternative costs three exchanges for the same result). The
+    # (possibly expensive) upstream edge derivation materializes
+    # DIRECTLY into this cache; the role rollup below reads it back
+    # (r12 optimization: the former separate edges_p cache paid one
+    # extra full materialization of the derivation).
+    edeg = (base_edges.withColumn(
         "wsum", wsum_win.over(Window.partitionBy("src"))).persist())
     edeg.count()
-    edges_p.unpersist()                      # edeg/state both cached
+    # Node set + danglingness in one shuffle: a node has out-edges iff
+    # it ever appears in the src role, so max(role) over the endpoint
+    # union IS the has_out flag and its group keys ARE the vertex set.
+    roles = (edeg.select(F.col("src").alias("node"),
+                         F.lit(1).alias("o"))
+             .union(edeg.select(F.col("dst").alias("node"),
+                                F.lit(0).alias("o"))))
+    if nodes is not None:
+        roles = roles.union(nodes.select(F.col(id_col).alias("node"),
+                                         F.lit(0).alias("o")))
+    state = cut_lineage(
+        roles.groupBy("node").agg((F.max("o") == 1).alias("has_out")))
+    n = state.count()          # bounded one-time scalar (checkpointed)
+    if n == 0:
+        edeg.unpersist()
+        return state.select(F.col("node").alias(id_col),
+                            F.lit(0).cast("long").alias("rank_fp"))
+    base = total // n
+    teleport = (100 - damping_pct) * base // 100
 
     # ranks0 is a lazy projection over the checkpointed state — the
     # uniform seed costs no job of its own; the first iteration's
@@ -327,12 +340,14 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
     ranks = state.select("node", "has_out",
                          F.lit(base).cast("long").alias("rank_fp"))
     for _ in range(iters):
-        # shuffle_hash: build per-partition hash over the already-
-        # partitioned edge cache, stream ranks through it — no sort,
-        # no broadcast of either side; build memory is one edge
-        # partition, sized by the shuffle-partition count at scale.
-        contrib = (edeg.hint("shuffle_hash")
-                   .join(ranks, edeg["src"] == ranks["node"])
+        # shuffle_hash with the build on the |V|-row RANK side (the
+        # smaller relation, guide §3.1): the cached pre-partitioned
+        # edge partitions stream through a per-partition hash of the
+        # ranks — no sort, no broadcast of either side, and the hash
+        # build is |V|/partitions entries instead of |E|/partitions.
+        contrib = (edeg
+                   .join(ranks.hint("shuffle_hash"),
+                         edeg["src"] == ranks["node"])
                    .select(F.col("dst").alias("node"),
                            F.expr(contrib_expr).alias("c")))
         incoming = contrib.groupBy("node").agg(
@@ -392,26 +407,29 @@ def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
     """
     if iters < 1:
         raise ValueError("hits: iters must be >= 1")
-    edges_p = edges.select("src", "dst").persist()
+    # TWO edge caches, one per join orientation (the standard HITS
+    # trade: 2× edge storage buys per-iteration joins that never
+    # re-exchange the edge list — only the |V|-row score side moves).
+    # The (possibly expensive) upstream edge derivation materializes
+    # DIRECTLY into the first cache; the second cache and the node
+    # set both derive from it, so the derivation runs exactly once
+    # (r12 optimization: the former separate edges_p cache paid one
+    # extra full materialization of the derivation for nothing).
+    edst = edges.select("src", "dst").repartition("dst").persist()
+    edst.count()
+    esrc = edst.repartition("src").persist()
+    esrc.count()
     state = cut_lineage(
-        edges_p.select(F.col("src").alias("node"))
-        .union(edges_p.select(F.col("dst").alias("node")))
+        esrc.select(F.col("src").alias("node"))
+        .union(edst.select(F.col("dst").alias("node")))
         .distinct())
     n = state.count()
     if n == 0:
-        edges_p.unpersist()
+        esrc.unpersist()
+        edst.unpersist()
         return state.select(F.col("node").alias(id_col),
                             F.lit(0).cast("long").alias("hub_fp"),
                             F.lit(0).cast("long").alias("auth_fp"))
-
-    # TWO edge caches, one per join orientation (the standard HITS
-    # trade: 2× edge storage buys per-iteration joins that never
-    # re-exchange the edge list — only the |V|-row score side moves)
-    edst = edges_p.repartition("dst").persist()
-    edst.count()
-    esrc = edges_p.repartition("src").persist()
-    esrc.count()
-    edges_p.unpersist()
 
     def _norm_scalar(raw: DataFrame) -> DataFrame:
         # 1-row broadcastable normalizer: s = max(Σraw div total, 1)
@@ -420,46 +438,55 @@ def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
                    f" div {total}"),
             F.lit(1).cast("long")).alias("s"))
 
+    # The loop carries INNER-JOIN contribution vectors only: a node
+    # absent from raw has score exactly 0 and contributes exactly 0
+    # to the next half-step's sums AND to the normalizer's Σraw, so
+    # the per-half-step left-join onto the full node set is
+    # mathematically inert inside the loop — the zeros are filled
+    # ONCE at the end (r12 optimization: two |V|-row joins per
+    # half-step removed; scores bit-identical, pinned by the
+    # unchanged DuckDB-unrolled oracles).
     auth = state.select(
         "node", F.lit(total // n).cast("long").alias("auth_fp"))
     hub = None
     for _ in range(iters):
         # h half-step: h_raw(u) = Σ_{u→v} a(v) — join keyed on dst.
-        # The raw vector is checkpointed so the normalizer's scalar
-        # aggregate reads |V| cached rows instead of re-running the
-        # |E| join a second time.
+        # shuffle_hash with the build on the |V|-row SCORE side (the
+        # smaller relation, guide §3.1): the cached edge partitions
+        # stream through a per-partition hash of the scores; only the
+        # score side is exchanged. The raw vector is checkpointed so
+        # the normalizer's scalar aggregate reads |V| cached rows
+        # instead of re-running the |E| join a second time.
         hraw = cut_lineage(
-            edst.hint("shuffle_hash")
-            .join(auth, edst["dst"] == auth["node"])
+            edst.join(auth.hint("shuffle_hash"),
+                      edst["dst"] == auth["node"])
             .groupBy("src")
             .agg(F.sum("auth_fp").cast("long").alias("raw")))
-        hub = (state.join(
-            hraw.select(F.col("src").alias("node"), "raw"),
-            "node", "left")
-            .crossJoin(F.broadcast(_norm_scalar(hraw)))
-            .select("node", F.expr("coalesce(raw, 0L) div s")
-                    .cast("long").alias("hub_fp")))
+        hub = (hraw.crossJoin(F.broadcast(_norm_scalar(hraw)))
+               .select(F.col("src").alias("node"),
+                       F.expr("raw div s").cast("long")
+                       .alias("hub_fp")))
         # a half-step: a_raw(v) = Σ_{u→v} h(u) — join keyed on src
         araw = cut_lineage(
-            esrc.hint("shuffle_hash")
-            .join(hub, esrc["src"] == hub["node"])
+            esrc.join(hub.hint("shuffle_hash"),
+                      esrc["src"] == hub["node"])
             .groupBy("dst")
             .agg(F.sum("hub_fp").cast("long").alias("raw")))
-        auth = (state.join(
-            araw.select(F.col("dst").alias("node"), "raw"),
-            "node", "left")
-            .crossJoin(F.broadcast(_norm_scalar(araw)))
-            .select("node", F.expr("coalesce(raw, 0L) div s")
-                    .cast("long").alias("auth_fp")))
+        auth = (araw.crossJoin(F.broadcast(_norm_scalar(araw)))
+                .select(F.col("dst").alias("node"),
+                        F.expr("raw div s").cast("long")
+                        .alias("auth_fp")))
 
-    # hub and auth are each built as state LEFT JOIN raw with
-    # coalesce-to-0 — exactly one non-null row per state node already,
-    # so the output is a single equi-join of the two checkpointed
-    # score vectors (a re-join onto state could never exercise a
-    # null branch)
-    out = (cut_lineage(hub)
-           .join(cut_lineage(auth), "node")
-           .select(F.col("node").alias(id_col), "hub_fp", "auth_fp"))
+    # fill the zeros exactly once: nodes with no out-edges have no
+    # hraw row (hub 0), nodes with no in-edges no araw row (auth 0)
+    out = (state
+           .join(cut_lineage(hub), "node", "left")
+           .join(cut_lineage(auth), "node", "left")
+           .select(F.col("node").alias(id_col),
+                   F.coalesce("hub_fp", F.lit(0).cast("long"))
+                   .alias("hub_fp"),
+                   F.coalesce("auth_fp", F.lit(0).cast("long"))
+                   .alias("auth_fp")))
     esrc.unpersist()
     edst.unpersist()
     return out

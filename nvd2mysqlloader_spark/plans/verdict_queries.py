@@ -938,6 +938,7 @@ def signature_table_maintenance(spark: SparkSession,
     from ..operators.dedup import (_read_sig_meta,
                                    incremental_minhash_candidates_banded,
                                    maintain_signature_table,
+                                   minhash_signatures,
                                    write_banded_signature_table)
     from .sketch_queries import _shingled
 
@@ -979,6 +980,15 @@ def signature_table_maintenance(spark: SparkSession,
             ("sig_maint", sf_dir, 16, "salted"), _build)
         path, _t_copy = fresh_copy(pristine, "sig_maint_call")
 
+        # batch signatures computed ONCE for all three probes: the
+        # signature relation depends only on (shingles, num_perm) —
+        # never on the bucket geometry the passes mutate — so the
+        # three probes (before / after compaction / after growth)
+        # share one checkpointed relation instead of paying the
+        # explode + 64-min-aggregate job each (r12 optimization;
+        # bit-identical by determinism of minhash_signatures)
+        batch_sigs = cut_lineage(minhash_signatures(batch))
+
         def probe():
             # cut_lineage, not persist: probe results are HELD ACROSS
             # the policy passes' mutations (compaction publish, then
@@ -988,7 +998,8 @@ def signature_table_maintenance(spark: SparkSession,
             # post-compaction probe read FAILED_READ_FILE once the
             # growth pass republished)
             return cut_lineage(
-                incremental_minhash_candidates_banded(spark, path, batch)
+                incremental_minhash_candidates_banded(
+                    spark, path, batch, new_sigs=batch_sigs)
                 .select("new_id", "old_id", "est_jaccard"))
 
         _t0 = _time.perf_counter()
@@ -1114,6 +1125,7 @@ def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import shingle3_udf
     from ..operators.dedup import (incremental_minhash_candidates_banded,
+                                   minhash_signatures,
                                    write_banded_signature_table)
 
     C, Q, CAP = 300, 40, 64
@@ -1148,10 +1160,16 @@ def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     _phases.report("probe_admission_cap", build_sec=_t_build,
                    build_cached=float(_cached))
 
-    unc = incremental_minhash_candidates_banded(spark, path, batch) \
+    # batch signatures shared by both probe modes — the cap is a
+    # probe-side knob, the signature relation is identical (r12
+    # optimization: one explode + 64-min-aggregate job, not two)
+    batch_sigs = cut_lineage(minhash_signatures(batch))
+    unc = incremental_minhash_candidates_banded(
+        spark, path, batch, new_sigs=batch_sigs) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cap = incremental_minhash_candidates_banded(
-        spark, path, batch, max_candidates_per_new=CAP) \
+        spark, path, batch, max_candidates_per_new=CAP,
+        new_sigs=batch_sigs) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         plant = F.col("old_id") >= OFF_C
@@ -1237,6 +1255,7 @@ def signature_table_rebucket(spark: SparkSession,
 
     from ..operators.dedup import (_read_manifest, _read_sig_meta,
                                    incremental_minhash_candidates_banded,
+                                   minhash_signatures,
                                    rebucket_signature_table,
                                    write_banded_signature_table)
     from .sketch_queries import _shingled
@@ -1266,6 +1285,13 @@ def signature_table_rebucket(spark: SparkSession,
             ("sig_rebucket", sf_dir, 16), _build)
         path, _t_copy = fresh_copy(pristine, "sig_rebucket_call")
 
+        # batch signatures shared by all three probes (before / after
+        # migration / after append): signatures depend only on
+        # (shingles, num_perm), not on the bucket geometry the
+        # migration changes — one checkpointed relation instead of
+        # three explode + 64-min-aggregate jobs (r12 optimization)
+        batch_sigs = cut_lineage(minhash_signatures(batch))
+
         def probe():
             # cut_lineage, not persist: a probe result HELD ACROSS a
             # table mutation must be materialized with its lineage
@@ -1277,7 +1303,8 @@ def signature_table_rebucket(spark: SparkSession,
             # snapshot. Post-migration probes are version-pinned via
             # realpath and don't need this.
             return cut_lineage(
-                incremental_minhash_candidates_banded(spark, path, batch)
+                incremental_minhash_candidates_banded(
+                    spark, path, batch, new_sigs=batch_sigs)
                 .select("new_id", "old_id", "est_jaccard"))
 
         _t0 = _time.perf_counter()
