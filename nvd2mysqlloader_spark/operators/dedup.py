@@ -281,8 +281,12 @@ def prefix_filter_candidate_pairs(shingled: DataFrame,
                           F.col(shingles_col).alias("s"))
           .withColumn("nsh", F.size("s")))
     ex = sh.select("doc_id", "nsh", F.explode("s").alias("shingle"))
-    df_ = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (ex.join(df_, "shingle")
+    # document frequency as a COUNT window over the shingle key, not
+    # groupBy + join-back: identical df values on every posting row,
+    # one exchange of the postings instead of exchange + join (the
+    # window's required sort is the sort the join would have paid)
+    ranked = (ex.withColumn("df", F.count(F.lit(1)).over(
+                  Window.partitionBy("shingle")))
               .withColumn("rn", F.row_number().over(
                   Window.partitionBy("doc_id")
                   .orderBy("df", "shingle"))))

@@ -130,7 +130,9 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = (sym.groupBy("src")
             .agg(F.min("dst").alias("min_nbr")))
     m = F.least(F.col("min_nbr"), F.col("src"))
-    return (sym.join(mins, "src")
+    # build the hash on the |V|-row mins side (guide §3.1); the edge
+    # relation streams — no sort of either checkpointed input
+    return (sym.join(mins.hint("shuffle_hash"), "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), m.alias("dst"))
             .filter(F.col("src") != F.col("dst"))
@@ -147,7 +149,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.col("src") != F.col("dst"))
     mins = (oriented.groupBy("src")
             .agg(F.min("dst").alias("m")))
-    linked = oriented.join(mins, "src")
+    linked = oriented.join(mins.hint("shuffle_hash"), "src")
     return (linked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .union(linked.select("src", F.col("m").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
@@ -177,15 +179,17 @@ def connected_components_alternating(nodes: DataFrame, edges: DataFrame,
     work = cut_lineage(edges.select("src", "dst")
                        .filter(F.col("src") != F.col("dst"))
                        .distinct())
+    n_work = work.count()
     for _ in range(max_iter):
         nxt = cut_lineage(_small_star(_large_star(work)))
         # fixed point (pure component-min stars) = consecutive iterates
-        # equal; both sides are checkpointed so the compare is cheap.
-        if nxt.count() == work.count() \
-                and nxt.exceptAll(work).count() == 0:
+        # equal; both sides are checkpointed so the compare is cheap
+        # (the previous iterate's count is carried, not re-run).
+        n_nxt = nxt.count()
+        if n_nxt == n_work and nxt.exceptAll(work).count() == 0:
             work = nxt
             break
-        work = nxt
+        work, n_work = nxt, n_nxt
     else:
         raise RuntimeError(
             f"connected_components_alternating did not reach its star "
@@ -522,7 +526,10 @@ def triangle_participation(edges: DataFrame, a: str = "a",
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
     dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
-    ex = e.join(dx, "x").join(dy, "y")
+    # hash build on the |V|-row degree side for both annotation joins
+    # (guide §3.1) — the edge relation streams unsorted
+    ex = (e.join(dx.hint("shuffle_hash"), "x")
+          .join(dy.hint("shuffle_hash"), "y"))
     lower_first = ((F.col("dx") < F.col("dy"))
                    | ((F.col("dx") == F.col("dy"))
                       & (F.col("x") < F.col("y"))))
@@ -577,9 +584,14 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10,
                .unionAll(e.select(F.col("y").alias("n")))
                .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
         keep = deg.filter(F.col("d") >= k).select("n")
+        # hash build on the |V|-row keep side for both semi joins
+        # (guide §3.1): the edge relation streams, no sort of the
+        # checkpointed inputs
         e = cut_lineage(
-            e.join(keep.withColumnRenamed("n", "x"), "x", "leftsemi")
-             .join(keep.withColumnRenamed("n", "y"), "y", "leftsemi")
+            e.join(keep.withColumnRenamed("n", "x")
+                   .hint("shuffle_hash"), "x", "leftsemi")
+             .join(keep.withColumnRenamed("n", "y")
+                   .hint("shuffle_hash"), "y", "leftsemi")
              .select("x", "y"))
         n_now = e.count()
         if n_now == n_prev:      # monotone => count-stable == set-stable

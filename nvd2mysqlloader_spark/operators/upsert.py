@@ -339,7 +339,15 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
         if target is not None:
             merged = merge_upsert(target, updates, keys, evolve_schema,
                                   order_col=order_col)
-    merged.write.mode("overwrite").parquet(vdir)
+    # REBALANCE before the unpartitioned write (guide §6): the merge
+    # output otherwise lands one file per shuffle partition — tiny
+    # files at bench scale, and at 100 TB a per-version file count
+    # fixed by the shuffle-partition config instead of data size. The
+    # AQE rebalance sizes output splits to advisoryPartitionSizeInBytes
+    # (splitting skewed partitions too), so the version's file count
+    # tracks its bytes at every scale; downstream version scans
+    # (table_changes, readers) pay per-file open cost proportionally.
+    merged.hint("rebalance").write.mode("overwrite").parquet(vdir)
     table_io.publish_version(target_path, vdir)
 
 
@@ -478,7 +486,10 @@ def write_delete_parquet(target_path: str, delete_keys: DataFrame,
     if n_deleted == 0:
         return 0
     vdir = table_io.next_version_dir(target_path)
+    # REBALANCE before the unpartitioned write — same file-sizing
+    # rationale as write_upsert_parquet (guide §6)
     target.alias("t").join(kdf, on, "left_anti") \
+        .hint("rebalance") \
         .write.mode("overwrite").parquet(vdir)
     table_io.publish_version(target_path, vdir)
     return n_deleted

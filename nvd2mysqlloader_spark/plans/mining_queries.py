@@ -710,16 +710,20 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (docs.select("doc_id", tokens("text").alias("t"))
            .select("doc_id", F.posexplode("t").alias("pos0", "w")))
     a, b = tok.alias("a"), tok.alias("b")
+    # canonicalize (least, greatest) BEFORE the distinct: the
+    # symmetric closure of distinct canonical pairs is then a plain
+    # unionAll of both orientations with no duplicates possible —
+    # one distinct exchange instead of two over the edge set, same
+    # edge relation exactly
     cooc = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
                    & (F.col("b.pos0") - F.col("a.pos0"))
                    .between(1, _TEXTRANK_WINDOW)
                    & (F.col("a.w") != F.col("b.w")))
-            .select(F.col("a.w").alias("src"),
-                    F.col("b.w").alias("dst"))
+            .select(F.least(F.col("a.w"), F.col("b.w")).alias("src"),
+                    F.greatest(F.col("a.w"), F.col("b.w")).alias("dst"))
             .distinct())
-    edges = (cooc.unionAll(cooc.select(F.col("dst").alias("src"),
-                                       F.col("src").alias("dst")))
-             .distinct())
+    edges = cooc.unionAll(cooc.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
     pr = pagerank(None, edges, id_col="id", iters=_PR_ITERS,
                   total=_PR_TOTAL)
     return (pr.select(F.col("id").alias("node"), "rank_fp")

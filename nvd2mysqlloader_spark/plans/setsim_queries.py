@@ -357,8 +357,11 @@ def containment_candidates(docs: DataFrame, *, t_num: int = _C_NUM,
           .filter(F.col("nsh") > 0))
     ex = _cut(sh.select("doc_id", "nsh",
                         F.explode("s").alias("shingle")))
-    df_ = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (ex.join(df_, "shingle")
+    # df as a COUNT window over shingle, not groupBy + join-back —
+    # same values, one less join/exchange (see
+    # operators/dedup.prefix_filter_candidate_pairs)
+    ranked = (ex.withColumn("df", F.count(F.lit(1)).over(
+                  Window.partitionBy("shingle")))
               .withColumn("rn", F.row_number().over(
                   Window.partitionBy("doc_id").orderBy("df", "shingle"))))
     alpha = F.floor((F.lit(t_num) * F.col("nsh") + F.lit(t_den - 1))
