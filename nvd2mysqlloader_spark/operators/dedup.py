@@ -175,19 +175,30 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def minhash_near_dups(shingled: DataFrame, id_col: str = "doc_id",
                       shingles_col: str = "s", num_perm: int = 64,
-                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 16, threshold: float = 0.5,
+                      sigs: DataFrame | None = None) -> DataFrame:
     """LSH candidates + signature-estimated Jaccard ≥ threshold.
 
     Estimated Jaccard = fraction of agreeing signature components
     (unbiased MinHash estimator). The exact-verify variant joins the
     candidates back to shingle sets instead — candidates × exact
     Jaccard is the production shape at scale.
+
+    ``sigs``: optional PRE-COMPUTED materialized signatures (the
+    exact relation :func:`minhash_signatures` yields for ``shingled``
+    at ``num_perm``) — the same sharing contract as the ``new_sigs``
+    probe parameter: signatures are a deterministic per-document
+    function, so a caller that already owns them (e.g. a verdict
+    comparing a probe against this full rebuild over one corpus)
+    skips the explode + ``num_perm``-min aggregate here and the
+    result is bit-identical.
     """
     # candidates first (ids only through the bucket shuffle), then join
     # the signatures back for the estimate — measured ~3× faster than
     # carrying the 64-long signatures through the band self-join
-    sigs = _materialize(
-        minhash_signatures(shingled, id_col, shingles_col, num_perm))
+    if sigs is None:
+        sigs = _materialize(
+            minhash_signatures(shingled, id_col, shingles_col, num_perm))
     cand = lsh_candidate_pairs(sigs, id_col, bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))

@@ -117,10 +117,21 @@ _TOP_RULES = 20
 )
 def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # ONE exchange on user_id serves the whole basket pipeline (r12
+    # optimization, guide §2.4): HashPartitioning(user_id) satisfies
+    # the (user_id, item) aggregate's clustering requirement, the
+    # rn-window's partitionBy(user_id), AND both sides of the basket
+    # self-join below — the former groupBy(user_id, item) shape
+    # exchanged on the pair key and then re-exchanged both join
+    # inputs on user_id alone. (Trade-off: the explicit repartition
+    # forgoes map-side partial aggregation of the raw events — a
+    # win here because per-(user, item) multiplicity is low, and the
+    # join-exchange removal is 2 exchanges of the basket relation.)
     item_events = (ev
                    .select("user_id",
                            F.get_json_object("props", "$.k").alias("item"))
                    .filter(F.col("item").isNotNull())
+                   .repartition("user_id")
                    .groupBy("user_id", "item")
                    .agg(F.count(F.lit(1)).alias("n_ev")))
     basket = (item_events

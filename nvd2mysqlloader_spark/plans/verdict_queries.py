@@ -519,14 +519,23 @@ def _cve2cpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-iteration in long bench sessions. ``_decode_node`` restores
     the reference-shaped labels BEFORE any ranking, so tie-breaks
     and the oracle output are byte-identical to the string form."""
+    # ONE lineitem scan and ONE distinct exchange for both edge
+    # roles (r12 optimization, guide §2.4): each row explodes into
+    # its cve→product and product→vendor edges, then a single
+    # distinct dedupes the union. Equivalent to the former
+    # distinct-per-role + unionAll because the role bits make the
+    # two edge sets disjoint (cve→p src ≡ 0 (mod 4), p→v src ≡ 1) —
+    # distinct-of-union == union-of-distincts on disjoint sets. The
+    # former shape paid two scans and two exchanges of the same
+    # |lineitem| rows for identical output.
     li = load_table(spark, sf_dir, "lineitem")
-    cve_p = (li.select(
-        (F.col("l_orderkey") * 4).alias("src"),
-        (F.col("l_partkey") * 4 + 1).alias("dst")).distinct())
-    p_v = (li.select(
-        (F.col("l_partkey") * 4 + 1).alias("src"),
-        (F.col("l_suppkey") * 4 + 2).alias("dst")).distinct())
-    return cve_p.unionAll(p_v)
+    return (li.select(F.explode(F.array(
+        F.struct((F.col("l_orderkey") * 4).alias("src"),
+                 (F.col("l_partkey") * 4 + 1).alias("dst")),
+        F.struct((F.col("l_partkey") * 4 + 1).alias("src"),
+                 (F.col("l_suppkey") * 4 + 2).alias("dst"))))
+        .alias("e"))
+        .select("e.src", "e.dst").distinct())
 
 
 def _decode_node(col):
@@ -634,7 +643,7 @@ def minhash_incremental_dedup(spark: SparkSession,
 
     from ..operators.dedup import (
         incremental_minhash_candidates_banded, minhash_near_dups,
-        write_banded_signature_table)
+        minhash_signatures, write_banded_signature_table)
     from .sketch_queries import _shingled
 
     sh = _shingled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -652,16 +661,26 @@ def minhash_incremental_dedup(spark: SparkSession,
             ("minhash_sig", sf_dir),
             lambda p: write_banded_signature_table(corpus, p))
 
+        # ONE signature pass serves both sides of the verdict (r12
+        # optimization, same determinism argument as the maintenance/
+        # rebucket probes): signatures are per-document, so the
+        # all-docs relation filtered to the batch IS the batch's
+        # signature relation, and the full rebuild reuses the same
+        # checkpointed frame instead of re-running the explode +
+        # 64-min aggregate over every document a second time.
+        sigs_all = cut_lineage(minhash_signatures(sh))
+        batch_sigs = sigs_all.filter(new_side)
+
         _t0 = _time.perf_counter()
         probed = incremental_minhash_candidates_banded(
-            spark, path, batch) \
+            spark, path, batch, new_sigs=batch_sigs) \
             .select("new_id", "old_id", "est_jaccard")
         _phases.report("minhash_incremental_dedup", build_sec=_t_build,
                        build_cached=float(_cached),
                        probe_sec=_time.perf_counter() - _t0)
         # full-corpus rebuild truth, restricted to new-x-old pairs and
         # re-oriented (new first) to the probe's column contract
-        full = minhash_near_dups(sh, threshold=0.5)
+        full = minhash_near_dups(sh, threshold=0.5, sigs=sigs_all)
         a_new, b_new = F.col("id_a") % 5 == 0, F.col("id_b") % 5 == 0
         rebuilt = (full.filter(a_new & ~b_new)
                    .select(F.col("id_a").alias("new_id"),
