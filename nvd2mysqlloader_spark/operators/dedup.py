@@ -100,7 +100,8 @@ def _band_explode(bands: int):
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = 16,
-                        bucket_cap: int | None = None) -> DataFrame:
+                        bucket_cap: int | None = None,
+                        banded: DataFrame | None = None) -> DataFrame:
     """Band the signatures and self-join the buckets → distinct
     candidate pairs (id_a < id_b).
 
@@ -126,17 +127,27 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     pairs from over-cap buckets, so use the capped mode to feed
     connected components (dedup clustering), the uncapped mode when
     every pairwise estimate matters.
+
+    ``banded``: optional PRE-COMPUTED band relation — a materialized
+    (``id_col``, band_idx, band_hash) frame exactly as this function
+    derives from ``sigs`` at the same ``bands``. The banding is a
+    deterministic per-row map of the signatures (never of
+    ``bucket_cap``), so a caller running BOTH modes over one
+    signature set — the lsh_bucket_cap_clusters verdict compares
+    capped vs uncapped — shares one explode + checkpoint instead of
+    paying it per mode (the ``new_sigs``/``sigs`` sharing pattern;
+    results bit-identical).
     """
-    # build (id, band_idx, band_hash) rows
-    banded = sigs.select(
-        id_col, _band_explode(bands).alias("band_idx", "band_hash"))
-    # materialize once: both self-join sides read the same blocks
-    # instead of re-running the explode (+ everything upstream of
-    # ``sigs`` that isn't already cut). The join itself is a plain
-    # equi-join on (band_idx, band_hash) — AQE picks broadcast at small
-    # scale and a shuffle join with skew-split at 100 TB, where a
-    # boilerplate mega-bucket would otherwise straggle.
-    banded = _materialize(banded)
+    if banded is None:
+        # build (id, band_idx, band_hash) rows; materialize once —
+        # both self-join sides read the same blocks instead of
+        # re-running the explode (+ everything upstream of ``sigs``
+        # that isn't already cut). The join itself is a plain
+        # equi-join on (band_idx, band_hash) — AQE picks broadcast at
+        # small scale and a shuffle join with skew-split at 100 TB,
+        # where a boilerplate mega-bucket would otherwise straggle.
+        banded = _materialize(sigs.select(
+            id_col, _band_explode(bands).alias("band_idx", "band_hash")))
     if bucket_cap is not None:
         # per-bucket size + min-id anchor: one partial-agg shuffle on
         # the same (band_idx, band_hash) key the self-join uses

@@ -124,7 +124,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: every node connects its strictly-LARGER
     neighbors to its minimum neighborhood label m(u) = min(N(u) ∪ {u}).
-    Emits (v, m) for v ∈ N(u), v > u."""
+    Emits (v, m) for v ∈ N(u), v > u.
+
+    NOT distinct'd: the only consumer is :func:`_small_star`, whose
+    own trailing ``distinct`` makes the composition idempotent in the
+    input multiset (its aggregates are duplicate-insensitive and the
+    final distinct collapses the rest), so a distinct here bought an
+    extra |E| exchange + two aggregate passes per round for nothing —
+    the round iterate is set-identical either way (r12 optimization;
+    emission stays ≤ |sym| rows, one per qualifying edge)."""
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     mins = (sym.groupBy("src")
@@ -135,8 +143,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
     return (sym.join(mins.hint("shuffle_hash"), "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), m.alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct())
+            .filter(F.col("src") != F.col("dst")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -374,7 +381,7 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
 
 
 def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
-         total: int = 1_000_000_000) -> DataFrame:
+         total: int = 1_000_000_000, dedup: bool = False) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg hubs/authorities) in exact
     integer fixed-point — the second web-graph score curation
     pipelines attach to link graphs (hubs = pages that point at good
@@ -406,6 +413,19 @@ def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
     a 1-row broadcast — the same exchange discipline as
     :func:`pagerank`; state is checkpointed once per full iteration.
 
+    ``dedup=True`` folds the caller's edge ``distinct()`` into the
+    orientation cache build: the dedup aggregate runs INSIDE the
+    ``repartition("dst")`` layout (HashPartitioning(dst) satisfies
+    the (src, dst) clustering), so simple-graph callers pay ONE |E|
+    exchange for distinct + cache layout instead of a distinct
+    exchange followed by the repartition re-exchange. Identical edge
+    set, identical scores. Trade-off (guide §2.3): the fold forgoes
+    map-side partial dedup of the raw relation, a win iff the raw
+    duplication factor is < 2 — measured 1.02 (trade pairs) and
+    ~1.8 (cve2cpe roles) on this corpus; leave it False and pass a
+    pre-distinct'd relation when a boilerplate-heavy graph duplicates
+    edges more than that.
+
     Returns DataFrame[id_col, hub_fp, auth_fp] (BIGINT fixed-point;
     nodes with no out-edges have hub_fp = 0, no in-edges auth_fp = 0).
     """
@@ -419,7 +439,10 @@ def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
     # set both derive from it, so the derivation runs exactly once
     # (r12 optimization: the former separate edges_p cache paid one
     # extra full materialization of the derivation for nothing).
-    edst = edges.select("src", "dst").repartition("dst").persist()
+    edst = edges.select("src", "dst").repartition("dst")
+    if dedup:
+        edst = edst.dropDuplicates()
+    edst = edst.persist()
     edst.count()
     esrc = edst.repartition("src").persist()
     esrc.count()

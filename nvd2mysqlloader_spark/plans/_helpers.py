@@ -94,6 +94,43 @@ def session_artifact(key: tuple, build: Callable[[str], Any]
     return path, aux, build_sec, False
 
 
+def one_row(*aggs):
+    """Assemble single-row GLOBAL aggregates into one row.
+
+    Union skeleton, not a broadcast cross-join chain: each input's
+    row is padded with typed nulls to the combined schema, the pads
+    are unioned, and one ``first(ignorenulls)`` aggregate per column
+    re-assembles the row. The old shape materialized every aggregate
+    as its own BroadcastExchange job before the final collect; the
+    union makes the aggregate subtrees parallel stages of ONE job
+    and drops the N−1 broadcasts. Equivalent by construction: every
+    input is a global aggregate or literal (exactly one row each)
+    with column names disjoint across inputs (the callers'
+    unqualified selects already require that), so a column's only
+    non-null row is its own aggregate's — first(ignorenulls) returns
+    exactly the cross-join's value, and a genuinely NULL aggregate
+    stays NULL (no other row carries its column non-null)."""
+    if len(aggs) == 1:
+        return aggs[0]
+    fields = []
+    for a in aggs:
+        fields.extend(a.schema.fields)
+    names = [f.name for f in fields]
+    assert len(set(names)) == len(names), names
+    padded = []
+    for a in aggs:
+        have = set(a.columns)
+        padded.append(a.select(*[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in fields]))
+    out = padded[0]
+    for p in padded[1:]:
+        out = out.unionAll(p)
+    return out.agg(*[F.first(f.name, ignorenulls=True).alias(f.name)
+                     for f in fields])
+
+
 def fresh_copy(path: str, prefix: str) -> tuple[str, float]:
     """Per-call private copy of a cached artifact for queries that
     MUTATE it (compaction, rebucket): a driver-side copytree — tens

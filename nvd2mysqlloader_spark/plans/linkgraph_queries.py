@@ -254,12 +254,17 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
+    # dedup folded INTO the operator's orientation-cache build
+    # (hits(dedup=True), r12): a caller-side .distinct() exchanged
+    # the pairs on (src, dst) only for hits() to re-exchange them on
+    # dst — one |E| exchange instead of two, same edge set (raw
+    # duplication factor measured 1.02 here, so the lost map-side
+    # partial dedup is noise)
     pairs = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
              .select((F.col("l_suppkey") * 2).alias("src"),
-                     (F.col("o_custkey") * 2 + 1).alias("dst"))
-             .distinct())
+                     (F.col("o_custkey") * 2 + 1).alias("dst")))
     hs = hits(pairs, id_col="node", iters=_HITS_ITERS,
-              total=_HITS_TOTAL)
+              total=_HITS_TOTAL, dedup=True)
     hs = hs.select(_decode_trade(F.col("node")).alias("node"),
                    "hub_fp", "auth_fp")
     hubs = (hs.select(F.lit("hub").alias("role"), "node",

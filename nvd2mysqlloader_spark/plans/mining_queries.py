@@ -312,12 +312,10 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = top10.agg(
         F.sum((F.col("g") >= 2).cast("long")).cast("long").alias("hits10"))
 
-    one = (dcg.crossJoin(F.broadcast(idcg))
-           .crossJoin(F.broadcast(mrr))
-           .crossJoin(F.broadcast(rec))
-           .crossJoin(F.broadcast(
-               grade_counts.select(
-                   (F.col("n3") + F.col("n2")).alias("n_rel")))))
+    from ._helpers import one_row
+    one = one_row(dcg, idcg, mrr, rec,
+                  grade_counts.select(
+                      (F.col("n3") + F.col("n2")).alias("n_rel")))
     return one.select(
         F.round(F.col("dcg10") / F.col("idcg10"), 6).alias("ndcg_at_10"),
         F.round(F.col("mrr10"), 6).alias("mrr_at_10"),
@@ -383,8 +381,8 @@ def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
     n_res = probed.agg(F.count(F.lit(1)).alias("n_results"))
-    out = (n_docs.crossJoin(F.broadcast(n_diff))
-           .crossJoin(F.broadcast(n_res))
+    from ._helpers import one_row
+    out = (one_row(n_docs, n_diff, n_res)
            .select("n_docs",
                    (F.col("n_diff") == 0).alias("probe_matches_direct"),
                    (F.col("n_results") == 10).alias("full_k_returned")))

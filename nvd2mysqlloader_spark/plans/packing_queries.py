@@ -148,7 +148,8 @@ def bfd_packing_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct("doc_id").alias("n_ids"),
             F.sum("n_chars").alias("sum_chars"))
-        verdict = (doc_stats.crossJoin(F.broadcast(pack_stats))
+        from ._helpers import one_row
+        verdict = (one_row(doc_stats, pack_stats)
                    .select(
                        F.col("n_rows").alias("n_docs"),
                        "sum_chars",

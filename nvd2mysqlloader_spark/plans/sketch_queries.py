@@ -382,7 +382,8 @@ def hll_mergeable_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_years"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
     exact = orders.agg(F.count_distinct("o_custkey").alias("exact_keys"))
-    return (merged.crossJoin(F.broadcast(exact))
+    from ._helpers import one_row
+    return (one_row(merged, exact)
             .select("n_years", "exact_keys",
                     (F.abs(F.col("approx") - F.col("exact_keys"))
                      <= F.greatest(F.lit(1), 0.06 * F.col("exact_keys")))

@@ -218,9 +218,8 @@ def stream_minhash_dedup_gate(spark: SparkSession,
         else:
             n_sigs = spark.createDataFrame(
                 [(0, 0)], "n_sigs long, n_sig_docs long")
-        verdict = (n_docs.crossJoin(F.broadcast(n_diff))
-                   .crossJoin(F.broadcast(n_sigs))
-                   .crossJoin(F.broadcast(n_signable))
+        from ._helpers import one_row
+        verdict = (one_row(n_docs, n_diff, n_sigs, n_signable)
                    .select(
                        "n_docs",
                        (F.col("n_diff") == 0).alias(

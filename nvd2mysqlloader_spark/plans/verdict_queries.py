@@ -43,14 +43,11 @@ from .registry import query
 _SEQ_LEN = 512
 
 
-def _one_row(*aggs: DataFrame) -> DataFrame:
-    """Cross-join a list of single-row aggregates into one row —
-    every side is a broadcast scalar, the bfd_packing_verdict shape
-    (no data-sized cartesian can occur)."""
-    out = aggs[0]
-    for a in aggs[1:]:
-        out = out.crossJoin(F.broadcast(a))
-    return out
+# Single-row aggregate collector — union skeleton instead of a
+# broadcast cross-join chain (see _helpers.one_row for the
+# equivalence argument); shared with the other verdict-shaped
+# collectors in streamgate/packing/mining/sketch queries.
+from ._helpers import one_row as _one_row  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -519,15 +516,19 @@ def _cve2cpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-iteration in long bench sessions. ``_decode_node`` restores
     the reference-shaped labels BEFORE any ranking, so tie-breaks
     and the oracle output are byte-identical to the string form."""
-    # ONE lineitem scan and ONE distinct exchange for both edge
-    # roles (r12 optimization, guide §2.4): each row explodes into
-    # its cve→product and product→vendor edges, then a single
-    # distinct dedupes the union. Equivalent to the former
-    # distinct-per-role + unionAll because the role bits make the
-    # two edge sets disjoint (cve→p src ≡ 0 (mod 4), p→v src ≡ 1) —
-    # distinct-of-union == union-of-distincts on disjoint sets. The
-    # former shape paid two scans and two exchanges of the same
-    # |lineitem| rows for identical output.
+    # ONE lineitem scan for both edge roles (r12, guide §2.4): each
+    # row explodes into its cve→product and product→vendor edges.
+    # The dedup is NOT applied here — the caller passes
+    # hits(dedup=True), which folds the distinct INTO the operator's
+    # dst-partitioned cache build (HashPartitioning(dst) satisfies
+    # the (src, dst) clustering), so the raw edges pay one |E|
+    # exchange total instead of a distinct exchange followed by the
+    # orientation re-exchange. Equivalent because the role bits make
+    # the two edge sets disjoint (cve→p src ≡ 0 (mod 4), p→v src ≡ 1)
+    # and dedup-after-repartition equals distinct-then-repartition as
+    # a set. Raw duplication factor ~1.8 on this corpus (the p→v role
+    # repeats per lineitem) — under the <2 bound where losing
+    # map-side partial dedup still shuffles fewer bytes.
     li = load_table(spark, sf_dir, "lineitem")
     return (li.select(F.explode(F.array(
         F.struct((F.col("l_orderkey") * 4).alias("src"),
@@ -535,7 +536,7 @@ def _cve2cpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct((F.col("l_partkey") * 4 + 1).alias("src"),
                  (F.col("l_suppkey") * 4 + 2).alias("dst"))))
         .alias("e"))
-        .select("e.src", "e.dst").distinct())
+        .select("e.src", "e.dst"))
 
 
 def _decode_node(col):
@@ -576,7 +577,7 @@ def cve2cpe_authority_scores(spark: SparkSession,
     from .linkgraph_queries import _HITS_ITERS, _HITS_TOTAL
 
     hs = hits(_cve2cpe_pairs(spark, sf_dir), id_col="node",
-              iters=_HITS_ITERS, total=_HITS_TOTAL)
+              iters=_HITS_ITERS, total=_HITS_TOTAL, dedup=True)
     # decode long-encoded nodes BEFORE ranking: the heap's tie-break
     # must order the reference-shaped string labels, not the encoding
     hs = hs.select(_decode_node(F.col("node")).alias("node"),
@@ -838,9 +839,17 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", shingle3_udf()("text").alias("s"))
     sigs = cut_lineage(minhash_signatures(shingled))
 
-    uncapped = lsh_candidate_pairs(sigs) \
+    # ONE band explode serves both candidate modes AND the natural
+    # max-bucket check below: banding is a deterministic per-row map
+    # of the signatures (bucket_cap never enters it), so the three
+    # consumers share a single checkpointed relation instead of
+    # paying the explode per consumer (r12 optimization; results
+    # bit-identical)
+    banded = cut_lineage(sigs.select(
+        "doc_id", _band_explode(16).alias("band_idx", "band_hash")))
+    uncapped = lsh_candidate_pairs(sigs, banded=banded) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    capped = lsh_candidate_pairs(sigs, bucket_cap=CAP) \
+    capped = lsh_candidate_pairs(sigs, bucket_cap=CAP, banded=banded) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         plant = F.col("id_a") >= OFF   # id_a<id_b: both planted iff a is
@@ -857,10 +866,10 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # largest NATURAL band bucket — the planted cluster must be
         # the only over-cap source for 'untouched' to be meaningful
-        nat_max = (sigs.filter(F.col("doc_id") < OFF)
-                   .select("doc_id",
-                           _band_explode(16).alias("band_idx",
-                                                   "band_hash"))
+        # (reads the shared banded relation: filtering it to natural
+        # docs equals banding the filtered signatures, band hashes
+        # being per-row)
+        nat_max = (banded.filter(F.col("doc_id") < OFF)
                    .groupBy("band_idx", "band_hash")
                    .agg(F.count(F.lit(1)).alias("n"))
                    .agg(F.coalesce(F.max("n"), F.lit(0))
@@ -951,8 +960,6 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def signature_table_maintenance(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     from ..operators.compaction import list_data_files
     from ..operators.dedup import (_read_sig_meta,
                                    incremental_minhash_candidates_banded,
@@ -961,131 +968,145 @@ def signature_table_maintenance(spark: SparkSession,
                                    write_banded_signature_table)
     from .sketch_queries import _shingled
 
-    sh = _shingled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        new_side = F.col("doc_id") % 5 == 0
-        corpus = sh.filter(~new_side & (F.col("doc_id") % 2 == 0))
-        batch = sh.filter(new_side)
-        # 4 micro-appends: the accretion shape a streaming gate
-        # produces (each append lands ~one file per touched dir);
-        # hash-sliced so every slice is nonempty (corpus ids are all
-        # even — a modular split would leave half the slices empty).
-        # The micro-appended PRISTINE state is a session-scoped
-        # artifact (built once); compaction MUTATES, so each call
-        # takes a cheap private copy and maintains THAT — the wall
-        # keeps the copy + probes + compaction (the operator under
-        # test), not the corpus-text signature construction.
-        import time as _time
+    # the shingled relation stays LAZY (no persist): the corpus side
+    # feeds only the session-cached artifact build, so a persisted
+    # full-corpus relation made every timed repetition re-shingle all
+    # documents just to slice out the batch. The doc_id filter pushes
+    # below the shingle UDF's project, so each consumer shingles only
+    # the rows it reads: the batch signatures pay 1/5 of the corpus,
+    # n_corpus counts the raw documents table (one row per doc, the
+    # same count by construction of _shingled), and the cached build
+    # still pays exactly one corpus pass on its only (warmup) run
+    # (r12 optimization; outputs unchanged — shingling is
+    # deterministic per document).
+    sh_all = _shingled(spark, sf_dir)
+    new_side = F.col("doc_id") % 5 == 0
+    corpus_side = ~new_side & (F.col("doc_id") % 2 == 0)
+    corpus = sh_all.filter(corpus_side)
+    batch = sh_all.filter(new_side)
+    docs_count_side = (load_table(spark, sf_dir, "documents")
+                       .filter(corpus_side))
+    # 4 micro-appends: the accretion shape a streaming gate
+    # produces (each append lands ~one file per touched dir);
+    # hash-sliced so every slice is nonempty (corpus ids are all
+    # even — a modular split would leave half the slices empty).
+    # The micro-appended PRISTINE state is a session-scoped
+    # artifact (built once); compaction MUTATES, so each call
+    # takes a cheap private copy and maintains THAT — the wall
+    # keeps the copy + probes + compaction (the operator under
+    # test), not the corpus-text signature construction.
+    import time as _time
 
-        from . import _phases
-        from ._helpers import fresh_copy, session_artifact
+    from . import _phases
+    from ._helpers import fresh_copy, session_artifact
 
-        def _build(p: str) -> None:
-            # slice hash SALTED with a literal so it is uncorrelated
-            # with doc_bucket = xxhash64(doc_id) % 16 — the unsalted
-            # slice (h % 4) is DETERMINED by the bucket (h % 16), so
-            # every sigs dir would receive exactly one append and
-            # never accrete; real streaming-gate batches are
-            # uncorrelated with doc buckets, and both subtables must
-            # present the accretion shape the policy exists to fix
-            for k in range(4):
-                write_banded_signature_table(
-                    corpus.filter(
-                        F.pmod(F.xxhash64("doc_id", F.lit(11)),
-                               F.lit(4)) == k),
-                    p, n_buckets=16)
+    def _build(p: str) -> None:
+        # slice hash SALTED with a literal so it is uncorrelated
+        # with doc_bucket = xxhash64(doc_id) % 16 — the unsalted
+        # slice (h % 4) is DETERMINED by the bucket (h % 16), so
+        # every sigs dir would receive exactly one append and
+        # never accrete; real streaming-gate batches are
+        # uncorrelated with doc buckets, and both subtables must
+        # present the accretion shape the policy exists to fix
+        for k in range(4):
+            write_banded_signature_table(
+                corpus.filter(
+                    F.pmod(F.xxhash64("doc_id", F.lit(11)),
+                           F.lit(4)) == k),
+                p, n_buckets=16)
 
-        pristine, _, _t_build, _cached = session_artifact(
-            ("sig_maint", sf_dir, 16, "salted"), _build)
-        path, _t_copy = fresh_copy(pristine, "sig_maint_call")
+    pristine, _, _t_build, _cached = session_artifact(
+        ("sig_maint", sf_dir, 16, "salted"), _build)
+    path, _t_copy = fresh_copy(pristine, "sig_maint_call")
 
-        # batch signatures computed ONCE for all three probes: the
-        # signature relation depends only on (shingles, num_perm) —
-        # never on the bucket geometry the passes mutate — so the
-        # three probes (before / after compaction / after growth)
-        # share one checkpointed relation instead of paying the
-        # explode + 64-min-aggregate job each (r12 optimization;
-        # bit-identical by determinism of minhash_signatures)
-        batch_sigs = cut_lineage(minhash_signatures(batch))
+    # batch signatures computed ONCE for all three probes: the
+    # signature relation depends only on (shingles, num_perm) —
+    # never on the bucket geometry the passes mutate — so the
+    # three probes (before / after compaction / after growth)
+    # share one checkpointed relation instead of paying the
+    # explode + 64-min-aggregate job each (r12 optimization;
+    # bit-identical by determinism of minhash_signatures)
+    batch_sigs = cut_lineage(minhash_signatures(batch))
 
-        def probe():
-            # cut_lineage, not persist: probe results are HELD ACROSS
-            # the policy passes' mutations (compaction publish, then
-            # the growth migration) — a lazy or persisted-but-evicted
-            # plan would recompute against moved version files (the
-            # rebucket verdict's lesson, and measured here: the
-            # post-compaction probe read FAILED_READ_FILE once the
-            # growth pass republished)
-            return cut_lineage(
-                incremental_minhash_candidates_banded(
-                    spark, path, batch, new_sigs=batch_sigs)
-                .select("new_id", "old_id", "est_jaccard"))
+    def probe():
+        # cut_lineage, not persist: probe results are HELD ACROSS
+        # the policy passes' mutations (compaction publish, then
+        # the growth migration) — a lazy or persisted-but-evicted
+        # plan would recompute against moved version files (the
+        # rebucket verdict's lesson, and measured here: the
+        # post-compaction probe read FAILED_READ_FILE once the
+        # growth pass republished)
+        return cut_lineage(
+            incremental_minhash_candidates_banded(
+                spark, path, batch, new_sigs=batch_sigs)
+            .select("new_id", "old_id", "est_jaccard"))
 
-        _t0 = _time.perf_counter()
-        before = probe()
-        _t_probe = _time.perf_counter() - _t0
-        files_before = (len(list_data_files(f"{path}/bands"))
-                        + len(list_data_files(f"{path}/sigs")))
-        # policy pass 1 — small files: 4 micro-appends left ~4 files
-        # per dir, over max_files_per_dir=2, so the policy must
-        # CHOOSE compaction of both subtables (and must NOT rebucket:
-        # the growth target is loose)
-        _t0 = _time.perf_counter()
-        s1 = maintain_signature_table(spark, path,
-                                      target_rows_per_bucket=10 ** 9,
-                                      max_files_per_dir=2)
-        _t_maint = _time.perf_counter() - _t0
-        policy_compacted = (not s1["rebucketed"]
-                            and sorted(s1["compacted"])
-                            == ["bands", "sigs"])
-        files_after = (len(list_data_files(f"{path}/bands"))
-                       + len(list_data_files(f"{path}/sigs")))
-        after = probe()
-        # policy pass 2 — healthy table: loose thresholds, full no-op
-        s2 = maintain_signature_table(spark, path,
-                                      target_rows_per_bucket=10 ** 9,
-                                      max_files_per_dir=64)
-        policy_noop = not s2["rebucketed"] and not s2["compacted"]
-        # policy pass 3 — growth: target = ceil(bands_rows/64) forces
-        # the n_buckets ∝ corpus rule to migrate 16→64 (narrow
-        # power-of-two split) AT EVERY SF — the target is derived
-        # from the table's own manifest row count, so the decided
-        # geometry is scale-invariant by construction
-        _t0 = _time.perf_counter()
-        s3 = maintain_signature_table(
-            spark, path,
-            target_rows_per_bucket=-(-s1["bands_rows"] // 64),
-            max_files_per_dir=64)
-        _t_grow = _time.perf_counter() - _t0
-        _phases.report("signature_table_maintenance",
-                       build_sec=_t_build, build_cached=float(_cached),
-                       copy_sec=_t_copy, probe_sec=_t_probe,
-                       maintain_sec=_t_maint, grow_sec=_t_grow)
-        policy_grew = s3["rebucketed"] and s3["n_buckets"] == 64
-        meta_n = _read_sig_meta(path)["n_buckets"]
-        grown = probe()
-        diff = before.exceptAll(after).unionAll(
-            after.exceptAll(before))
-        gdiff = before.exceptAll(grown).unionAll(
-            grown.exceptAll(before))
-        n_corpus = corpus.agg(
-            F.count(F.lit(1)).alias("n_corpus_docs"))
-        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
-        n_gdiff = gdiff.agg(F.count(F.lit(1)).alias("n_gdiff"))
-        verdict = _one_row(n_corpus, n_diff, n_gdiff).select(
-            "n_corpus_docs",
-            F.lit(files_after < files_before)
-            .alias("files_reduced"),
-            (F.col("n_diff") == 0).alias("probe_identical"),
-            F.lit(policy_compacted).alias("policy_compacted"),
-            F.lit(policy_noop).alias("policy_noop"),
-            F.lit(policy_grew).alias("policy_grew"),
-            F.lit(meta_n).cast("long").alias("n_buckets_after"),
-            (F.col("n_gdiff") == 0)
-            .alias("probe_identical_after_growth"))
-        return cut_lineage(verdict)
-    finally:
-        sh.unpersist()
+    _t0 = _time.perf_counter()
+    before = probe()
+    _t_probe = _time.perf_counter() - _t0
+    files_before = (len(list_data_files(f"{path}/bands"))
+                    + len(list_data_files(f"{path}/sigs")))
+    # policy pass 1 — small files: 4 micro-appends left ~4 files
+    # per dir, over max_files_per_dir=2, so the policy must
+    # CHOOSE compaction of both subtables (and must NOT rebucket:
+    # the growth target is loose)
+    _t0 = _time.perf_counter()
+    s1 = maintain_signature_table(spark, path,
+                                  target_rows_per_bucket=10 ** 9,
+                                  max_files_per_dir=2)
+    _t_maint = _time.perf_counter() - _t0
+    policy_compacted = (not s1["rebucketed"]
+                        and sorted(s1["compacted"])
+                        == ["bands", "sigs"])
+    files_after = (len(list_data_files(f"{path}/bands"))
+                   + len(list_data_files(f"{path}/sigs")))
+    after = probe()
+    # policy pass 2 — healthy table: loose thresholds, full no-op
+    s2 = maintain_signature_table(spark, path,
+                                  target_rows_per_bucket=10 ** 9,
+                                  max_files_per_dir=64)
+    policy_noop = not s2["rebucketed"] and not s2["compacted"]
+    # policy pass 3 — growth: target = ceil(bands_rows/64) forces
+    # the n_buckets ∝ corpus rule to migrate 16→64 (narrow
+    # power-of-two split) AT EVERY SF — the target is derived
+    # from the table's own manifest row count, so the decided
+    # geometry is scale-invariant by construction
+    _t0 = _time.perf_counter()
+    s3 = maintain_signature_table(
+        spark, path,
+        target_rows_per_bucket=-(-s1["bands_rows"] // 64),
+        max_files_per_dir=64)
+    _t_grow = _time.perf_counter() - _t0
+    _phases.report("signature_table_maintenance",
+                   build_sec=_t_build, build_cached=float(_cached),
+                   copy_sec=_t_copy, probe_sec=_t_probe,
+                   maintain_sec=_t_maint, grow_sec=_t_grow)
+    policy_grew = s3["rebucketed"] and s3["n_buckets"] == 64
+    meta_n = _read_sig_meta(path)["n_buckets"]
+    grown = probe()
+    diff = before.exceptAll(after).unionAll(
+        after.exceptAll(before))
+    gdiff = before.exceptAll(grown).unionAll(
+        grown.exceptAll(before))
+    # count the raw documents table, not the shingled relation — same
+    # value (one shingled row per document) without forcing the lazy
+    # corpus-side shingle UDF just to count rows
+    n_corpus = docs_count_side.agg(
+        F.count(F.lit(1)).alias("n_corpus_docs"))
+    n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+    n_gdiff = gdiff.agg(F.count(F.lit(1)).alias("n_gdiff"))
+    verdict = _one_row(n_corpus, n_diff, n_gdiff).select(
+        "n_corpus_docs",
+        F.lit(files_after < files_before)
+        .alias("files_reduced"),
+        (F.col("n_diff") == 0).alias("probe_identical"),
+        F.lit(policy_compacted).alias("policy_compacted"),
+        F.lit(policy_noop).alias("policy_noop"),
+        F.lit(policy_grew).alias("policy_grew"),
+        F.lit(meta_n).cast("long").alias("n_buckets_after"),
+        (F.col("n_gdiff") == 0)
+        .alias("probe_identical_after_growth"))
+    return cut_lineage(verdict)
 
 
 # ---------------------------------------------------------------------------
@@ -1270,8 +1291,6 @@ def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def signature_table_rebucket(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     from ..operators.dedup import (_read_manifest, _read_sig_meta,
                                    incremental_minhash_candidates_banded,
                                    minhash_signatures,
@@ -1279,91 +1298,104 @@ def signature_table_rebucket(spark: SparkSession,
                                    write_banded_signature_table)
     from .sketch_queries import _shingled
 
-    sh = _shingled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        new_side = F.col("doc_id") % 5 == 0
-        corpus, batch = sh.filter(~new_side), sh.filter(new_side)
-        import time as _time
+    # the shingled relation stays LAZY (no persist): the corpus side
+    # feeds only the session-cached artifact build, so a persisted
+    # full-corpus relation made every timed repetition re-shingle all
+    # documents just to slice out the batch. The doc_id filter pushes
+    # below the shingle UDF's project, so each consumer shingles only
+    # the rows it reads: the batch signatures pay 1/5 of the corpus,
+    # n_corpus counts the raw documents table (one row per doc, the
+    # same count by construction of _shingled), and the cached build
+    # still pays exactly one corpus pass on its only (warmup) run
+    # (r12 optimization; outputs unchanged — shingling is
+    # deterministic per document).
+    new_side = F.col("doc_id") % 5 == 0
+    sh_all = _shingled(spark, sf_dir)
+    corpus, batch = sh_all.filter(~new_side), sh_all.filter(new_side)
+    docs_count_side = (load_table(spark, sf_dir, "documents")
+                       .filter(~new_side))
+    import time as _time
 
-        from . import _phases
-        from ._helpers import fresh_copy, session_artifact
+    from . import _phases
+    from ._helpers import fresh_copy, session_artifact
 
-        # the 16-bucket PRISTINE table is a session-scoped artifact
-        # (built once from corpus text); the migration MUTATES, so
-        # each call migrates a cheap private copy — the wall keeps
-        # copy + probes + the rebucket itself (the operator under
-        # test), not the signature construction
-        def _build(p: str) -> None:
-            for k in range(2):
-                write_banded_signature_table(
-                    corpus.filter(F.pmod(F.xxhash64("doc_id"),
-                                         F.lit(2)) == k),
-                    p, n_buckets=16)
+    # the 16-bucket PRISTINE table is a session-scoped artifact
+    # (built once from corpus text); the migration MUTATES, so
+    # each call migrates a cheap private copy — the wall keeps
+    # copy + probes + the rebucket itself (the operator under
+    # test), not the signature construction
+    def _build(p: str) -> None:
+        for k in range(2):
+            write_banded_signature_table(
+                corpus.filter(F.pmod(F.xxhash64("doc_id"),
+                                     F.lit(2)) == k),
+                p, n_buckets=16)
 
-        pristine, _, _t_build, _cached = session_artifact(
-            ("sig_rebucket", sf_dir, 16), _build)
-        path, _t_copy = fresh_copy(pristine, "sig_rebucket_call")
+    pristine, _, _t_build, _cached = session_artifact(
+        ("sig_rebucket", sf_dir, 16), _build)
+    path, _t_copy = fresh_copy(pristine, "sig_rebucket_call")
 
-        # batch signatures shared by all three probes (before / after
-        # migration / after append): signatures depend only on
-        # (shingles, num_perm), not on the bucket geometry the
-        # migration changes — one checkpointed relation instead of
-        # three explode + 64-min-aggregate jobs (r12 optimization)
-        batch_sigs = cut_lineage(minhash_signatures(batch))
+    # batch signatures shared by all three probes (before / after
+    # migration / after append): signatures depend only on
+    # (shingles, num_perm), not on the bucket geometry the
+    # migration changes — one checkpointed relation instead of
+    # three explode + 64-min-aggregate jobs (r12 optimization)
+    batch_sigs = cut_lineage(minhash_signatures(batch))
 
-        def probe():
-            # cut_lineage, not persist: a probe result HELD ACROSS a
-            # table mutation must be materialized with its lineage
-            # truncated — the next write's cache-by-path invalidation
-            # would otherwise lazily RECOMPUTE a persisted plan
-            # through the flipped version pointer (probes created
-            # against a not-yet-versioned table re-bind through the
-            # first ensure_versioned rename) and silently change the
-            # snapshot. Post-migration probes are version-pinned via
-            # realpath and don't need this.
-            return cut_lineage(
-                incremental_minhash_candidates_banded(
-                    spark, path, batch, new_sigs=batch_sigs)
-                .select("new_id", "old_id", "est_jaccard"))
+    def probe():
+        # cut_lineage, not persist: a probe result HELD ACROSS a
+        # table mutation must be materialized with its lineage
+        # truncated — the next write's cache-by-path invalidation
+        # would otherwise lazily RECOMPUTE a persisted plan
+        # through the flipped version pointer (probes created
+        # against a not-yet-versioned table re-bind through the
+        # first ensure_versioned rename) and silently change the
+        # snapshot. Post-migration probes are version-pinned via
+        # realpath and don't need this.
+        return cut_lineage(
+            incremental_minhash_candidates_banded(
+                spark, path, batch, new_sigs=batch_sigs)
+            .select("new_id", "old_id", "est_jaccard"))
 
-        _t0 = _time.perf_counter()
-        before = probe()
-        _t_probe = _time.perf_counter() - _t0
-        _t0 = _time.perf_counter()
-        stats = rebucket_signature_table(spark, path, 48)
-        _phases.report("signature_table_rebucket", build_sec=_t_build,
-                       build_cached=float(_cached), copy_sec=_t_copy,
-                       probe_sec=_t_probe,
-                       rebucket_sec=_time.perf_counter() - _t0)
-        meta_ok = _read_sig_meta(path)["n_buckets"] == 48
-        man = _read_manifest(path)
-        layout_ok = (stats["n_buckets_old"] == 16
-                     and 16 < len(man["bands"]) <= 48)
-        after = probe()
-        # lifecycle continues: an append at the NEW geometry lands
-        # and only ADDS candidates (same batch, larger corpus)
-        write_banded_signature_table(batch.limit(3), path,
-                                     n_buckets=48)
-        grown = probe()
-        diff = before.exceptAll(after).unionAll(
-            after.exceptAll(before))
-        missing = after.exceptAll(grown)
-        n_corpus = corpus.agg(
-            F.count(F.lit(1)).alias("n_corpus_docs"))
-        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
-        n_missing = missing.agg(
-            F.count(F.lit(1)).alias("n_missing"))
-        verdict = _one_row(n_corpus, n_diff, n_missing).select(
-            "n_corpus_docs",
-            F.lit(stats["n_buckets_old"]).cast("long")
-            .alias("n_buckets_before"),
-            F.lit(stats["n_buckets_new"]).cast("long")
-            .alias("n_buckets_after"),
-            (F.col("n_diff") == 0).alias("probe_identical"),
-            F.lit(meta_ok).alias("meta_updated"),
-            F.lit(layout_ok).alias("layout_rebucketed"),
-            (F.col("n_missing") == 0)
-            .alias("append_after_rebucket_ok"))
-        return cut_lineage(verdict)
-    finally:
-        sh.unpersist()
+    _t0 = _time.perf_counter()
+    before = probe()
+    _t_probe = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
+    stats = rebucket_signature_table(spark, path, 48)
+    _phases.report("signature_table_rebucket", build_sec=_t_build,
+                   build_cached=float(_cached), copy_sec=_t_copy,
+                   probe_sec=_t_probe,
+                   rebucket_sec=_time.perf_counter() - _t0)
+    meta_ok = _read_sig_meta(path)["n_buckets"] == 48
+    man = _read_manifest(path)
+    layout_ok = (stats["n_buckets_old"] == 16
+                 and 16 < len(man["bands"]) <= 48)
+    after = probe()
+    # lifecycle continues: an append at the NEW geometry lands
+    # and only ADDS candidates (same batch, larger corpus)
+    write_banded_signature_table(batch.limit(3), path,
+                                 n_buckets=48)
+    grown = probe()
+    diff = before.exceptAll(after).unionAll(
+        after.exceptAll(before))
+    missing = after.exceptAll(grown)
+    # count the raw documents table, not the shingled relation — same
+    # value (one shingled row per document) without forcing the lazy
+    # corpus-side shingle UDF just to count rows
+    n_corpus = docs_count_side.agg(
+        F.count(F.lit(1)).alias("n_corpus_docs"))
+    n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+    n_missing = missing.agg(
+        F.count(F.lit(1)).alias("n_missing"))
+    verdict = _one_row(n_corpus, n_diff, n_missing).select(
+        "n_corpus_docs",
+        F.lit(stats["n_buckets_old"]).cast("long")
+        .alias("n_buckets_before"),
+        F.lit(stats["n_buckets_new"]).cast("long")
+        .alias("n_buckets_after"),
+        (F.col("n_diff") == 0).alias("probe_identical"),
+        F.lit(meta_ok).alias("meta_updated"),
+        F.lit(layout_ok).alias("layout_rebucketed"),
+        (F.col("n_missing") == 0)
+        .alias("append_after_rebucket_ok"))
+    return cut_lineage(verdict)

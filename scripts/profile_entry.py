@@ -72,6 +72,10 @@ def main() -> None:
         med = statistics.median(times)
         print(f"{name}: median {med:.3f}s reps="
               f"{[round(t, 3) for t in times]} ({n} rows)", flush=True)
+        from nvd2mysqlloader_spark.plans import _phases
+        split = _phases.last().get(name)
+        if split:
+            print(f"  phases: {split}", flush=True)
         if args.tag:
             df = q.fn(spark, args.sf)
             out = os.path.join(plans_dir, f"{name}_{args.tag}.txt")

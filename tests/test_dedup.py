@@ -1879,3 +1879,29 @@ def test_heal_write_failure_walks_filesystem_once(
     assert sum(v["rows"] for v in got["sigs"].values()) == 5
     assert os.path.isfile(_dirty_file(path))    # marker survives
     assert calls["n"] == 1, f"walked {calls['n']} times"
+
+
+def test_lsh_candidate_pairs_shared_banded_identical(spark):
+    """banded= sharing (r12): a pre-computed band relation must give
+    byte-identical candidates in BOTH modes — banding is a per-row
+    map of the signatures, never of bucket_cap."""
+    from nvd2mysqlloader_spark.operators.dedup import _band_explode
+    from nvd2mysqlloader_spark.operators.dedup import \
+        minhash_signatures as ms
+
+    rows = ([(i, "alpha beta gamma delta epsilon zeta eta theta")
+             for i in (10, 11, 12, 13)]
+            + [(i, "one two three four five six seven eight")
+               for i in (1, 2)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = ms(docs.select("doc_id", shingle3_udf()("text").alias("s")))
+    banded = sigs.select(
+        "doc_id", _band_explode(16).alias("band_idx", "band_hash")) \
+        .localCheckpoint(eager=True)
+
+    for cap in (None, 3):
+        direct = sorted(map(tuple, lsh_candidate_pairs(
+            sigs, bucket_cap=cap).collect()))
+        shared = sorted(map(tuple, lsh_candidate_pairs(
+            sigs, bucket_cap=cap, banded=banded).collect()))
+        assert direct == shared and direct

@@ -597,3 +597,36 @@ def test_aqe_skew_join_splits_hub_partition(spark):
                     pass
             else:
                 conf.set(k, v)
+
+
+def test_large_star_undistinct_round_iterate_identical(spark):
+    """r12: _large_star no longer distincts its emission — the round
+    iterate small_star(large_star(E)) must be SET-identical to the
+    distinct'd composition (small_star's aggregates are duplicate-
+    insensitive and its trailing distinct collapses the rest)."""
+    from nvd2mysqlloader_spark.operators.graph import (_large_star,
+                                                       _small_star)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (7, 8), (8, 9), (2, 1), (5, 5)],
+        "src long, dst long")
+    ls = _large_star(edges)
+    via_dup = sorted(map(tuple, _small_star(ls).collect()))
+    via_distinct = sorted(map(tuple,
+                              _small_star(ls.distinct()).collect()))
+    assert via_dup == via_distinct and via_dup
+
+
+def test_hits_dedup_fold_matches_caller_distinct(spark):
+    """r12: hits(dedup=True) over raw duplicated edges must equal
+    hits() over the caller-distinct'd edges — the fold moves the
+    dedup inside the dst-partitioned cache build, never changes the
+    edge set."""
+    from nvd2mysqlloader_spark.operators.graph import hits
+
+    raw = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (3, 1), (2, 3), (4, 2)],
+        "src long, dst long")
+    via_fold = sorted(map(tuple, hits(raw, dedup=True).collect()))
+    via_distinct = sorted(map(tuple, hits(raw.distinct()).collect()))
+    assert via_fold == via_distinct and via_fold

@@ -93,3 +93,24 @@ def test_indexed_probe_queries_rebuild_per_call(spark):
     second = q(spark, SF_ORACLE).collect()
     assert first == second
     assert first[0].probe_matches_direct and first[0].full_k_returned
+
+
+def test_one_row_union_skeleton_matches_cross_join(spark):
+    """one_row (r12): the union-skeleton collector must reproduce the
+    broadcast cross-join row exactly — multi-column aggregates, NULL
+    aggregate values (empty-input min) and booleans included."""
+    from pyspark.sql import functions as F
+
+    from nvd2mysqlloader_spark.plans._helpers import one_row
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2 == 0).alias("even"))
+    a = df.agg(F.count(F.lit(1)).alias("n"),
+               F.sum("id").alias("s"))
+    b = df.filter(F.col("id") < 0).agg(F.min("id").alias("m"))  # NULL
+    c = df.agg(F.min("even").alias("all_even"))
+    expected = (a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
+                .collect())
+    got = one_row(a, b, c).collect()
+    assert got == expected
+    assert got[0].m is None and got[0].n == 10
