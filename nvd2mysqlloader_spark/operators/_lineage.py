@@ -21,14 +21,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def cut_lineage(df: DataFrame) -> DataFrame:
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and truncate its lineage — reliable
     ``checkpoint()`` when the SparkContext has a checkpoint directory
-    configured, else eager ``localCheckpoint()``."""
+    configured, else eager ``localCheckpoint()``.
+
+    ``eager=False`` FUSES the materialization into the caller's next
+    action instead of paying a dedicated checkpoint job: legal ONLY
+    when that next action provably computes every partition of ``df``
+    (a global count/aggregate/collect over the full frame, or a
+    filter/projection count above it) BEFORE any other consumer sees
+    the frame — the iterative loops' per-round convergence probes are
+    exactly this shape, so each round pays one job instead of two.
+    Any other use re-opens the lazy-checkpoint race documented in
+    operators/dedup.py::_materialize (concurrent AQE subplans each
+    recompute the upstream pipeline)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def persistent_rdd_ids(spark) -> set[int]:

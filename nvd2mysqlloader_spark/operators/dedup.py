@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 _P = (1 << 31) - 1          # Mersenne prime modulus
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut the lineage so a DataFrame consumed by both sides of a
     self-join (and again by a verify join-back) is computed ONCE.
 
@@ -45,9 +45,13 @@ def _materialize(df: DataFrame) -> DataFrame:
     new document, not per query. Routed through
     ``_lineage.cut_lineage`` so a cluster with ``spark.checkpoint.dir``
     set gets reliable checkpoints (executor-loss survival) from the
-    same call sites."""
+    same call sites. ``eager=False`` fuses the materialization into
+    the caller's NEXT action — legal only when that action provably
+    computes every partition before any other consumer exists (see
+    _lineage.cut_lineage); the banded probe's bucket collects are
+    exactly that shape."""
     from ._lineage import cut_lineage
-    return cut_lineage(df)
+    return cut_lineage(df, eager=eager)
 
 
 def _perm_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -96,6 +100,35 @@ def _band_explode(bands: int):
                     lambda b: F.xxhash64(
                         F.concat_ws(",", F.slice(F.col("sig"),
                                                  b * r + 1, r)))))
+
+
+def collect_band_keys(sigs: DataFrame, bands: int,
+                      id_col: str = "doc_id") -> list[int]:
+    """Distinct ``xxhash64(band_idx, band_hash)`` values of a batch's
+    band relation, collected to the driver — the band-key fingerprints
+    from which the banded probe derives its touched-bucket list for
+    ANY ``n_buckets`` (bucket = pmod(key, n_buckets); Python's ``%``
+    IS pmod for a positive modulus, so the driver-side derivation is
+    value-identical to the probe's own Spark-side collect). Bounded:
+    ≤ |batch|·bands longs.
+
+    Collect ONCE per (batch, bands) and pass the list to
+    :func:`incremental_minhash_candidates_banded` via
+    ``new_band_keys`` — a caller probing one batch repeatedly (the
+    maintenance/rebucket/admission-cap verdicts probe 2-3 times,
+    including across geometry migrations, which change ``n_buckets``
+    but never the band keys) then skips the per-probe bucket-collect
+    job (r13 optimization, guide §5 driver round-trips). MUST be
+    computed at the probed table's meta ``bands`` and over the exact
+    batch signatures the probe receives — the same agreement contract
+    as ``new_sigs``/``num_perm`` (a mismatch changes the candidate
+    set); pass ``sigs`` LAZY-cut and this collect doubles as its
+    materializing action."""
+    rows = (sigs.select(
+        id_col, _band_explode(bands).alias("band_idx", "band_hash"))
+        .select(F.xxhash64("band_idx", "band_hash").alias("k"))
+        .distinct().collect())
+    return sorted(r["k"] for r in rows)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
@@ -1012,7 +1045,8 @@ def incremental_minhash_candidates_banded(
         max_batch_id_exclusive: int | None = None,
         materialize: bool = True,
         max_candidates_per_new: int | None = None,
-        new_sigs: DataFrame | None = None) -> DataFrame:
+        new_sigs: DataFrame | None = None,
+        new_band_keys: list[int] | None = None) -> DataFrame:
     """Pruned probe of the band-partitioned signature table: near-dup
     candidates (new_id, old_id, est_jaccard) of a NEW batch against
     the persisted corpus, reading ONLY
@@ -1075,6 +1109,16 @@ def incremental_minhash_candidates_banded(
     which additionally assumes over-cap groups are near-identical
     clusters. Use the capped mode to feed the gate; leave it None
     when every pairwise estimate matters.
+
+    ``new_band_keys``: optional PRE-COLLECTED distinct
+    ``xxhash64(band_idx, band_hash)`` values of the batch's band
+    relation (:func:`collect_band_keys`). The probe then derives its
+    touched-bucket IN-list driver-side (``key % n_buckets`` — Python
+    ``%`` is pmod) instead of running the per-probe bucket-collect
+    job; band keys are ``n_buckets``-independent, so one collect
+    serves probes across geometry migrations. Same agreement contract
+    as ``new_sigs``: the keys MUST be the batch's own at the table's
+    ``bands``, or the pruned scan silently misses buckets.
 
     ``new_sigs``: optional PRE-COMPUTED batch signatures — a
     materialized (``id_col``, sig) relation exactly as
@@ -1171,9 +1215,17 @@ def incremental_minhash_candidates_banded(
         return _epoch(df).filter(F.col(col).isin(bucket_vals))
 
     if new_sigs is None:
+        # LAZY cut when the bucket collect below is the next action —
+        # that collect computes every partition of the signature
+        # relation, so the checkpoint fuses into it (one job instead
+        # of checkpoint-job + collect-job). With pre-collected band
+        # keys the collect is skipped, so the cut must stay eager
+        # (the next consumer is the probe join, whose concurrent AQE
+        # subplans would race a lazy checkpoint — see _materialize).
         new_sigs = _materialize(
             minhash_signatures(new_shingled, id_col, shingles_col,
-                               num_perm))
+                               num_perm),
+            eager=new_band_keys is not None)
     # NOT separately materialized: the band explode is a cheap narrow
     # map over the already-checkpointed signatures, so its two
     # consumers (the bucket collect and the probe join's build side)
@@ -1189,9 +1241,16 @@ def incremental_minhash_candidates_banded(
                            F.lit(n_buckets)).cast("int")))
     # the batch's touched band buckets — k-bounded collect (≤ n_buckets
     # ints) off the MATERIALIZED new side, then pushed as a literal
-    # IN-list so the parquet source partition-prunes the corpus scan
-    buckets = sorted({r["bucket"] for r in
-                      new_banded.select("bucket").distinct().collect()})
+    # IN-list so the parquet source partition-prunes the corpus scan;
+    # with pre-collected band keys the list is derived driver-side
+    # (key % n_buckets == pmod — value-identical to the Spark collect,
+    # pinned by tests/test_dedup.py) and the job is skipped entirely
+    if new_band_keys is not None:
+        buckets = sorted({k % n_buckets for k in new_band_keys})
+    else:
+        buckets = sorted({r["bucket"] for r in
+                          new_banded.select("bucket").distinct()
+                          .collect()})
     if not buckets:              # batch had no signable docs
         return _empty()
     corpus_bands = _pruned_scan("bands", "bucket", buckets)
@@ -1251,7 +1310,13 @@ def incremental_minhash_candidates_banded(
             .select("new_id", F.col("doc_id").alias("old_id"), "sig_new")
             .dropDuplicates(["new_id", "old_id"]))
     if materialize:
-        cand = _materialize(cand)
+        # LAZY cut: the doc-bucket collect right below is the
+        # materializing action (it computes every candidate partition
+        # before any other consumer exists), so the candidate relation
+        # costs one job instead of checkpoint-job + collect-job (r13
+        # optimization; the estimate join below then reads the cached
+        # blocks exactly as before)
+        cand = _materialize(cand, eager=False)
     # candidate old-ids' doc buckets — O(collisions) distinct values
     doc_buckets = sorted({r["b"] for r in cand.select(
         F.pmod(F.xxhash64("old_id"), F.lit(n_buckets)).cast("int")

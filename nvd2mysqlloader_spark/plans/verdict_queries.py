@@ -48,6 +48,9 @@ _SEQ_LEN = 512
 # equivalence argument); shared with the other verdict-shaped
 # collectors in streamgate/packing/mining/sketch queries.
 from ._helpers import one_row as _one_row  # noqa: E402
+# single-pass multiset-diff counts (r13) — value-identical to the
+# former exceptAll-both-ways probes, half the exchanges (see helper)
+from ._helpers import multiset_diff_count as _mdiff  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -370,9 +373,8 @@ def _probe_verdict(emb: DataFrame, direct: DataFrame,
     d_ = direct.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
     p_ = probed.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        diff = d_.exceptAll(p_).unionAll(p_.exceptAll(d_))
         n_vecs = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
-        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+        n_diff = _mdiff(d_, p_, "n_diff")
         n_res = p_.agg(F.count(F.lit(1)).alias("n_results"))
         verdict = _one_row(n_vecs, n_diff, n_res).select(
             "n_vecs",
@@ -694,11 +696,10 @@ def minhash_incremental_dedup(spark: SparkSession,
         p_ = probed.persist(StorageLevel.MEMORY_AND_DISK)
         r_ = rebuilt.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            diff = p_.exceptAll(r_).unionAll(r_.exceptAll(p_))
             n_corpus = corpus.agg(
                 F.count(F.lit(1)).alias("n_corpus_docs"))
             n_new = batch.agg(F.count(F.lit(1)).alias("n_new_docs"))
-            n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+            n_diff = _mdiff(p_, r_, "n_diff")
             verdict = _one_row(n_corpus, n_new, n_diff).select(
                 "n_corpus_docs", "n_new_docs",
                 (F.col("n_diff") == 0).alias("probe_matches_rebuild"))
@@ -758,9 +759,8 @@ def compaction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.persist(StorageLevel.MEMORY_AND_DISK)
     out = spark.read.parquet(tbl).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        diff = src.exceptAll(out).unionAll(out.exceptAll(src))
         n_docs = src.agg(F.count(F.lit(1)).alias("n_docs"))
-        n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
+        n_diff = _mdiff(src, out, "n_diff")
         verdict = _one_row(n_docs, n_diff).select(
             "n_docs",
             F.lit(stats["after_files"] < stats["before_files"])
@@ -837,7 +837,14 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .repartition(spark.sparkContext.defaultParallelism))
     shingled = all_docs.select(
         "doc_id", shingle3_udf()("text").alias("s"))
-    sigs = cut_lineage(minhash_signatures(shingled))
+    # the signature relation stays a LAZY expression: its ONLY
+    # consumer is the band derivation right below (lsh_candidate_pairs
+    # never touches `sigs` when `banded` is passed), so a separate
+    # signature checkpoint materialized the same rows twice for
+    # nothing — one eager checkpoint of the banded relation pays the
+    # shingle+minhash pipeline exactly once (r13 optimization; the
+    # banding is a narrow per-row map, results bit-identical)
+    sigs = minhash_signatures(shingled)
 
     # ONE band explode serves both candidate modes AND the natural
     # max-bucket check below: banding is a deterministic per-row map
@@ -860,9 +867,7 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         nat_un = uncapped.filter(F.col("id_b") < OFF)
         nat_cap = capped.filter(F.col("id_b") < OFF)
-        n_nat_diff = (nat_un.exceptAll(nat_cap)
-                      .unionAll(nat_cap.exceptAll(nat_un))
-                      .agg(F.count(F.lit(1)).alias("n_nat_diff")))
+        n_nat_diff = _mdiff(nat_un, nat_cap, "n_nat_diff")
 
         # largest NATURAL band bucket — the planted cluster must be
         # the only over-cap source for 'untouched' to be meaningful
@@ -876,16 +881,22 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("nat_max_bucket")))
 
         nodes = all_docs.select(F.col("doc_id").alias("id"))
+        # ONE seed-label checkpoint for both CC runs: the seed depends
+        # only on the vertex set, which capped and uncapped share
+        # (r13 optimization, the seed_labels sharing contract)
+        seed = cut_lineage(
+            nodes.select(F.col("id").alias("node")).distinct()
+            .withColumn("label", F.col("node")))
+
         def _cc(pairs: DataFrame) -> DataFrame:
             return connected_components(
                 nodes, pairs.select(F.col("id_a").alias("src"),
-                                    F.col("id_b").alias("dst")))
+                                    F.col("id_b").alias("dst")),
+                seed_labels=seed)
         cc_un = _cc(uncapped).persist(StorageLevel.MEMORY_AND_DISK)
         cc_cap = _cc(capped).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            n_cc_diff = (cc_un.exceptAll(cc_cap)
-                         .unionAll(cc_cap.exceptAll(cc_un))
-                         .agg(F.count(F.lit(1)).alias("n_cc_diff")))
+            n_cc_diff = _mdiff(cc_un, cc_cap, "n_cc_diff")
             n_docs = all_docs.agg(F.count(F.lit(1)).alias("n_docs"))
             verdict = _one_row(n_docs, n_plant_un, n_plant_cap,
                                n_nat_diff, nat_max, n_cc_diff).select(
@@ -961,7 +972,7 @@ def lsh_bucket_cap_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def signature_table_maintenance(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     from ..operators.compaction import list_data_files
-    from ..operators.dedup import (_read_sig_meta,
+    from ..operators.dedup import (_read_sig_meta, collect_band_keys,
                                    incremental_minhash_candidates_banded,
                                    maintain_signature_table,
                                    minhash_signatures,
@@ -1025,8 +1036,15 @@ def signature_table_maintenance(spark: SparkSession,
     # three probes (before / after compaction / after growth)
     # share one checkpointed relation instead of paying the
     # explode + 64-min-aggregate job each (r12 optimization;
-    # bit-identical by determinism of minhash_signatures)
-    batch_sigs = cut_lineage(minhash_signatures(batch))
+    # bit-identical by determinism of minhash_signatures). The
+    # checkpoint is LAZY: the band-key collect below is its
+    # materializing action, and the collected keys replace each
+    # probe's touched-bucket job — band keys are n_buckets-
+    # independent, so one collect serves the probe before AND
+    # after the 16→64 growth migration (r13 optimization,
+    # value-identity pinned in tests/test_dedup.py)
+    batch_sigs = cut_lineage(minhash_signatures(batch), eager=False)
+    band_keys = collect_band_keys(batch_sigs, 16)
 
     def probe():
         # cut_lineage, not persist: probe results are HELD ACROSS
@@ -1038,7 +1056,8 @@ def signature_table_maintenance(spark: SparkSession,
         # growth pass republished)
         return cut_lineage(
             incremental_minhash_candidates_banded(
-                spark, path, batch, new_sigs=batch_sigs)
+                spark, path, batch, new_sigs=batch_sigs,
+                new_band_keys=band_keys)
             .select("new_id", "old_id", "est_jaccard"))
 
     _t0 = _time.perf_counter()
@@ -1084,17 +1103,13 @@ def signature_table_maintenance(spark: SparkSession,
     policy_grew = s3["rebucketed"] and s3["n_buckets"] == 64
     meta_n = _read_sig_meta(path)["n_buckets"]
     grown = probe()
-    diff = before.exceptAll(after).unionAll(
-        after.exceptAll(before))
-    gdiff = before.exceptAll(grown).unionAll(
-        grown.exceptAll(before))
     # count the raw documents table, not the shingled relation — same
     # value (one shingled row per document) without forcing the lazy
     # corpus-side shingle UDF just to count rows
     n_corpus = docs_count_side.agg(
         F.count(F.lit(1)).alias("n_corpus_docs"))
-    n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
-    n_gdiff = gdiff.agg(F.count(F.lit(1)).alias("n_gdiff"))
+    n_diff = _mdiff(before, after, "n_diff")
+    n_gdiff = _mdiff(before, grown, "n_gdiff")
     verdict = _one_row(n_corpus, n_diff, n_gdiff).select(
         "n_corpus_docs",
         F.lit(files_after < files_before)
@@ -1106,7 +1121,12 @@ def signature_table_maintenance(spark: SparkSession,
         F.lit(meta_n).cast("long").alias("n_buckets_after"),
         (F.col("n_gdiff") == 0)
         .alias("probe_identical_after_growth"))
-    return cut_lineage(verdict)
+    # LAZY cut: every input is a checkpoint / literal / parquet count
+    # (nothing here is unpersisted or mutated after return), so the
+    # caller's single action materializes the one-row verdict — the
+    # dedicated eager-checkpoint job per repetition was pure overhead
+    # (r13 optimization)
+    return cut_lineage(verdict, eager=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1164,7 +1184,8 @@ def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from ..functions.text import shingle3_udf
-    from ..operators.dedup import (incremental_minhash_candidates_banded,
+    from ..operators.dedup import (collect_band_keys,
+                                   incremental_minhash_candidates_banded,
                                    minhash_signatures,
                                    write_banded_signature_table)
 
@@ -1202,14 +1223,19 @@ def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # batch signatures shared by both probe modes — the cap is a
     # probe-side knob, the signature relation is identical (r12
-    # optimization: one explode + 64-min-aggregate job, not two)
-    batch_sigs = cut_lineage(minhash_signatures(batch))
+    # optimization: one explode + 64-min-aggregate job, not two).
+    # LAZY cut + one band-key collect (its materializing action):
+    # the cap never enters the banding, so the collected keys
+    # replace both probes' touched-bucket jobs (r13 optimization)
+    batch_sigs = cut_lineage(minhash_signatures(batch), eager=False)
+    band_keys = collect_band_keys(batch_sigs, 16)
     unc = incremental_minhash_candidates_banded(
-        spark, path, batch, new_sigs=batch_sigs) \
+        spark, path, batch, new_sigs=batch_sigs,
+        new_band_keys=band_keys) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cap = incremental_minhash_candidates_banded(
         spark, path, batch, max_candidates_per_new=CAP,
-        new_sigs=batch_sigs) \
+        new_sigs=batch_sigs, new_band_keys=band_keys) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         plant = F.col("old_id") >= OFF_C
@@ -1219,16 +1245,11 @@ def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("planted_pairs_capped"),
             F.min(F.col("old_id") == OFF_C).alias("anchor_only"))
         nat_unc, nat_cap = unc.filter(~plant), cap.filter(~plant)
-        n_nat_diff = (nat_unc.exceptAll(nat_cap)
-                      .unionAll(nat_cap.exceptAll(nat_unc))
-                      .agg(F.count(F.lit(1)).alias("n_nat_diff")))
+        n_nat_diff = _mdiff(nat_unc, nat_cap, "n_nat_diff")
         flagged_unc = unc.select("new_id").distinct()
         flagged_cap = cap.select("new_id").distinct()
-        n_flag_diff = (flagged_unc.exceptAll(flagged_cap)
-                       .unionAll(flagged_cap.exceptAll(flagged_unc))
-                       .agg(F.count(F.lit(1)).alias("n_flag_diff")))
-        n_extra = cap.exceptAll(unc).agg(
-            F.count(F.lit(1)).alias("n_extra"))
+        n_flag_diff = _mdiff(flagged_unc, flagged_cap, "n_flag_diff")
+        n_extra = _mdiff(cap, unc, "n_extra", one_way=True)
         n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
         n_new = batch.agg(F.count(F.lit(1)).alias("n_new_docs"))
         verdict = _one_row(n_corpus, n_new, n_plant_unc,
@@ -1292,6 +1313,7 @@ def probe_admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def signature_table_rebucket(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     from ..operators.dedup import (_read_manifest, _read_sig_meta,
+                                   collect_band_keys,
                                    incremental_minhash_candidates_banded,
                                    minhash_signatures,
                                    rebucket_signature_table,
@@ -1339,8 +1361,13 @@ def signature_table_rebucket(spark: SparkSession,
     # migration / after append): signatures depend only on
     # (shingles, num_perm), not on the bucket geometry the
     # migration changes — one checkpointed relation instead of
-    # three explode + 64-min-aggregate jobs (r12 optimization)
-    batch_sigs = cut_lineage(minhash_signatures(batch))
+    # three explode + 64-min-aggregate jobs (r12 optimization).
+    # LAZY cut + one band-key collect (its materializing action):
+    # the collected keys replace every probe's touched-bucket job,
+    # including across the 16→48 migration — band keys are
+    # n_buckets-independent (r13 optimization)
+    batch_sigs = cut_lineage(minhash_signatures(batch), eager=False)
+    band_keys = collect_band_keys(batch_sigs, 16)
 
     def probe():
         # cut_lineage, not persist: a probe result HELD ACROSS a
@@ -1354,7 +1381,8 @@ def signature_table_rebucket(spark: SparkSession,
         # realpath and don't need this.
         return cut_lineage(
             incremental_minhash_candidates_banded(
-                spark, path, batch, new_sigs=batch_sigs)
+                spark, path, batch, new_sigs=batch_sigs,
+                new_band_keys=band_keys)
             .select("new_id", "old_id", "est_jaccard"))
 
     _t0 = _time.perf_counter()
@@ -1376,17 +1404,13 @@ def signature_table_rebucket(spark: SparkSession,
     write_banded_signature_table(batch.limit(3), path,
                                  n_buckets=48)
     grown = probe()
-    diff = before.exceptAll(after).unionAll(
-        after.exceptAll(before))
-    missing = after.exceptAll(grown)
     # count the raw documents table, not the shingled relation — same
     # value (one shingled row per document) without forcing the lazy
     # corpus-side shingle UDF just to count rows
     n_corpus = docs_count_side.agg(
         F.count(F.lit(1)).alias("n_corpus_docs"))
-    n_diff = diff.agg(F.count(F.lit(1)).alias("n_diff"))
-    n_missing = missing.agg(
-        F.count(F.lit(1)).alias("n_missing"))
+    n_diff = _mdiff(before, after, "n_diff")
+    n_missing = _mdiff(after, grown, "n_missing", one_way=True)
     verdict = _one_row(n_corpus, n_diff, n_missing).select(
         "n_corpus_docs",
         F.lit(stats["n_buckets_old"]).cast("long")
@@ -1398,4 +1422,7 @@ def signature_table_rebucket(spark: SparkSession,
         F.lit(layout_ok).alias("layout_rebucketed"),
         (F.col("n_missing") == 0)
         .alias("append_after_rebucket_ok"))
-    return cut_lineage(verdict)
+    # LAZY cut — same argument as signature_table_maintenance: all
+    # inputs are checkpoints/literals/parquet counts, so the caller's
+    # single action materializes the verdict (one job saved per rep)
+    return cut_lineage(verdict, eager=False)

@@ -35,7 +35,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--tag", default=None,
-                    help="write plans/r12/<name>_<tag>.txt explains")
+                    help="write plans/<round>/<name>_<tag>.txt explains")
+    ap.add_argument("--round", default="r13",
+                    help="plans/<round>/ subdir for --tag output")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--noop", action="store_true")
@@ -49,7 +51,7 @@ def main() -> None:
         .select(shingle3_udf()("text")).count()
 
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans", args.round)
     if args.tag:
         os.makedirs(plans_dir, exist_ok=True)
 

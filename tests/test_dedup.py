@@ -1905,3 +1905,40 @@ def test_lsh_candidate_pairs_shared_banded_identical(spark):
         shared = sorted(map(tuple, lsh_candidate_pairs(
             sigs, bucket_cap=cap, banded=banded).collect()))
         assert direct == shared and direct
+
+
+def test_probe_band_keys_identical_across_geometries(
+        spark, banded_split):
+    """new_band_keys sharing (r13): the driver-side touched-bucket
+    derivation (Python ``key % n_buckets`` over the collected band
+    keys) must reproduce the probe's own Spark-side pmod bucket
+    collect EXACTLY at any modulus, and the probe given pre-collected
+    keys must return the exact multiset of the collect-per-probe
+    path — before AND after a geometry migration (band keys are
+    n_buckets-independent)."""
+    from nvd2mysqlloader_spark.operators.dedup import (
+        _band_explode, collect_band_keys,
+        incremental_minhash_candidates_banded, minhash_signatures,
+        rebucket_signature_table)
+
+    _old, new, path = banded_split
+    sigs = minhash_signatures(new).localCheckpoint(eager=True)
+    keys = collect_band_keys(sigs, 16)
+    assert keys
+    banded = sigs.select(
+        _band_explode(16).alias("band_idx", "band_hash"))
+    for n in (16, 48, 64):
+        spark_buckets = sorted({r["b"] for r in banded.select(
+            F.pmod(F.xxhash64("band_idx", "band_hash"), F.lit(n))
+            .cast("int").alias("b")).distinct().collect()})
+        assert sorted({k % n for k in keys}) == spark_buckets, n
+
+    def _probe(**kw):
+        return sorted(map(tuple, incremental_minhash_candidates_banded(
+            spark, path, new, new_sigs=sigs, **kw).collect()))
+
+    want = _probe()
+    assert want, "fixture produced no collisions — vacuous"
+    assert _probe(new_band_keys=keys) == want
+    rebucket_signature_table(spark, path, 48)   # keys survive migration
+    assert _probe(new_band_keys=keys) == _probe() == want

@@ -630,3 +630,53 @@ def test_hits_dedup_fold_matches_caller_distinct(spark):
     via_fold = sorted(map(tuple, hits(raw, dedup=True).collect()))
     via_distinct = sorted(map(tuple, hits(raw.distinct()).collect()))
     assert via_fold == via_distinct and via_fold
+
+
+def test_alternating_cc_convergence_probe_checksum(spark):
+    """The one-job convergence signature (r13): the per-iterate
+    (count, decimal checksum) aggregate that gates the exact exceptAll
+    must distinguish same-size different edge sets (else every
+    count-stable round would still pay the confirm job) and must be
+    order/partitioning-independent (equal sets always compare equal,
+    so convergence is never missed)."""
+    from pyspark.sql import functions as F
+
+    def sig(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))
+            .alias("h")).collect()[0]
+        return r["n"], r["h"]
+
+    a = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    b = spark.createDataFrame([(1, 2), (3, 5)], "src long, dst long")
+    assert sig(a) != sig(b)                      # same count, diff set
+    shuffled = a.orderBy(F.desc("src")).repartition(7)
+    assert sig(a) == sig(shuffled)               # order-independent
+    empty = a.filter(F.lit(False))
+    assert sig(empty) == (0, None)               # empty-set fixed point
+
+
+def test_connected_components_seed_labels_identical(spark):
+    """seed_labels sharing (r13): a pre-checkpointed seed label
+    relation must give byte-identical components — the seed depends
+    only on the vertex set, never on the edge relation."""
+    from pyspark.sql import functions as F
+
+    from nvd2mysqlloader_spark.operators._lineage import cut_lineage
+    from nvd2mysqlloader_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    seed = cut_lineage(
+        nodes.select(F.col("id").alias("node")).distinct()
+        .withColumn("label", F.col("node")))
+    for edges in [
+        spark.createDataFrame([(0, 1), (1, 2), (5, 6)],
+                              "src long, dst long"),
+        spark.createDataFrame([(3, 4)], "src long, dst long"),
+    ]:
+        want = sorted(map(tuple, connected_components(
+            nodes, edges).collect()))
+        got = sorted(map(tuple, connected_components(
+            nodes, edges, seed_labels=seed).collect()))
+        assert got == want

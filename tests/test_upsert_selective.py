@@ -714,3 +714,59 @@ def test_delete_legacy_partitioned_emptied_partition_stays_gone(
     assert n == 1
     got = {(r.k, r.y) for r in spark.read.parquet(path).collect()}
     assert got == {(2, 2021)}
+
+
+def test_sized_for_write_picks_exchange_by_estimated_bytes(spark):
+    """r13 file-sizing shim (_sized_for_write, VERDICT r12 ask #5):
+    an output whose catalyst estimate fits in ONE advisory partition
+    coalesces to a single task (no exchange) — the r12 rebalance
+    charged one exchange per bench-scale version write for the same
+    single output file; an output estimated past the advisory size
+    keeps the scale-correct AQE REBALANCE. Branch choice is pinned
+    via the advisory conf (the only input besides the estimate)."""
+    from nvd2mysqlloader_spark.operators.upsert import _sized_for_write
+
+    df = spark.range(1000).selectExpr("id", "id * 2 as v")
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "64m")
+        small = _sized_for_write(df)._jdf.queryExecution() \
+            .explainString(spark._jvm.org.apache.spark.sql.execution
+                           .ExplainMode.fromString("extended"))
+        assert "Repartition 1" in small or "Coalesce 1" in small, small
+        assert "rebalance" not in small.lower(), small
+        spark.conf.set(key, "1b")
+        big = _sized_for_write(df)._jdf.queryExecution() \
+            .explainString(spark._jvm.org.apache.spark.sql.execution
+                           .ExplainMode.fromString("extended"))
+        assert "REBALANCE" in big or "RebalancePartitions" in big, big
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_small_version_write_lands_one_file_per_version(spark, tmp_path):
+    """The file-count property the r12 rebalance bought must survive
+    the r13 conditional shim: a bench-scale (sub-advisory) version
+    write lands exactly ONE data file — now via the exchange-free
+    coalesce branch."""
+    import glob as _glob
+
+    from nvd2mysqlloader_spark.operators import table_io
+
+    path = str(tmp_path / "sized")
+    base = spark.range(200).selectExpr("id as k", "id * 3 as v")
+    write_upsert_parquet(path, base, ["k"])
+    upd = spark.range(50).selectExpr("id as k", "id * 7 as v")
+    write_upsert_parquet(path, upd, ["k"])
+    cur = table_io.current_version(path)
+    files = [p for p in _glob.glob(f"{cur}/*.parquet")
+             if not os.path.basename(p).startswith(("_", "."))]
+    assert len(files) == 1, files
+    got = {(r.k, r.v) for r in spark.read.parquet(cur).collect()}
+    want = {(k, k * 7) for k in range(50)} | {(k, k * 3)
+                                              for k in range(50, 200)}
+    assert got == want

@@ -114,3 +114,33 @@ def test_one_row_union_skeleton_matches_cross_join(spark):
     got = one_row(a, b, c).collect()
     assert got == expected
     assert got[0].m is None and got[0].n == 10
+
+
+def test_multiset_diff_count_matches_exceptall(spark):
+    """r13 signed-count diff: value-identical to the exceptAll probes
+    it replaces — both-ways count == |cntA−cntB| summed, one-way ==
+    max(cntA−cntB,0) summed — across duplicates, NULLs, doubles,
+    empty sides, and equal multisets."""
+    from pyspark.sql import functions as F
+
+    from nvd2mysqlloader_spark.plans._helpers import multiset_diff_count
+
+    schema = "k long, v double"
+    a = spark.createDataFrame(
+        [(1, 0.5), (1, 0.5), (2, None), (3, 1.0)], schema)
+    b = spark.createDataFrame(
+        [(1, 0.5), (2, None), (2, None), (4, 0.25)], schema)
+    empty = spark.createDataFrame([], schema)
+
+    def want_both(x, y):
+        return (x.exceptAll(y).unionAll(y.exceptAll(x))).count()
+
+    def want_one(x, y):
+        return x.exceptAll(y).count()
+
+    for x, y in [(a, b), (b, a), (a, a), (a, empty), (empty, a),
+                 (empty, empty)]:
+        assert multiset_diff_count(x, y, "d").collect()[0]["d"] \
+            == want_both(x, y)
+        assert multiset_diff_count(x, y, "d", one_way=True) \
+            .collect()[0]["d"] == want_one(x, y)
