@@ -110,6 +110,21 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
+        # first-stage decode LUT (r13, guide §1.2 per-task work): an
+        # 8-bit prefix peek resolves every code of length <= 8 —
+        # nearly all symbols of a typical JPEG table — in one array
+        # index instead of up-to-8 (read_bit + dict probe) rounds.
+        # Canonical Huffman is prefix-free, so the entry under an
+        # 8-bit window IS the code the per-bit walk would find, and
+        # consuming its length takes exactly the same bits; longer
+        # codes fall through to the per-bit walk. <= 256 build steps
+        # per table, amortized over thousands of symbol decodes.
+        self.lut8: list[tuple[int, int] | None] = [None] * 256
+        for (length, c), v in self.decode_map.items():
+            if length <= 8:
+                base = c << (8 - length)
+                for i in range(1 << (8 - length)):
+                    self.lut8[base + i] = (v, length)
 
 
 class _BitReader:
@@ -153,12 +168,37 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
+        # batched take (r13): all n bits in one shift/mask when the
+        # accumulator holds them — bit-identical to the per-bit loop
+        # (MSB-first off the same accumulator; _fill appends whole
+        # bytes, so WHEN it runs never changes which bits come off).
+        # The per-bit fallback keeps the exact truncation/marker
+        # semantics of the old loop.
+        if n <= 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        if self.nbits >= n:
+            self.nbits -= n
+            return (self.acc >> self.nbits) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
 
     def decode_symbol(self, table: _HuffTable) -> int:
+        # fast path (r13): resolve codes of length <= 8 with one
+        # 8-bit peek into the table's prefix LUT (see _HuffTable);
+        # longer codes and marker/truncation boundaries take the
+        # original per-bit walk, which re-reads from the untouched
+        # accumulator (the peek consumes nothing on a miss).
+        if self.nbits < 8:
+            self._fill()
+        if self.nbits >= 8:
+            hit = table.lut8[(self.acc >> (self.nbits - 8)) & 0xFF]
+            if hit is not None:
+                self.nbits -= hit[1]
+                return hit[0]
         length, code = 0, 0
         while length < 16:
             code = (code << 1) | self.read_bit()

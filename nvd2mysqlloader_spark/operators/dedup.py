@@ -171,6 +171,16 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     paying it per mode (the ``new_sigs``/``sigs`` sharing pattern;
     results bit-identical).
     """
+    if banded is not None:
+        # cheap driver-side contract check (ADVICE r12 #1): the
+        # pre-computed relation must carry exactly the columns this
+        # function would have derived; a frame built at different
+        # bands is NOT detectable from schema — that agreement stays
+        # the caller's obligation (documented above)
+        missing = {id_col, "band_idx", "band_hash"} - set(banded.columns)
+        if missing:
+            raise ValueError(
+                f"banded= relation is missing columns {sorted(missing)}")
     if banded is None:
         # build (id, band_idx, band_hash) rows; materialize once —
         # both self-join sides read the same blocks instead of
@@ -1317,10 +1327,22 @@ def incremental_minhash_candidates_banded(
         # optimization; the estimate join below then reads the cached
         # blocks exactly as before)
         cand = _materialize(cand, eager=False)
-    # candidate old-ids' doc buckets — O(collisions) distinct values
-    doc_buckets = sorted({r["b"] for r in cand.select(
+    # candidate old-ids' doc buckets — O(collisions) distinct values.
+    # The same bounded collect carries a free width check (ADVICE r12
+    # #1): a ``new_sigs`` built at a different num_perm than the
+    # table's meta would silently yield unmatchable band hashes and
+    # wrong estimates — surface it loudly instead (zero extra jobs;
+    # the width is constant per batch so the distinct stays tiny).
+    doc_rows = cand.select(
         F.pmod(F.xxhash64("old_id"), F.lit(n_buckets)).cast("int")
-        .alias("b")).distinct().collect()})
+        .alias("b"), F.size("sig_new").alias("w")).distinct().collect()
+    bad_w = {r["w"] for r in doc_rows} - {num_perm}
+    if bad_w:
+        raise ValueError(
+            f"new_sigs signature width(s) {sorted(bad_w)} != table "
+            f"num_perm={num_perm} at {path}; matching widths are "
+            "required for band compatibility")
+    doc_buckets = sorted({r["b"] for r in doc_rows})
     if not doc_buckets:          # no collisions: empty probe result
         return _empty()
     sidecar = _pruned_scan("sigs", "doc_bucket", doc_buckets)

@@ -163,23 +163,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
     final distinct collapses the rest), so a distinct here bought an
     extra |E| exchange + two aggregate passes per round for nothing —
     the round iterate is set-identical either way (r12 optimization;
-    emission stays ≤ |sym| rows, one per qualifying edge).
-
-    ONE shared exchange per round (guide §2.4): the min-neighbor
-    aggregate and the join-back are keyed the same way (src), so an
-    explicit ``repartition("src")`` on the symmetric relation serves
-    BOTH — the aggregate reuses the partitioning (no partial-agg
-    exchange) and the shuffle-hash join streams the already-clustered
-    rows (no join exchange); AQE reuses the one shuffle stage across
-    the two plan branches. The old shape exchanged sym twice per
-    round (a partial-agg exchange plus the join's). Trade-off
-    documented like r12's association_rules: the explicit repartition
-    forgoes map-side partial aggregation of sym — row-local CPU for
-    an |E| network exchange removed per round, the right trade at
-    every scale where the network is the scarce resource."""
-    sym = (edges.union(edges.select(F.col("dst").alias("src"),
-                                    F.col("src").alias("dst")))
-           .repartition("src"))
+    emission stays ≤ |sym| rows, one per qualifying edge)."""
+    # NO shared repartition here (r13 — tried, measured, rejected):
+    # the join-back's ``dst > src`` filter pushes below any explicit
+    # exchange, so the join branch always gets its own HALVED copy of
+    # sym and a shared full-width exchange cannot be reused by it —
+    # the explicit repartition just replaced the min-aggregate's
+    # partial-agg exchange (≤ the filtered copy in bytes) with a
+    # full-|sym| one. Interleaved event-log A/B on
+    # semantic_dedup_verdict: jobs identical (133/rep), shuffle
+    # 8.1→8.0 MB in favor of this shape, and map-side partial
+    # aggregation of the min-neighbor rollup is kept.
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
     mins = (sym.groupBy("src")
             .agg(F.min("dst").alias("min_nbr")))
     m = F.least(F.col("min_nbr"), F.col("src"))
@@ -195,12 +191,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient every edge (larger → smaller); each
     node links itself and all its smaller neighbors to
     m(u) = min(N≤(u) ∪ {u})."""
-    # same shared-exchange discipline as _large_star: one explicit
-    # repartition("src") serves the min aggregate AND the join-back
-    # (both keyed on src) — and, as the round's first exchange above
-    # the large-star emission, it also bounds the upstream recompute:
-    # everything below it is computed once into the shuffle files,
-    # which both consumers (and both union branches of `linked`) read
+    # ONE shared exchange (guide §2.4): the min aggregate and the
+    # join-back are both keyed on src, so an explicit
+    # repartition("src") serves both (AQE reuses the shuffle stage) —
+    # and, as the round's first exchange above the large-star
+    # emission, it bounds the upstream recompute: everything below it
+    # is computed once into the shuffle files. Unlike _large_star
+    # there is no filter between the exchange and the join to break
+    # the reuse (measured: the stage IS reused in the executed plan).
+    # Trade-off as in r12's association_rules: forgoes map-side
+    # partial aggregation of the min rollup — row-local CPU for one
+    # |E'| exchange removed per round.
     oriented = (edges.select(
         F.greatest("src", "dst").alias("src"),
         F.least("src", "dst").alias("dst")).filter(
@@ -209,8 +210,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
     mins = (oriented.groupBy("src")
             .agg(F.min("dst").alias("m")))
     linked = oriented.join(mins.hint("shuffle_hash"), "src")
-    return (linked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .union(linked.select("src", F.col("m").alias("dst")))
+    # BOTH emissions ((dst, m) and (src, m)) in ONE pass via a 2-slot
+    # explode instead of a self-union of two selects: the union's
+    # branches carried the whole join subtree twice, and per-branch
+    # column pruning produced two DIFFERENTLY-projected copies of the
+    # oriented exchange that AQE could not reuse (observed in the
+    # executed round plan). Row multiset is identical — each linked
+    # row contributes exactly the two rows the union's branches
+    # contributed, and the src != dst filter applies per element as it
+    # did per branch (r13; set-identity pinned by the existing
+    # alternating-CC suite + test_small_star_explode_emission).
+    return (linked.select(F.explode(F.array(
+                F.struct(F.col("dst").alias("src"),
+                         F.col("m").alias("dst")),
+                F.struct(F.col("src").alias("src"),
+                         F.col("m").alias("dst")))).alias("e"))
+            .select("e.src", "e.dst")
             .filter(F.col("src") != F.col("dst"))
             .distinct())
 

@@ -97,6 +97,16 @@ def session_artifact(key: tuple, build: Callable[[str], Any]
 def one_row(*aggs):
     """Assemble single-row GLOBAL aggregates into one row.
 
+    CONTRACT (ADVICE r12 #3): every input must be a GLOBAL aggregate
+    or literal-select — a frame that yields EXACTLY ONE ROW even on
+    empty input. A grouped aggregate (or any multi-row frame) passed
+    here would silently contribute an arbitrary first(ignorenulls)
+    value per column where the old cross-join shape surfaced the
+    mistake as visible row multiplication; the assert below checks
+    the statically-checkable half (column disjointness), the
+    row-count half is the caller's obligation (pinned for all current
+    callers by their oracle rows).
+
     Union skeleton, not a broadcast cross-join chain: each input's
     row is padded with typed nulls to the combined schema, the pads
     are unioned, and one ``first(ignorenulls)`` aggregate per column
@@ -116,7 +126,10 @@ def one_row(*aggs):
     for a in aggs:
         fields.extend(a.schema.fields)
     names = [f.name for f in fields]
-    assert len(set(names)) == len(names), names
+    assert len(set(names)) == len(names), (
+        "one_row inputs must have pairwise-disjoint column names AND "
+        "be single-row global aggregates/literals (multi-row inputs "
+        f"return arbitrary values silently): {names}")
     padded = []
     for a in aggs:
         have = set(a.columns)

@@ -680,3 +680,28 @@ def test_connected_components_seed_labels_identical(spark):
         got = sorted(map(tuple, connected_components(
             nodes, edges, seed_labels=seed).collect()))
         assert got == want
+
+
+def test_small_star_explode_emission_matches_union(spark):
+    """r13 single-pass small-star emission: the 2-slot explode must
+    emit exactly the multiset the former two-branch self-union
+    emitted (per-row (dst,m) and (src,m), src!=dst filtered)."""
+    from pyspark.sql import functions as F
+
+    from nvd2mysqlloader_spark.operators.graph import _small_star
+
+    edges = spark.createDataFrame(
+        [(5, 1), (1, 5), (7, 3), (9, 9), (4, 2), (2, 6)],
+        "src long, dst long")
+    oriented = (edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst")).filter(
+        F.col("src") != F.col("dst")))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    linked = oriented.join(mins, "src")
+    want = sorted(map(tuple, (
+        linked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(linked.select("src", F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst")).distinct()).collect()))
+    got = sorted(map(tuple, _small_star(edges).collect()))
+    assert got == want and got
